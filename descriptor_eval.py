@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Descriptor-track evaluation CLI (same flags as the reference
+descriptor_eval.py)."""
+
+import argparse
+import logging
+
+from vsc2022_tpu.descriptor_eval_lib import evaluate_descriptor_track
+from vsc2022_tpu.metrics import CandidatePair
+
+logging.basicConfig(
+    format="%(asctime)s %(levelname)-8s %(message)s",
+    level=logging.INFO,
+    datefmt="%Y-%m-%d %H:%M:%S",
+)
+logger = logging.getLogger("descriptor_eval.py")
+logger.setLevel(logging.INFO)
+
+parser = argparse.ArgumentParser()
+parser.add_argument(
+    "--query_features", help="Path to query descriptors", type=str, required=True
+)
+parser.add_argument(
+    "--ref_features", help="Path to reference descriptors", type=str, required=True
+)
+parser.add_argument(
+    "--ground_truth", help="Path to the ground truth (labels) CSV file.", type=str
+)
+parser.add_argument(
+    "--candidates_output", help="Path to write the candidates CSV file.", type=str
+)
+
+
+def main(args):
+    ap, candidates = evaluate_descriptor_track(
+        args.query_features, args.ref_features, args.ground_truth
+    )
+    if ap is not None:
+        logger.info(f"Descriptor track micro-AP (uAP): {ap.ap:.4f}")
+    if args.candidates_output:
+        CandidatePair.write_csv(candidates, args.candidates_output)
+        logger.info(f"Wrote candidates to {args.candidates_output}")
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())

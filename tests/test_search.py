@@ -1,0 +1,166 @@
+"""Search-core tests: the TPU global-top-k must agree exactly with a
+dense numpy brute-force oracle (modeled on reference tests/test_index.py
+and tests/test_candidates.py, plus randomized exactness checks)."""
+
+import numpy as np
+import pytest
+
+from vsc2022_tpu.metrics import CandidatePair
+from vsc2022_tpu.ops.similarity import SimilaritySearcher
+from vsc2022_tpu.retrieval import CandidateGeneration, MaxScoreAggregation, VideoIndex
+from vsc2022_tpu.types import VideoFeature
+
+
+def brute_force_global_topk(q, r, k, metric="IP"):
+    if metric == "IP":
+        scores = q @ r.T
+    else:
+        scores = -(
+            (q * q).sum(1)[:, None] - 2 * q @ r.T + (r * r).sum(1)[None, :]
+        )
+    flat = scores.ravel()
+    k = min(k, flat.size)
+    order = np.lexsort(
+        (
+            np.tile(np.arange(r.shape[0]), q.shape[0]),
+            np.repeat(np.arange(q.shape[0]), r.shape[0]),
+            -flat,
+        )
+    )[:k]
+    qi, ri = np.unravel_index(order, scores.shape)
+    s = scores[qi, ri]
+    if metric == "L2":
+        s = -s
+    return qi, ri, s
+
+
+class TestSimilaritySearcher:
+    @pytest.mark.parametrize("metric", ["IP", "L2"])
+    def test_global_topk_matches_oracle(self, metric):
+        # Integer-valued features: scores are exact in f32, so ordering
+        # (incl. tie-breaks) is fully deterministic in both paths.
+        rng = np.random.RandomState(3)
+        q = rng.randint(-3, 4, size=(37, 24)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(211, 24)).astype(np.float32)
+        searcher = SimilaritySearcher(r, metric=metric)
+        for k in [1, 10, 100, 500, 37 * 211]:
+            qi, ri, s = searcher.global_topk(q, k)
+            oqi, ori, os_ = brute_force_global_topk(q, r, k, metric)
+            np.testing.assert_array_equal(qi, oqi)
+            np.testing.assert_array_equal(ri, ori)
+            np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-5)
+
+    def test_global_topk_saturation_fallback(self):
+        # Concentrate nearly all of the global top-k in a single row so the
+        # per-row κ budget saturates and the exact fallback pass must fire.
+        rng = np.random.RandomState(0)
+        q = rng.randint(-2, 3, size=(8, 16)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(4096, 16)).astype(np.float32)
+        hot = rng.randint(-2, 3, size=16).astype(np.float32)
+        q[3] = hot * 10
+        r[:2048] += hot  # half the corpus highly similar to q[3]
+        searcher = SimilaritySearcher(r)
+        k = 1500
+        qi, ri, s = searcher.global_topk(q, k, kappa=64)
+        oqi, ori, os_ = brute_force_global_topk(q, r, k)
+        np.testing.assert_array_equal(qi, oqi)
+        np.testing.assert_array_equal(ri, ori)
+        np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-4)
+
+    def test_row_topk_matches_oracle(self):
+        rng = np.random.RandomState(1)
+        q = rng.randn(19, 8).astype(np.float32)
+        r = rng.randn(301, 8).astype(np.float32)
+        searcher = SimilaritySearcher(r)
+        s, i = searcher.row_topk(q, 5)
+        dense = q @ r.T
+        expect_i = np.argsort(-dense, axis=1, kind="stable")[:, :5]
+        np.testing.assert_allclose(
+            s, np.take_along_axis(dense, expect_i, 1), rtol=1e-5, atol=1e-5
+        )
+        # Indices may differ under exact score ties; compare scores only.
+
+    def test_row_nn(self):
+        rng = np.random.RandomState(2)
+        q = rng.randn(11, 4).astype(np.float32)
+        r = rng.randn(77, 4).astype(np.float32)
+        searcher = SimilaritySearcher(r)
+        np.testing.assert_allclose(
+            searcher.row_nn(q), (q @ r.T).max(axis=1), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestVideoIndex:
+    def make_features(self, prefix):
+        test_feature = np.array(
+            [
+                [[1, 2, 3], [4, 5, 6], [7, 8, 9]],
+                [[11, 12, 13], [14, 15, 16], [17, 18, 19]],
+                [[111, 112, 113], [114, 115, 116], [117, 118, 119]],
+            ],
+            dtype=np.float32,
+        )
+        return [
+            VideoFeature(
+                video_id=f"{prefix}{idx:06d}",
+                feature=feature,
+                timestamps=np.arange(3, dtype=np.float32),
+            )
+            for idx, feature in enumerate(test_feature)
+        ]
+
+    @pytest.mark.parametrize("global_k", [1, -1])
+    def test_l2_nearest_video(self, global_k):
+        query = self.make_features("Q")
+        db = self.make_features("R")
+        index = VideoIndex(3, metric="L2")
+        index.add(db)
+        results = index.search(query, global_k)
+        assert results
+        for result in results:
+            assert result.query_id[1:] == result.ref_id[1:]
+
+
+class TestCandidateGeneration:
+    def test_candidate_generation(self):
+        queries = [
+            VideoFeature(
+                video_id=1,
+                feature=np.array(
+                    [[1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32
+                ),
+                timestamps=np.array([0.0, 1.0, 2.0]),
+            ),
+        ]
+        refs = [
+            VideoFeature(
+                video_id=5,
+                feature=np.array(
+                    [[0, 0, 0], [0, 0, 0], [0, 1, 0], [0, 2, 0], [0, 0, 0]],
+                    dtype=np.float32,
+                ),
+                timestamps=np.array([2.0, 4.0, 6.0, 8.0, 10.0]),
+            ),
+            VideoFeature(
+                video_id=8,
+                feature=np.array(
+                    [[0, 0, 0], [1, 0, 0], [1, 0, 0]], dtype=np.float32
+                ),
+                timestamps=np.array([[0.0, 5.0], [5.0, 10.0], [10.0, 15.0]]),
+            ),
+            VideoFeature(
+                video_id=10,
+                feature=np.array(
+                    [[0, 0, 0], [0, 0, 0.25], [0, 0, 0]], dtype=np.float32
+                ),
+                timestamps=np.array([0.0, 0.1, 0.2]),
+            ),
+        ]
+        cg = CandidateGeneration(refs, MaxScoreAggregation())
+        candidates = cg.query(queries, 2 * 3)
+        assert len(candidates) == 3
+        assert candidates == [
+            CandidatePair(query_id=1, ref_id=5, score=2.0),
+            CandidatePair(query_id=1, ref_id=8, score=1.0),
+            CandidatePair(query_id=1, ref_id=10, score=0.25),
+        ]

@@ -1,0 +1,8 @@
+"""Retrieval: frame-level search index and candidate generation."""
+
+from vsc2022_tpu.retrieval.candidates import (  # noqa: F401
+    CandidateGeneration,
+    MaxScoreAggregation,
+    ScoreAggregation,
+)
+from vsc2022_tpu.retrieval.index import VideoIndex  # noqa: F401

@@ -1,0 +1,127 @@
+"""Frame-level video search index over the TPU similarity core.
+
+TPU-native rebuild of the FAISS-backed ``VideoIndex``
+(reference: vsc/index.py:74-177). Per-video features are flattened into
+one frame-level corpus with side arrays mapping frame rows back to
+(video_id, frame_idx); search returns frame matches regrouped per
+(query video, ref video) pair.
+
+Search modes:
+  * ``global_k >= 0`` — global top-k over all query-frame × ref-frame
+    pairs (the VSC-rules-conforming mode): scores comparable across
+    queries, since µAP ranks one global list.
+  * ``global_k < 0`` — vanilla per-frame KNN with k = -global_k
+    (explicitly against VSC rules; provided for comparison, like the
+    reference; vsc/index.py:108-117).
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+from typing import Iterable, List, Tuple
+
+import numpy as np
+
+from vsc2022_tpu.ops.similarity import SimilaritySearcher
+from vsc2022_tpu.types import PairMatch, PairMatches, VideoFeature
+
+logger = logging.getLogger(__name__)
+
+SearchIndices = Tuple[int, int, float]
+
+
+class VideoIndex:
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "IP",
+        precision: str = "highest",
+    ):
+        self.dim = dim
+        self.metric = metric
+        self.precision = precision
+        self.video_clip_idx: List[int] = []
+        self.video_clip_to_video_ids: List[str] = []
+        self.video_metadata = {}
+        self._feature_blocks: List[np.ndarray] = []
+        self._searcher: SimilaritySearcher | None = None
+
+    def add(self, db: List[VideoFeature]) -> None:
+        for vf in db:
+            n = vf.feature.shape[0]
+            self.video_clip_idx.extend(range(n))
+            self.video_clip_to_video_ids.extend([vf.video_id] * n)
+            self.video_metadata[vf.video_id] = vf.metadata()
+            self._feature_blocks.append(np.asarray(vf.feature, dtype=np.float32))
+        self._searcher = None  # staged lazily on next search
+
+    def _get_searcher(self) -> SimilaritySearcher:
+        if self._searcher is None:
+            corpus = (
+                np.concatenate(self._feature_blocks, axis=0)
+                if self._feature_blocks
+                else np.zeros((0, self.dim), dtype=np.float32)
+            )
+            self._searcher = SimilaritySearcher(
+                corpus, metric=self.metric, precision=self.precision
+            )
+        return self._searcher
+
+    def search(
+        self,
+        queries: List[VideoFeature],
+        global_k: int,
+    ) -> List[PairMatches]:
+        query_ids: List[str] = []
+        query_indices: List[int] = []
+        for q in queries:
+            query_ids.extend([q.video_id] * len(q))
+            query_indices.extend(range(len(q)))
+        query_metadatas = {q.video_id: q.metadata() for q in queries}
+        query_features = np.concatenate([q.feature for q in queries])
+
+        if global_k < 0:
+            logger.warning(
+                "Using local k for KNN search. Warning: this is against the "
+                "VSC rules, since predictions for a query-ref pair are not "
+                "independent of other references. KNN search is provided for "
+                "comparison."
+            )
+            search_indices = self._knn_search(query_features, -global_k)
+        else:
+            search_indices = self._global_search(query_features, global_k)
+
+        pair_nns = collections.defaultdict(list)
+        for i, j, score in search_indices:
+            query_id = query_ids[i]
+            ref_id = self.video_clip_to_video_ids[j]
+            match = PairMatch(
+                query_timestamps=query_metadatas[query_id].get_timestamps(
+                    query_indices[i]
+                ),
+                ref_timestamps=self.video_metadata[ref_id].get_timestamps(
+                    self.video_clip_idx[j]
+                ),
+                score=score,
+            )
+            pair_nns[query_id, ref_id].append(match)
+
+        return [
+            PairMatches(query_id, ref_id, matches)
+            for ((query_id, ref_id), matches) in pair_nns.items()
+        ]
+
+    def _global_search(
+        self, query_features: np.ndarray, global_k: int
+    ) -> Iterable[SearchIndices]:
+        qi, ri, scores = self._get_searcher().global_topk(query_features, global_k)
+        return zip(qi.tolist(), ri.tolist(), scores.tolist())
+
+    def _knn_search(
+        self, query_features: np.ndarray, k: int
+    ) -> Iterable[SearchIndices]:
+        scores, ids = self._get_searcher().row_topk(query_features, k)
+        for i in range(ids.shape[0]):
+            for j in range(ids.shape[1]):
+                yield (i, int(ids[i, j]), float(scores[i, j]))
