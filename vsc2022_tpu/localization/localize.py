@@ -1,0 +1,231 @@
+"""Host-side localization drivers over the TN alignment kernel.
+
+Mirrors the reference localization API (reference:
+vsc/baseline/localization.py) but replaces the VCSL multiprocessing
+pool with one batched device program: candidate pairs are bucketed by
+padded (query_len, ref_len) shape, their similarity matrices computed
+as one batched matmul on the MXU, and TN alignment runs as a scan DP
+over the whole batch (ops/tn_align.py).
+
+Box → Match conversion keeps reference semantics: boxes are inclusive
+frame-index rectangles; query_start = get_timestamps(x1)[0],
+query_end = get_timestamps(x2)[1] (reference:
+vsc/baseline/localization.py:65-75).
+"""
+
+from __future__ import annotations
+
+import abc
+import functools
+import logging
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsc2022_tpu.metrics import CandidatePair, Match
+from vsc2022_tpu.ops.tn_align import TNParams, tn_align
+from vsc2022_tpu.types import VideoFeature
+
+logger = logging.getLogger(__name__)
+
+# Max elements per batched similarity tensor (B·NQ·NR); bounds HBM use.
+SIM_ELEMENT_BUDGET = 64 * 1024 * 1024
+
+
+def _bucket(n: int, minimum: int = 32) -> int:
+    """Round up to the next power of two (≥ minimum) for shape bucketing."""
+    n = max(n, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _pair_sims(
+    q: jax.Array,  # [B, NQ, D]
+    r: jax.Array,  # [B, NR, D]
+    bias: jax.Array,  # scalar
+    precision: str = "highest",
+) -> jax.Array:
+    prec = jax.lax.Precision(precision)
+    return (
+        jnp.einsum("bqd,brd->bqr", q, r, precision=prec,
+                   preferred_element_type=jnp.float32)
+        + bias
+    )
+
+
+class Localization(abc.ABC):
+    @abc.abstractmethod
+    def localize(self, candidate: CandidatePair) -> List[Match]:
+        ...
+
+    def localize_all(self, candidates: List[CandidatePair]) -> List[Match]:
+        matches = []
+        for candidate in candidates:
+            matches.extend(self.localize(candidate))
+        return matches
+
+
+class LocalizationWithMetadata(Localization):
+    def __init__(self, queries: List[VideoFeature], refs: List[VideoFeature]):
+        self.queries = {m.video_id: m for m in queries}
+        self.refs = {m.video_id: m for m in refs}
+
+    def similarity(self, candidate: CandidatePair) -> np.ndarray:
+        a = self.queries[candidate.query_id].feature
+        b = self.refs[candidate.ref_id].feature
+        return np.matmul(a, b.T)
+
+
+class TNLocalization(LocalizationWithMetadata):
+    """Temporal-network localization, batched on device.
+
+    Accepts the reference's construction signature
+    (model_type="TN", tn_max_step, min_length, concurrency,
+    similarity_bias; reference: vsc/baseline/sscd_baseline.py:118-135).
+    ``concurrency`` is accepted and ignored — batching replaces the CPU
+    process pool.
+    """
+
+    def __init__(
+        self,
+        queries: List[VideoFeature],
+        refs: List[VideoFeature],
+        model_type: str = "TN",
+        similarity_bias: float = 0.0,
+        tn_max_step: int = 5,
+        min_length: int = 4,
+        concurrency: int = 0,
+        min_sim: float = 0.2,
+        top_k_per_row: int = 10,
+        max_paths: int = 10,
+        adaptive_sigma: float = 3.5,
+        **kwargs,
+    ):
+        super().__init__(queries, refs)
+        if model_type != "TN":
+            raise ValueError(f"Unsupported alignment model type: {model_type}")
+        del concurrency, kwargs
+        self.similarity_bias = similarity_bias
+        self.params = TNParams(
+            max_step=tn_max_step,
+            min_length=min_length,
+            max_paths=max_paths,
+            min_sim=min_sim,
+            top_k_per_row=top_k_per_row,
+            adaptive_sigma=adaptive_sigma,
+        )
+
+    def similarity(self, candidate: CandidatePair) -> np.ndarray:
+        """Biased similarity — some alignment methods do not tolerate
+        negative values well (reference: vsc/baseline/localization.py:49-54)."""
+        return super().similarity(candidate) + self.similarity_bias
+
+    # -- batched device path --------------------------------------------
+
+    def _features_for(
+        self, candidate: CandidatePair
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-pair (query, ref) feature matrices used for similarity.
+        DnS overrides this to use fine-grained features."""
+        return (
+            self.queries[candidate.query_id].feature,
+            self.refs[candidate.ref_id].feature,
+        )
+
+    def _batch_sims(
+        self, candidates: Sequence[CandidatePair], nq: int, nr: int
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Build [B, nq, nr] similarity matrices for same-bucket pairs."""
+        b = len(candidates)
+        feats = [self._features_for(c) for c in candidates]
+        d = feats[0][0].shape[1]
+        qb = np.zeros((b, nq, d), dtype=np.float32)
+        rb = np.zeros((b, nr, d), dtype=np.float32)
+        q_len = np.empty(b, dtype=np.int32)
+        r_len = np.empty(b, dtype=np.int32)
+        for i, (qf, rf) in enumerate(feats):
+            qb[i, : qf.shape[0]] = qf
+            rb[i, : rf.shape[0]] = rf
+            q_len[i] = qf.shape[0]
+            r_len[i] = rf.shape[0]
+        sims = _pair_sims(
+            jnp.asarray(qb), jnp.asarray(rb), jnp.float32(self.similarity_bias)
+        )
+        return sims, jnp.asarray(q_len), jnp.asarray(r_len)
+
+    def localize_all(self, candidates: List[CandidatePair]) -> List[Match]:
+        buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+        for idx, c in enumerate(candidates):
+            qf, rf = self._features_for(c)
+            buckets[(_bucket(qf.shape[0]), _bucket(rf.shape[0]))].append(idx)
+
+        matches: List[Match] = []
+        for (nq, nr), idxs in sorted(buckets.items()):
+            max_b = max(1, SIM_ELEMENT_BUDGET // (nq * nr))
+            for chunk_start in range(0, len(idxs), max_b):
+                chunk = [
+                    candidates[i] for i in idxs[chunk_start : chunk_start + max_b]
+                ]
+                matches.extend(self._localize_bucket(chunk, nq, nr))
+        return matches
+
+    def _localize_bucket(
+        self, chunk: Sequence[CandidatePair], nq: int, nr: int
+    ) -> List[Match]:
+        sims, q_len, r_len = self._batch_sims(chunk, nq, nr)
+        boxes, valid, box_scores = tn_align(sims, q_len, r_len, self.params)
+        boxes = np.asarray(boxes)
+        valid = np.asarray(valid)
+        box_scores = np.asarray(box_scores)
+
+        matches = []
+        for bi, candidate in enumerate(chunk):
+            query = self.queries[candidate.query_id]
+            ref = self.refs[candidate.ref_id]
+            for pi in range(boxes.shape[1]):
+                if not valid[bi, pi]:
+                    continue
+                x1, y1, x2, y2 = (int(v) for v in boxes[bi, pi])
+                match = Match(
+                    query_id=candidate.query_id,
+                    ref_id=candidate.ref_id,
+                    query_start=query.get_timestamps(x1)[0],
+                    query_end=query.get_timestamps(x2)[1],
+                    ref_start=ref.get_timestamps(y1)[0],
+                    ref_end=ref.get_timestamps(y2)[1],
+                    score=self.score(candidate, float(box_scores[bi, pi])),
+                )
+                matches.append(match)
+        return matches
+
+    def localize(self, candidate: CandidatePair) -> List[Match]:
+        return self.localize_all([candidate])
+
+    def score(self, candidate: CandidatePair, box_max_sim: float) -> float:
+        return 1.0
+
+
+class TNLocalizationMaxSim(TNLocalization):
+    """Score = max similarity inside the box, bias-corrected
+    (reference: vsc/baseline/localization.py:88-91)."""
+
+    def score(self, candidate: CandidatePair, box_max_sim: float) -> float:
+        return box_max_sim - self.similarity_bias
+
+
+class TNLocalizationCandidateScore(TNLocalization):
+    """Score = the candidate pair's retrieval score
+    (reference: vsc/baseline/localization.py:94-96)."""
+
+    def score(self, candidate: CandidatePair, box_max_sim: float) -> float:
+        return candidate.score
+
+
+# Reference-compatible aliases: users migrating from the reference can
+# keep their class names (the VCSL engine itself is replaced by the
+# on-device TN kernel).
+VCSLLocalizationMaxSim = TNLocalizationMaxSim
+VCSLLocalizationCandidateScore = TNLocalizationCandidateScore
