@@ -1,0 +1,173 @@
+"""Descriptor extraction engine: host decode → device preprocess+forward.
+
+Replaces the reference's torch DataLoader / TorchScript worker loop
+(reference: vsc/baseline/inference_impl.py:72-239) with a TPU-shaped
+pipeline:
+
+  * Videos are sharded round-robin ``i % world_size == rank`` across
+    workers, identically to the reference (inference_impl.py:105-109).
+  * A background thread decodes the next videos into a bounded queue
+    while the device runs the current batch — the reference serializes
+    decode and inference in one thread, which starves the accelerator
+    (SURVEY.md §3.1); here they overlap.
+  * Batches are fixed-size (padded) uint8 frame stacks; preprocessing
+    (resize/crop/normalize) and the model forward are one fused jit per
+    input resolution. Batches never span videos, matching the
+    reference's per-video accumulation contract
+    (inference_impl.py:210-239).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsc2022_tpu.inference.transforms import InferenceTransforms, preprocess
+from vsc2022_tpu.inference.video_reader import VideoReader
+from vsc2022_tpu.storage import load_features, store_features
+from vsc2022_tpu.types import VideoFeature
+
+logger = logging.getLogger(__name__)
+
+ReaderFactory = Callable[[str], VideoReader]
+
+
+@dataclass
+class VideoDataset:
+    """Globs, sorts, and shards the video list
+    (reference: vsc/baseline/inference_impl.py:94-109)."""
+
+    path: str
+    reader_factory: ReaderFactory
+    extensions: Sequence[str] = ("mp4",)
+    distributed_rank: int = 0
+    distributed_world_size: int = 1
+
+    def __post_init__(self):
+        assert self.distributed_rank < self.distributed_world_size
+        if len(self.extensions) == 1:
+            filenames = glob.glob(
+                os.path.join(self.path, f"*.{self.extensions[0]}")
+            )
+        else:
+            filenames = [
+                fn
+                for fn in glob.glob(os.path.join(self.path, "*.*"))
+                if fn.rsplit(".", 1)[-1] in self.extensions
+            ]
+        self.videos = sorted(filenames)
+        if not self.videos:
+            raise Exception("No videos found!")
+        self.selected_videos = [
+            (i, video)
+            for (i, video) in enumerate(self.videos)
+            if (i % self.distributed_world_size) == self.distributed_rank
+        ]
+
+    def num_videos(self) -> int:
+        return len(self.selected_videos)
+
+    def iter_decoded(self) -> Iterator[Tuple[str, np.ndarray, np.ndarray]]:
+        """Yield (video_name, frames uint8 [N,H,W,3], timestamps [N,2])."""
+        for _, video in self.selected_videos:
+            name = os.path.basename(video).split(".")[0]
+            reader = self.reader_factory(video)
+            frames: List[np.ndarray] = []
+            timestamps: List[Tuple[float, float]] = []
+            for start, end, frame in reader.frames():
+                frames.append(frame)
+                timestamps.append((start, end))
+            if not frames:
+                logger.warning("No frames decoded for %s; skipping", video)
+                continue
+            yield name, np.stack(frames), np.asarray(timestamps, dtype=np.float64)
+
+
+def _prefetch(
+    source: Iterator, depth: int = 2
+) -> Iterator:
+    """Run `source` in a daemon thread, keeping up to `depth` items ready."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in source:
+                q.put(item)
+        except BaseException as e:  # propagate decode errors to consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
+
+
+class DescriptorExtractor:
+    """Batched jit inference over decoded videos."""
+
+    def __init__(
+        self,
+        apply_fn: Callable,  # (variables, images [B,H,W,3] f32) -> [B, D]
+        variables,
+        transform: InferenceTransforms,
+        batch_size: int = 32,
+    ):
+        self.apply_fn = jax.jit(apply_fn)
+        self.variables = variables
+        self.transform = transform
+        self.batch_size = batch_size
+
+    def _forward_batch(self, frames_u8: np.ndarray) -> np.ndarray:
+        n = frames_u8.shape[0]
+        if n < self.batch_size:  # pad to static batch shape
+            pad = np.repeat(frames_u8[-1:], self.batch_size - n, axis=0)
+            frames_u8 = np.concatenate([frames_u8, pad], axis=0)
+        images = preprocess(jnp.asarray(frames_u8), self.transform)
+        out = self.apply_fn(self.variables, images)
+        return np.asarray(out)[:n]
+
+    def extract(
+        self,
+        dataset: VideoDataset,
+        store_fp16: bool = False,
+        progress: Optional[Callable[[], None]] = None,
+    ) -> Iterable[VideoFeature]:
+        for name, frames, timestamps in _prefetch(dataset.iter_decoded()):
+            embeddings = []
+            for start in range(0, frames.shape[0], self.batch_size):
+                batch = frames[start : start + self.batch_size]
+                embeddings.append(self._forward_batch(batch))
+            feature = np.concatenate(embeddings, axis=0)
+            if store_fp16:
+                feature = feature.astype(np.float16)
+            yield VideoFeature(
+                video_id=name, timestamps=timestamps, feature=feature
+            )
+            if progress is not None:
+                progress()
+
+
+def merge_feature_files(filenames: List[str], output_filename: str) -> int:
+    """(reference: vsc/baseline/inference_impl.py:242-247)"""
+    features = []
+    for fn in filenames:
+        features.extend(load_features(fn))
+    store_features(output_filename, features)
+    return len(features)

@@ -1,0 +1,188 @@
+"""Torch checkpoint → Flax parameter conversion.
+
+The reference consumes pretrained TorchScript artifacts directly
+(reference: vsc/baseline/inference_impl.py:173); the TPU framework runs
+native Flax modules, so published weights are imported once via these
+converters. Conversion operates on a plain ``{name: np.ndarray}`` state
+dict, so it is testable without torch; ``load_torchscript_state`` (torch
+required) extracts that dict from a TorchScript file.
+
+Layout conventions converted:
+  * Conv2d OIHW → HWIO
+  * Linear [out, in] → kernel [in, out]
+  * BatchNorm weight/bias → scale/bias; running stats → batch_stats
+  * ViT qkv fused projection → separate q/k/v with [dim, heads, head]
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+StateDict = Dict[str, np.ndarray]
+
+
+def load_torchscript_state(path: str, strip_prefix: str = "") -> StateDict:
+    """Extract a numpy state dict from a TorchScript file (torch needed)."""
+    import torch
+
+    module = torch.jit.load(path, map_location="cpu")
+    state = {}
+    for name, tensor in module.state_dict().items():
+        if strip_prefix and name.startswith(strip_prefix):
+            name = name[len(strip_prefix):]
+        state[name] = tensor.detach().cpu().numpy()
+    return state
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW → HWIO
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))  # [out, in] → [in, out]
+
+
+def _bn(state: StateDict, torch_name: str) -> Tuple[dict, dict]:
+    params = {
+        "scale": state[f"{torch_name}.weight"],
+        "bias": state[f"{torch_name}.bias"],
+    }
+    stats = {
+        "mean": state[f"{torch_name}.running_mean"],
+        "var": state[f"{torch_name}.running_var"],
+    }
+    return params, stats
+
+
+def resnet50_from_torch(
+    state: StateDict, prefix: str = ""
+) -> Tuple[dict, dict]:
+    """Convert a torchvision-style ResNet-50 trunk (no fc) to the
+    vsc2022_tpu.models.resnet.ResNet50 tree. Returns (params, batch_stats)."""
+
+    def key(name):
+        return f"{prefix}{name}"
+
+    params: dict = {"conv1": {"kernel": _conv(state[key("conv1.weight")])}}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = _bn(state, key("bn1"))
+
+    stage_sizes = (3, 4, 6, 3)
+    for stage, num_blocks in enumerate(stage_sizes, start=1):
+        for block in range(num_blocks):
+            t = key(f"layer{stage}.{block}")
+            name = f"layer{stage}_{block}"
+            p: dict = {}
+            s: dict = {}
+            for conv_i in (1, 2, 3):
+                p[f"conv{conv_i}"] = {
+                    "kernel": _conv(state[f"{t}.conv{conv_i}.weight"])
+                }
+                p[f"bn{conv_i}"], s[f"bn{conv_i}"] = _bn(state, f"{t}.bn{conv_i}")
+            if f"{t}.downsample.0.weight" in state:
+                p["downsample_conv"] = {
+                    "kernel": _conv(state[f"{t}.downsample.0.weight"])
+                }
+                p["downsample_bn"], s["downsample_bn"] = _bn(
+                    state, f"{t}.downsample.1"
+                )
+            params[name] = p
+            stats[name] = s
+    return params, stats
+
+
+def sscd_from_torch(state: StateDict) -> dict:
+    """Convert the adapted SSCD model (backbone → pool → project;
+    reference: vsc/baseline/adapt_sscd_model.py:59-69) to SSCDModel
+    variables. Accepts either 'backbone.*'+'project.*' names (adapted
+    layout) or bare torchvision names + 'embeddings.1.*'."""
+    if any(k.startswith("backbone.") for k in state):
+        backbone_prefix = "backbone."
+        if "project.weight" in state:
+            proj_w, proj_b = state["project.weight"], state["project.bias"]
+        else:  # unadapted torchvision layout: embeddings = pool/linear/l2
+            proj_w = state["embeddings.1.weight"]
+            proj_b = state["embeddings.1.bias"]
+    else:
+        backbone_prefix = ""
+        proj_w, proj_b = state["fc.weight"], state["fc.bias"]
+    b_params, b_stats = resnet50_from_torch(state, prefix=backbone_prefix)
+    return {
+        "params": {
+            "backbone": b_params,
+            "project": {"kernel": _linear(proj_w), "bias": proj_b},
+        },
+        "batch_stats": {"backbone": b_stats},
+    }
+
+
+def dino_vit_from_torch(state: StateDict, dim: int = 384, heads: int = 6) -> dict:
+    """Convert DINO ViT-S/16 weights to DinoViT variables."""
+    head_dim = dim // heads
+
+    def qkv_split(w, b):
+        # torch fused qkv: [3*dim, dim] → three [dim, heads, head_dim]
+        w = w.reshape(3, dim, dim)  # (qkv, out, in)
+        b = b.reshape(3, dim)
+        out = []
+        for i in range(3):
+            kernel = np.transpose(w[i], (1, 0)).reshape(dim, heads, head_dim)
+            bias = b[i].reshape(heads, head_dim)
+            out.append({"kernel": kernel, "bias": bias})
+        return out
+
+    params: dict = {
+        "patch_embed": {
+            "kernel": _conv(state["patch_embed.proj.weight"]),
+            "bias": state["patch_embed.proj.bias"],
+        },
+        "cls_token": state["cls_token"],
+        "pos_embed": state["pos_embed"],
+        "norm": {
+            "scale": state["norm.weight"],
+            "bias": state["norm.bias"],
+        },
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in state:
+        t = f"blocks.{i}"
+        q, k, v = qkv_split(
+            state[f"{t}.attn.qkv.weight"], state[f"{t}.attn.qkv.bias"]
+        )
+        out_kernel = (
+            np.transpose(state[f"{t}.attn.proj.weight"], (1, 0))
+            .reshape(heads, head_dim, dim)
+        )
+        params[f"block{i}"] = {
+            "norm1": {
+                "scale": state[f"{t}.norm1.weight"],
+                "bias": state[f"{t}.norm1.bias"],
+            },
+            "attn": {
+                "query": q,
+                "key": k,
+                "value": v,
+                "out": {
+                    "kernel": out_kernel,
+                    "bias": state[f"{t}.attn.proj.bias"],
+                },
+            },
+            "norm2": {
+                "scale": state[f"{t}.norm2.weight"],
+                "bias": state[f"{t}.norm2.bias"],
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": _linear(state[f"{t}.mlp.fc1.weight"]),
+                    "bias": state[f"{t}.mlp.fc1.bias"],
+                },
+                "fc2": {
+                    "kernel": _linear(state[f"{t}.mlp.fc2.weight"]),
+                    "bias": state[f"{t}.mlp.fc2.bias"],
+                },
+            },
+        }
+        i += 1
+    return {"params": params}

@@ -1,0 +1,201 @@
+"""DnS (Distill-and-Select) model family: L3-iMAC feature extractor,
+coarse-grained student, fine-grained att/bin students, and the
+ViSiL-style chamfer similarity used for localization.
+
+The reference drives these as opaque TorchScript artifacts
+(resnet50_l3imac / cg_student / fg_att_student / fg_bin_student;
+reference: docs/baseline_dns.md:28-33, vsc/baseline/dns_index.py:100-116,
+vsc/baseline/dns_baseline.py:108-163). Their exact serialized internals
+are only observable through those artifacts (SURVEY.md §7 hard-part c);
+this module re-derives the architectures from the DnS/ViSiL papers:
+
+  * L3-iMAC: intermediate ResNet-50 activations (4 stages), each
+    max-pooled over a 3×3 region grid, channel-concatenated →
+    [T, 9, 3840] region descriptors per video, L2-normalized.
+  * Fine-grained students: a learned 3840→512 region reduction
+    (PCA-whitening role), ViSiL-style ℓ2-attention over regions; the
+    binarization student adds a learned rotation + sign (ITQ role).
+  * Coarse-grained student: attention-weighted region aggregation to a
+    1024-d frame descriptor (reference behavior: per-frame cg
+    descriptors with 1024 dims; docs/baseline_dns.md:14-15).
+  * Fine similarity: region-chamfer (mean over query regions of max
+    over ref regions) → frame-to-frame similarity matrix in [-1, 1].
+
+Interface contract matches the reference exactly: ``student_type``
+("cg"/"fg"), ``fg_type`` ("att"/"bin"), ``get_network_name()``,
+``index_video(features)`` and ``sim_model(query, ref)`` — so the
+dns_index/dns_baseline drivers are drop-in. Converted torch weights
+slot in via vsc2022_tpu.models.convert.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsc2022_tpu.models.resnet import ResNet50
+
+L3_IMAC_DIM = 3840  # 256 + 512 + 1024 + 2048
+NUM_REGIONS = 9
+REDUCED_DIM = 512
+
+
+def _region_mac(x: jnp.ndarray, grid: int = 3) -> jnp.ndarray:
+    """Adaptive 3×3 region max-pool: [N, H, W, C] → [N, grid*grid, C]."""
+    n, h, w, c = x.shape
+    regions = []
+    for i in range(grid):
+        for j in range(grid):
+            h0, h1 = (i * h) // grid, max(((i + 1) * h + grid - 1) // grid, 1)
+            w0, w1 = (j * w) // grid, max(((j + 1) * w + grid - 1) // grid, 1)
+            regions.append(jnp.max(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+    return jnp.stack(regions, axis=1)
+
+
+class L3iMACExtractor(nn.Module):
+    """ResNet-50 L3-iMAC region features: [N, 9, 3840], L2-normalized."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        _, stages = ResNet50(return_intermediates=True, name="backbone")(
+            x, train=train
+        )
+        per_stage = []
+        for s in stages:
+            r = _region_mac(s)
+            r = r / jnp.clip(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
+            per_stage.append(r)
+        feats = jnp.concatenate(per_stage, axis=-1)  # [N, 9, 3840]
+        feats = feats / jnp.clip(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+        )
+        return feats
+
+
+class _RegionAttention(nn.Module):
+    """ViSiL ℓ2-attention: per-region scalar weight in [0, 1] from a
+    learned unit-norm context vector."""
+
+    @nn.compact
+    def __call__(self, regions):  # [..., R, D]
+        context = self.param(
+            "context", nn.initializers.lecun_normal(), (regions.shape[-1], 1)
+        )
+        context = context / jnp.clip(jnp.linalg.norm(context), 1e-12)
+        weights = (regions @ context + 1.0) / 2.0  # [..., R, 1] in [0,1]
+        return regions * weights, weights
+
+
+class FineGrainedStudentModule(nn.Module):
+    """Region reduction + attention (+ binarization for fg_type='bin')."""
+
+    fg_type: str = "att"  # "att" | "bin"
+
+    @nn.compact
+    def __call__(self, regions):  # [T, R, 3840]
+        x = nn.Dense(REDUCED_DIM, name="reduction")(regions)
+        x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        x, _ = _RegionAttention(name="attention")(x)
+        if self.fg_type == "bin":
+            rotation = self.param(
+                "rotation",
+                nn.initializers.orthogonal(),
+                (REDUCED_DIM, REDUCED_DIM),
+            )
+            x = x @ rotation  # sign taken downstream (stored as x > 0)
+        return x  # [T, R, 512]
+
+
+class CoarseStudentModule(nn.Module):
+    """Per-frame 1024-d coarse descriptor from region features."""
+
+    out_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, regions):  # [T, 1, R*3840] or [T, R, 3840]
+        t = regions.shape[0]
+        x = regions.reshape(t, NUM_REGIONS, L3_IMAC_DIM)
+        x = nn.Dense(REDUCED_DIM, name="reduction")(x)
+        x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        x, weights = _RegionAttention(name="attention")(x)
+        pooled = jnp.sum(x, axis=1) / jnp.clip(jnp.sum(weights, axis=1), 1e-6)
+        x = nn.Dense(self.out_dim, name="project")(pooled)
+        x = jnp.tanh(x)
+        return x  # [T, 1024]
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def chamfer_similarity(
+    q: jnp.ndarray,  # [Tq, R, D]
+    r: jnp.ndarray,  # [Tr, R, D]
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """ViSiL frame-to-frame similarity: mean over query regions of the
+    max over ref regions of region cosine similarity → [Tq, Tr]."""
+    prec = jax.lax.Precision(precision)
+    sims = jnp.einsum("qad,rbd->qrab", q, r, precision=prec,
+                      preferred_element_type=jnp.float32)
+    return jnp.mean(jnp.max(sims, axis=-1), axis=-1)
+
+
+class DnSStudent:
+    """Host wrapper bundling a student module with its parameters,
+    exposing the reference's TorchScript-model surface
+    (reference: vsc/baseline/dns_index.py:109-116,
+    vsc/baseline/dns_baseline.py:150-153)."""
+
+    def __init__(
+        self,
+        student_type: str,
+        fg_type: Optional[str] = None,
+        params=None,
+        rng_seed: int = 0,
+    ):
+        assert student_type in ("cg", "fg")
+        self.student_type = student_type
+        self.fg_type = fg_type or ""
+        if student_type == "cg":
+            self.module = CoarseStudentModule()
+            probe = jnp.zeros((1, NUM_REGIONS, L3_IMAC_DIM), jnp.float32)
+        else:
+            assert fg_type in ("att", "bin")
+            self.module = FineGrainedStudentModule(fg_type=fg_type)
+            probe = jnp.zeros((1, NUM_REGIONS, L3_IMAC_DIM), jnp.float32)
+        self.params = params or self.module.init(
+            jax.random.PRNGKey(rng_seed), probe
+        )
+        self._apply = jax.jit(self.module.apply)
+
+    def get_network_name(self) -> str:
+        if self.student_type == "cg":
+            return "cg_student"
+        return f"fg_{self.fg_type}_student"
+
+    def index_video(self, features: np.ndarray) -> np.ndarray:
+        """Re-encode one video's raw L3-iMAC features.
+
+        Input: [T, 9*3840] (flattened, as stored in npz) or [T, 9, 3840].
+        Output: cg → [T, 1024]; fg → [T, 9*512] (flattened; the driver
+        binarizes fg_bin output with > 0, reference: dns_index.py:113).
+        """
+        f = np.asarray(features, dtype=np.float32)
+        if f.ndim == 2:
+            f = f.reshape(f.shape[0], NUM_REGIONS, L3_IMAC_DIM)
+        out = np.asarray(self._apply(self.params, jnp.asarray(f)))
+        if self.student_type == "fg":
+            out = out.reshape(out.shape[0], -1)
+        return out
+
+    # Fine-similarity surface: sim_model(query, ref) → [Tq, Tr]
+    def __call__(self, query: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        assert self.student_type == "fg"
+        q = np.asarray(query, dtype=np.float32)
+        r = np.asarray(ref, dtype=np.float32)
+        q = q.reshape(q.shape[0], NUM_REGIONS, REDUCED_DIM)
+        r = r.reshape(r.shape[0], NUM_REGIONS, REDUCED_DIM)
+        return np.asarray(chamfer_similarity(jnp.asarray(q), jnp.asarray(r)))

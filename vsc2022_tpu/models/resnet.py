@@ -1,0 +1,115 @@
+"""Flax ResNet-50 (torchvision v1.5 semantics, NHWC layout).
+
+Backbone for the SSCD descriptor model and the DnS L3-iMAC feature
+extractor. Matches torchvision's ``resnet50``: 7×7/2 stem + 3×3/2
+maxpool, bottleneck blocks with the stride on the 3×3 conv, so imported
+torch weights reproduce outputs exactly (inference mode).
+
+The reference runs this architecture only as an opaque TorchScript
+artifact (reference: vsc/baseline/adapt_sscd_model.py:54-69 observes the
+backbone/pool/project structure); here it is a first-class module so
+XLA can fuse and the mesh can shard it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class Bottleneck(nn.Module):
+    """1×1 → 3×3(stride) → 1×1(×4) with projection shortcut."""
+
+    features: int
+    stride: int = 1
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            name="conv2",
+        )(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+
+        if residual.shape[-1] != self.features * 4 or self.stride != 1:
+            residual = nn.Conv(
+                self.features * 4,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                name="downsample_conv",
+            )(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """Returns the final [N, H/32, W/32, 2048] feature map; with
+    ``return_intermediates`` also the four stage outputs (for L3-iMAC)."""
+
+    return_intermediates: bool = False
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    stage_features: Sequence[int] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+        )
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, name="conv1",
+        )(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        intermediates = []
+        for stage, (num_blocks, features) in enumerate(
+            zip(self.stage_sizes, self.stage_features)
+        ):
+            for block in range(num_blocks):
+                stride = 2 if stage > 0 and block == 0 else 1
+                x = Bottleneck(
+                    features,
+                    stride=stride,
+                    norm=norm,
+                    name=f"layer{stage + 1}_{block}",
+                )(x)
+            intermediates.append(x)
+
+        if self.return_intermediates:
+            return x, tuple(intermediates)
+        return x
+
+
+def gem_pool(x: jnp.ndarray, p: float = 3.0, eps: float = 1e-6) -> jnp.ndarray:
+    """Generalized-mean pooling over spatial dims: (mean(x^p))^(1/p).
+
+    The SSCD head's GlobalGeMPool2d (reference:
+    vsc/baseline/adapt_sscd_model.py:64 observes it in the TorchScript
+    graph); p=3 is the SSCD default.
+    """
+    x = jnp.clip(x, eps, None)
+    pooled = jnp.mean(x**p, axis=(1, 2))
+    return pooled ** (1.0 / p)

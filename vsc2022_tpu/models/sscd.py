@@ -1,0 +1,35 @@
+"""SSCD descriptor model: ResNet-50 trunk + GeM pooling + 512-d projection.
+
+The reference's adapted ``sscd_disc_mixup`` TorchScript model is
+backbone → GlobalGeMPool2d → Linear → [L2Norm stripped]
+(reference: vsc/baseline/adapt_sscd_model.py:54-77). The L2Norm strip is
+a constructor flag here instead of a separate model-surgery script —
+score normalization needs raw (unnormalized) descriptors.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vsc2022_tpu.models.resnet import ResNet50, gem_pool
+
+
+class SSCDModel(nn.Module):
+    """Frame descriptor model; input NHWC float images (ImageNet
+    normalized), output [N, dims] descriptors."""
+
+    dims: int = 512
+    gem_p: float = 3.0
+    l2_normalize: bool = False  # reference strips L2Norm for score-norm
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ResNet50(name="backbone")(x, train=train)
+        x = gem_pool(x, p=self.gem_p)
+        x = nn.Dense(self.dims, name="project")(x)
+        if self.l2_normalize:
+            x = x / jnp.clip(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None
+            )
+        return x
