@@ -5,6 +5,10 @@ descriptor_eval.py)."""
 import argparse
 import logging
 
+from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from vsc2022_tpu.descriptor_eval_lib import evaluate_descriptor_track
 from vsc2022_tpu.metrics import CandidatePair
 

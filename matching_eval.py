@@ -5,6 +5,10 @@ reference matching_eval.py)."""
 import argparse
 import logging
 
+from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from vsc2022_tpu.metrics import evaluate_matching_track
 
 logging.basicConfig(

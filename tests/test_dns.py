@@ -1,0 +1,109 @@
+"""DnS two-stage pipeline tests: indexing driver semantics and the
+fused fine+coarse localization on planted copies."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vsc2022_tpu.baseline.dns_baseline import (
+    DnSLocalization,
+    _fused_fine_coarse_sims,
+)
+from vsc2022_tpu.baseline.dns_index import index_videos
+from vsc2022_tpu.metrics import CandidatePair
+from vsc2022_tpu.models.dns import DnSStudent, NUM_REGIONS, REDUCED_DIM
+from vsc2022_tpu.types import VideoFeature
+
+
+def vf(video_id, feature, dtype=np.float32):
+    return VideoFeature(
+        video_id=video_id,
+        timestamps=np.arange(feature.shape[0], dtype=np.float64),
+        feature=np.asarray(feature, dtype=dtype),
+    )
+
+
+class TestIndexVideos:
+    def make_raw(self, rng, n=5):
+        return [vf(f"Q{i:06d}", rng.randn(4, NUM_REGIONS * 3840)) for i in range(n)]
+
+    def test_cg_indexing(self, ):
+        rng = np.random.RandomState(0)
+        model = DnSStudent("cg")
+        out = index_videos(model, self.make_raw(rng, 2))
+        assert all(o.feature.shape == (4, 1024) for o in out)
+        # Metadata preserved.
+        assert [o.video_id for o in out] == ["Q000000", "Q000001"]
+
+    def test_fg_bin_indexing_is_boolean(self):
+        rng = np.random.RandomState(1)
+        model = DnSStudent("fg", "bin")
+        out = index_videos(model, self.make_raw(rng, 1))
+        assert out[0].feature.dtype == bool
+
+    def test_fg_att_indexing_is_fp16(self):
+        rng = np.random.RandomState(2)
+        model = DnSStudent("fg", "att")
+        out = index_videos(model, self.make_raw(rng, 1))
+        assert out[0].feature.dtype == np.float16
+
+
+class TestFusedSims:
+    def test_matches_reference_formula(self):
+        rng = np.random.RandomState(3)
+        b, nq, nr, r, d, dc = 2, 4, 5, NUM_REGIONS, 8, 6
+        qf = rng.randn(b, nq, r, d).astype(np.float32)
+        rf = rng.randn(b, nr, r, d).astype(np.float32)
+        qc = rng.randn(b, nq, dc).astype(np.float32)
+        rc = rng.randn(b, nr, dc).astype(np.float32)
+        bias = 0.5
+        got = np.asarray(
+            _fused_fine_coarse_sims(
+                jnp.asarray(qf), jnp.asarray(rf), jnp.asarray(qc),
+                jnp.asarray(rc), jnp.float32(bias), symmetric=True,
+            )
+        )
+        # Reference formula (vsc/baseline/dns_baseline.py:138-163).
+        for i in range(b):
+            prods = np.einsum("qad,ncd->qnac", qf[i], rf[i])
+            fg = prods.max(axis=3).mean(axis=2)
+            fg_t = prods.max(axis=2).mean(axis=2)
+            sim = (fg + fg_t) / 2.0
+            sim = sim / 2.0 + 0.5
+            cg = qc[i] @ rc[i].T + bias
+            expect = np.sqrt(sim.clip(1e-7) * cg.clip(1e-7))
+            np.testing.assert_allclose(got[i], expect, rtol=1e-4, atol=1e-5)
+
+
+class TestDnSLocalization:
+    def test_planted_copy(self):
+        rng = np.random.RandomState(7)
+        nq, nr = 40, 50
+
+        def unit_regions(n):
+            x = rng.normal(size=(n, NUM_REGIONS, REDUCED_DIM)).astype(np.float32)
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        q_fine = unit_regions(nq)
+        r_fine = unit_regions(nr)
+        q_fine[10:22] = r_fine[5:17]  # planted copy
+
+        def coarse_from(fine):
+            pooled = fine.mean(axis=1)
+            return pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+        queries_fine = {"Q000001": vf("Q000001", q_fine.reshape(nq, -1))}
+        refs_fine = {"R000002": vf("R000002", r_fine.reshape(nr, -1))}
+        queries_coarse = [vf("Q000001", coarse_from(q_fine))]
+        refs_coarse = [vf("R000002", coarse_from(r_fine))]
+
+        loc = DnSLocalization(
+            queries_fine, refs_fine, queries_coarse, refs_coarse,
+            model_type="TN", tn_max_step=5, min_length=4, similarity_bias=0.5,
+        )
+        matches = loc.localize_all([CandidatePair("Q000001", "R000002", 1.0)])
+        assert len(matches) >= 1
+        m = max(matches, key=lambda x: x.score)
+        assert m.query_start <= 11 and m.query_end >= 20
+        assert m.ref_start <= 6 and m.ref_end >= 15

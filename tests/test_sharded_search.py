@@ -1,0 +1,69 @@
+"""Sharded search must agree exactly with the single-device searcher
+(8 virtual CPU devices; SURVEY.md §4 multi-device test strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vsc2022_tpu.ops.similarity import SimilaritySearcher
+from vsc2022_tpu.parallel import ShardedSimilaritySearcher, corpus_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return corpus_mesh(8)
+
+
+class TestShardedSearch:
+    @pytest.mark.parametrize("metric", ["IP", "L2"])
+    def test_matches_single_device(self, mesh, metric):
+        rng = np.random.RandomState(0)
+        q = rng.randint(-3, 4, size=(23, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(533, 16)).astype(np.float32)
+        single = SimilaritySearcher(r, metric=metric)
+        sharded = ShardedSimilaritySearcher(r, mesh, metric=metric)
+        for k in [1, 50, 700]:
+            sq, sr, ss = single.global_topk(q, k)
+            hq, hr, hs = sharded.global_topk(q, k)
+            np.testing.assert_array_equal(hq, sq)
+            np.testing.assert_array_equal(hr, sr)
+            np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+    def test_row_topk_matches(self, mesh):
+        rng = np.random.RandomState(1)
+        q = rng.randint(-3, 4, size=(11, 8)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(301, 8)).astype(np.float32)
+        single = SimilaritySearcher(r)
+        sharded = ShardedSimilaritySearcher(r, mesh)
+        ss, si = single.row_topk(q, 7)
+        hs, hi = sharded.row_topk(q, 7)
+        np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+    def test_saturation_fallback_sharded(self, mesh):
+        rng = np.random.RandomState(2)
+        q = rng.randint(-2, 3, size=(8, 16)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(1024, 16)).astype(np.float32)
+        hot = rng.randint(-2, 3, size=16).astype(np.float32)
+        q[3] = hot * 10
+        r[:512] += hot
+        single = SimilaritySearcher(r)
+        sharded = ShardedSimilaritySearcher(r, mesh)
+        k = 600
+        sq, sr, ss = single.global_topk(q, k, kappa=64)
+        hq, hr, hs = sharded.global_topk(q, k, kappa=64)
+        np.testing.assert_array_equal(hq, sq)
+        np.testing.assert_array_equal(hr, sr)
+
+    def test_corpus_smaller_than_mesh(self, mesh):
+        # Fewer corpus rows than devices: empty shards must be inert.
+        rng = np.random.RandomState(3)
+        q = rng.randint(-3, 4, size=(4, 8)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(5, 8)).astype(np.float32)
+        single = SimilaritySearcher(r)
+        sharded = ShardedSimilaritySearcher(r, mesh)
+        sq, sr, ss = single.global_topk(q, 10)
+        hq, hr, hs = sharded.global_topk(q, 10)
+        np.testing.assert_array_equal(hq, sq)
+        np.testing.assert_array_equal(hr, sr)

@@ -1,0 +1,91 @@
+"""Training-step tests: loss semantics and the sharded train step on a
+virtual multi-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vsc2022_tpu.models.sscd import SSCDModel
+from vsc2022_tpu.parallel.mesh import train_mesh
+from vsc2022_tpu.train import (
+    create_train_state,
+    make_train_step,
+    sscd_loss,
+)
+
+TINY = dict(stage_sizes=(1, 1, 1, 1), stage_features=(4, 8, 8, 16), dims=16)
+
+
+def l2n(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestLoss:
+    def test_aligned_views_lower_loss(self):
+        rng = np.random.RandomState(0)
+        a = l2n(rng.randn(16, 8)).astype(np.float32)
+        aligned = sscd_loss(jnp.asarray(a), jnp.asarray(a))
+        shuffled = sscd_loss(
+            jnp.asarray(a), jnp.asarray(np.roll(a, 1, axis=0))
+        )
+        assert float(aligned) < float(shuffled)
+
+    def test_finite(self):
+        rng = np.random.RandomState(1)
+        a = l2n(rng.randn(8, 8)).astype(np.float32)
+        b = l2n(rng.randn(8, 8)).astype(np.float32)
+        assert np.isfinite(float(sscd_loss(jnp.asarray(a), jnp.asarray(b))))
+
+
+class TestTrainStep:
+    def make_batch(self, rng, b=8, hw=32):
+        return {
+            "view_a": jnp.asarray(
+                rng.rand(b, hw, hw, 3).astype(np.float32)
+            ),
+            "view_b": jnp.asarray(
+                rng.rand(b, hw, hw, 3).astype(np.float32)
+            ),
+        }
+
+    def test_single_device_step(self):
+        model = SSCDModel(**TINY)
+        tx = optax.adamw(1e-3)
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, tx, input_shape=(1, 32, 32, 3)
+        )
+        step = make_train_step(model, tx)
+        rng = np.random.RandomState(0)
+        batch = self.make_batch(rng)
+        new_state, loss = step(state, batch)
+        assert np.isfinite(float(loss))
+        assert int(new_state.step) == 1
+        # Params actually changed.
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        new_leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+        assert not np.allclose(np.asarray(leaf), np.asarray(new_leaf))
+
+    def test_mesh_step_matches_single_device(self):
+        assert len(jax.devices()) >= 8
+        model = SSCDModel(**TINY)
+        tx = optax.adamw(1e-3)
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, tx, input_shape=(1, 32, 32, 3)
+        )
+        rng = np.random.RandomState(0)
+        batch = self.make_batch(rng)
+
+        single = make_train_step(model, tx)
+        _, loss_single = single(state, batch)
+
+        mesh = train_mesh(8)
+        assert mesh.shape == {"data": 4, "model": 2}
+        sharded = make_train_step(model, tx, mesh)
+        new_state, loss_sharded = sharded(state, batch)
+        np.testing.assert_allclose(
+            float(loss_sharded), float(loss_single), rtol=1e-4
+        )
+        assert int(new_state.step) == 1

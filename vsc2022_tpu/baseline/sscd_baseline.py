@@ -36,6 +36,10 @@ from vsc2022_tpu.retrieval.score_norm import (
 from vsc2022_tpu.storage import load_features, store_features
 from vsc2022_tpu.types import VideoFeature
 
+from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 logging.basicConfig(
     format="%(asctime)s %(levelname)-8s %(message)s",
     level=logging.INFO,

@@ -28,6 +28,10 @@ from functools import partial
 
 from vsc2022_tpu.inference.transforms import InferenceTransforms
 
+from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 logging.basicConfig(
     format="%(asctime)s %(levelname)-8s %(message)s",
     level=logging.INFO,

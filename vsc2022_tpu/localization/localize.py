@@ -156,6 +156,10 @@ class TNLocalization(LocalizationWithMetadata):
         )
         return sims, jnp.asarray(q_len), jnp.asarray(r_len)
 
+    # Overridable per subclass: fused DnS similarity needs ~11 live
+    # [B, NQ, NR] tensors, so it uses a smaller budget.
+    sim_element_budget = SIM_ELEMENT_BUDGET
+
     def localize_all(self, candidates: List[CandidatePair]) -> List[Match]:
         buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
         for idx, c in enumerate(candidates):
@@ -164,7 +168,7 @@ class TNLocalization(LocalizationWithMetadata):
 
         matches: List[Match] = []
         for (nq, nr), idxs in sorted(buckets.items()):
-            max_b = max(1, SIM_ELEMENT_BUDGET // (nq * nr))
+            max_b = max(1, self.sim_element_budget // (nq * nr))
             for chunk_start in range(0, len(idxs), max_b):
                 chunk = [
                     candidates[i] for i in idxs[chunk_start : chunk_start + max_b]

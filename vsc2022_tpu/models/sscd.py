@@ -17,15 +17,24 @@ from vsc2022_tpu.models.resnet import ResNet50, gem_pool
 
 class SSCDModel(nn.Module):
     """Frame descriptor model; input NHWC float images (ImageNet
-    normalized), output [N, dims] descriptors."""
+    normalized), output [N, dims] descriptors.
+
+    ``stage_sizes``/``stage_features`` default to ResNet-50; smaller
+    configurations are useful for tests and sharding dry-runs."""
 
     dims: int = 512
     gem_p: float = 3.0
     l2_normalize: bool = False  # reference strips L2Norm for score-norm
+    stage_sizes: tuple = (3, 4, 6, 3)
+    stage_features: tuple = (64, 128, 256, 512)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ResNet50(name="backbone")(x, train=train)
+        x = ResNet50(
+            stage_sizes=self.stage_sizes,
+            stage_features=self.stage_features,
+            name="backbone",
+        )(x, train=train)
         x = gem_pool(x, p=self.gem_p)
         x = nn.Dense(self.dims, name="project")(x)
         if self.l2_normalize:

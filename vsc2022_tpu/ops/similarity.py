@@ -34,9 +34,10 @@ import numpy as np
 
 NEG_INF = float("-inf")
 
-# Default tile sizes: MXU-aligned, sized so one [row, col] tile of f32
-# scores (~16 MB) plus operands stream comfortably through VMEM/HBM.
-DEFAULT_ROW_BLOCK = 4096
+# Default tile sizes: MXU-aligned. row_block bounds the [row, col] f32
+# score intermediate (16384×8192 = 512 MB HBM); large rows-per-dispatch
+# matters because every kernel dispatch pays host→device latency.
+DEFAULT_ROW_BLOCK = 16384
 DEFAULT_COL_BLOCK = 8192
 
 
@@ -51,10 +52,7 @@ def _pad_axis0(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("kappa", "col_block", "metric", "precision")
-)
-def _block_topk(
+def streaming_topk(
     q: jax.Array,  # [M, D] f32 (padded rows allowed; caller discards)
     refs: jax.Array,  # [N_pad, D] f32, padded with zero rows
     n_valid: jax.Array,  # scalar int32: number of valid ref rows
@@ -63,10 +61,16 @@ def _block_topk(
     col_block: int,
     metric: str,
     precision: str,
+    base: int | jax.Array = 0,  # global index offset (corpus sharding)
+    varying_axes: Tuple[str, ...] = (),  # mesh axes this shard varies over
+    approx: bool = False,  # use approx_max_k for block candidates
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-row top-κ of q·refsᵀ (goodness scale), streaming over ref blocks.
 
-    Returns (scores [M, κ] desc, indices [M, κ]).
+    Traceable (no jit) so it can run inside shard_map; ``base`` offsets
+    returned indices for corpus shards, and ``varying_axes`` marks the
+    scan carry as device-varying for shard_map's vma type check. Returns
+    (scores [M, κ] desc, global indices [M, κ]).
     """
     m = q.shape[0]
     n_pad = refs.shape[0]
@@ -86,9 +90,21 @@ def _block_topk(
             s = 2.0 * s - rs[None, :] - q_sq[:, None]
         col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1)
         s = jnp.where(col_ids < n_valid, s, NEG_INF)
+        col_ids = col_ids + base
 
         k_blk = min(kappa, col_block)
-        blk_s, blk_j = jax.lax.top_k(s, k_blk)
+        if k_blk == 1:
+            # Fast path for NN search: a max-reduce, no sort.
+            blk_s = jnp.max(s, axis=1, keepdims=True)
+            blk_j = jnp.argmax(s, axis=1)[:, None]
+        elif approx:
+            # TPU-accelerated approximate top-k (the MIPS primitive);
+            # exactness is restored by the caller's count-verify pass.
+            blk_s, blk_j = jax.lax.approx_max_k(
+                s, k_blk, recall_target=0.999
+            )
+        else:
+            blk_s, blk_j = jax.lax.top_k(s, k_blk)
         blk_i = jnp.take_along_axis(col_ids, blk_j, axis=1)
 
         merged_s = jnp.concatenate([top_s, blk_s], axis=1)
@@ -101,8 +117,62 @@ def _block_topk(
         jnp.full((m, kappa), NEG_INF, dtype=jnp.float32),
         jnp.zeros((m, kappa), dtype=jnp.int32),
     )
+    if varying_axes:
+        init = tuple(jax.lax.pvary(x, varying_axes) for x in init)
     (top_s, top_i), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
     return top_s, top_i
+
+
+_block_topk = jax.jit(
+    streaming_topk,
+    static_argnames=("kappa", "col_block", "metric", "precision", "approx"),
+)
+
+
+def streaming_count_above(
+    q: jax.Array,  # [M, D]
+    refs: jax.Array,  # [N_pad, D]
+    n_valid: jax.Array,
+    ref_sq: jax.Array,
+    tau: jax.Array,  # scalar f32 threshold (goodness scale)
+    col_block: int,
+    metric: str,
+    precision: str,
+    varying_axes: Tuple[str, ...] = (),
+) -> jax.Array:
+    """Exact per-row count of entries with goodness ≥ τ (streaming).
+
+    The exactness oracle for approximate candidate collection: a row
+    whose count exceeds its kept-candidates-above-τ count was truncated
+    (or the approx pass missed entries) and must be recomputed. One
+    matmul pass, no sorts."""
+    m = q.shape[0]
+    n_blocks = refs.shape[0] // col_block
+    prec = jax.lax.Precision(precision)
+    q_sq = jnp.sum(q * q, axis=1) if metric == "L2" else None
+
+    def body(counts, block_idx):
+        start = block_idx * col_block
+        r_blk = jax.lax.dynamic_slice_in_dim(refs, start, col_block, axis=0)
+        s = jnp.dot(q, r_blk.T, precision=prec, preferred_element_type=jnp.float32)
+        if metric == "L2":
+            rs = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
+            s = 2.0 * s - rs[None, :] - q_sq[:, None]
+        col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1)
+        above = (s >= tau) & (col_ids < n_valid)
+        return counts + jnp.sum(above, axis=1, dtype=jnp.int32), None
+
+    init = jnp.zeros((m,), dtype=jnp.int32)
+    if varying_axes:
+        init = jax.lax.pvary(init, varying_axes)
+    counts, _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    return counts
+
+
+_count_above = jax.jit(
+    streaming_count_above,
+    static_argnames=("col_block", "metric", "precision"),
+)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "precision"))
@@ -156,6 +226,50 @@ class SimilaritySearcher:
             self._ref_sq = jnp.zeros((n_pad,), dtype=jnp.float32)
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
+    def _stage_queries(self, queries: np.ndarray, block_rows: int) -> jax.Array:
+        """One host→device transfer of the (padded) query matrix; all
+        row blocks slice it on device. Transfers dominate on thin
+        host↔device links, so pay exactly one."""
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        return jnp.asarray(_pad_axis0(q, _ceil_to(max(q.shape[0], 1), block_rows)))
+
+    # ---- kernel entry points (overridden by the sharded searcher) ------
+
+    def _topk_kernel(self, block: np.ndarray, kappa: int, approx: bool = False):
+        return _block_topk(
+            jnp.asarray(block),
+            self._refs,
+            self._n_valid,
+            self._ref_sq,
+            kappa=kappa,
+            col_block=self.col_block,
+            metric=self.metric,
+            precision=self.precision,
+            approx=approx,
+        )
+
+    def _count_kernel(self, block: np.ndarray, tau: float):
+        return _count_above(
+            jnp.asarray(block),
+            self._refs,
+            self._n_valid,
+            self._ref_sq,
+            jnp.float32(tau),
+            col_block=self.col_block,
+            metric=self.metric,
+            precision=self.precision,
+        )
+
+    def _full_kernel(self, rows: np.ndarray):
+        return _full_rows(
+            jnp.asarray(rows),
+            self._refs,
+            self._n_valid,
+            self._ref_sq,
+            metric=self.metric,
+            precision=self.precision,
+        )
+
     # ---- per-row top-k -------------------------------------------------
 
     def row_topk(
@@ -168,22 +282,14 @@ class SimilaritySearcher:
         """
         k = min(k, self.n_refs)
         nq = queries.shape[0]
-        q = np.ascontiguousarray(queries, dtype=np.float32)
         block_rows = min(self.row_block, _ceil_to(nq, 8))
+        q_dev = self._stage_queries(queries, block_rows)
         out_s = np.empty((nq, k), dtype=np.float32)
         out_i = np.empty((nq, k), dtype=np.int64)
         for start in range(0, nq, block_rows):
             stop = min(start + block_rows, nq)
-            block = _pad_axis0(q[start:stop], block_rows)
-            s, i = _block_topk(
-                jnp.asarray(block),
-                self._refs,
-                self._n_valid,
-                self._ref_sq,
-                kappa=k,
-                col_block=self.col_block,
-                metric=self.metric,
-                precision=self.precision,
+            s, i = self._topk_kernel(
+                jax.lax.dynamic_slice_in_dim(q_dev, start, block_rows), k
             )
             out_s[start:stop] = np.asarray(s)[: stop - start]
             out_i[start:stop] = np.asarray(i)[: stop - start]
@@ -200,14 +306,26 @@ class SimilaritySearcher:
     # ---- global top-k --------------------------------------------------
 
     def global_topk(
-        self, queries: np.ndarray, k: int, kappa: Optional[int] = None
+        self,
+        queries: np.ndarray,
+        k: int,
+        kappa: Optional[int] = None,
+        approx_candidates: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact global top-k over all (query row, ref row) pairs.
 
+        Candidate collection uses the TPU-accelerated approximate top-k
+        primitive by default; exactness is restored by a count-verify
+        pass (for every row, an exact streaming count of entries ≥ the
+        global k-th score is compared against the candidates held — any
+        shortfall triggers an exact recompute of that row). The result
+        therefore reproduces the adaptive-radius global search exactly
+        (reference: vsc/index.py:142-165) regardless of candidate
+        recall.
+
         Returns (query_idx, ref_idx, score) sorted by score best-first
         (ties: by (query_idx, ref_idx) for determinism); L2 scores are
-        squared distances. Reproduces the adaptive-radius global search
-        result (reference: vsc/index.py:142-165).
+        squared distances.
         """
         nq = queries.shape[0]
         total = nq * self.n_refs
@@ -222,23 +340,14 @@ class SimilaritySearcher:
             kappa = 1 << (kappa - 1).bit_length()  # next power of two
         kappa = min(kappa, self.n_refs)
 
-        q = np.ascontiguousarray(queries, dtype=np.float32)
         block_rows = min(self.row_block, _ceil_to(nq, 8))
+        q_dev = self._stage_queries(queries, block_rows)
         all_s = np.empty((nq, kappa), dtype=np.float32)
         all_i = np.empty((nq, kappa), dtype=np.int64)
         for start in range(0, nq, block_rows):
             stop = min(start + block_rows, nq)
-            block = _pad_axis0(q[start:stop], block_rows)
-            s, i = _block_topk(
-                jnp.asarray(block),
-                self._refs,
-                self._n_valid,
-                self._ref_sq,
-                kappa=kappa,
-                col_block=self.col_block,
-                metric=self.metric,
-                precision=self.precision,
-            )
+            block = jax.lax.dynamic_slice_in_dim(q_dev, start, block_rows)
+            s, i = self._topk_kernel(block, kappa, approx=approx_candidates)
             all_s[start:stop] = np.asarray(s)[: stop - start]
             all_i[start:stop] = np.asarray(i)[: stop - start]
 
@@ -247,38 +356,46 @@ class SimilaritySearcher:
         flat_r = all_i.ravel()
 
         k_eff = min(k, total)
-        if kappa < self.n_refs:
-            # Global threshold τ = k-th best among survivors (−inf when
+        if kappa < self.n_refs or approx_candidates:
+            # Global threshold τ = k-th best among candidates (−inf when
             # fewer than k were collected: then every row may be missing
             # entries and must be recomputed).
             if flat_s.size >= k_eff:
                 tau = np.partition(flat_s, flat_s.size - k_eff)[flat_s.size - k_eff]
             else:
                 tau = NEG_INF
-            # A row may be truncated iff its worst kept entry is still ≥ τ
-            # (then unseen entries of that row could also be ≥ τ).
-            saturated = np.where(all_s[:, -1] >= tau)[0]
+            # Exact verification: recompute any row holding fewer
+            # candidates ≥ τ than its true count ≥ τ.
+            kept_counts = (all_s >= tau).sum(axis=1)
+            true_counts = np.empty(nq, dtype=np.int64)
+            for start in range(0, nq, block_rows):
+                stop = min(start + block_rows, nq)
+                block = jax.lax.dynamic_slice_in_dim(q_dev, start, block_rows)
+                counts = np.asarray(self._count_kernel(block, tau))
+                true_counts[start:stop] = counts[: stop - start]
+            saturated = np.where(true_counts > kept_counts)[0]
             if saturated.size:
+                # Exact recompute of deficient rows with a top-κ′ big
+                # enough for every entry ≥ τ (compact [S, κ′] transfer,
+                # not full score rows).
+                kappa2 = int(true_counts[saturated].max())
+                kappa2 = min(self.n_refs, 1 << (kappa2 - 1).bit_length())
                 keep_mask = ~np.isin(flat_q, saturated)
                 parts_s = [flat_s[keep_mask]]
                 parts_q = [flat_q[keep_mask]]
                 parts_r = [flat_r[keep_mask]]
-                for start in range(0, saturated.size, self.row_block):
-                    rows = saturated[start : start + self.row_block]
-                    full = np.asarray(
-                        _full_rows(
-                            jnp.asarray(q[rows]),
-                            self._refs,
-                            self._n_valid,
-                            self._ref_sq,
-                            metric=self.metric,
-                            precision=self.precision,
-                        )
-                    )
-                    sq, sr = np.nonzero(full >= tau)
-                    parts_s.append(full[sq, sr])
+                fix_rows = min(self.row_block, _ceil_to(saturated.size, 8))
+                q_host = np.ascontiguousarray(queries, dtype=np.float32)
+                for start in range(0, saturated.size, fix_rows):
+                    rows = saturated[start : start + fix_rows]
+                    block = _pad_axis0(q_host[rows], fix_rows)
+                    s, i = self._topk_kernel(block, kappa2, approx=False)
+                    s = np.asarray(s)[: rows.size]
+                    i = np.asarray(i)[: rows.size]
+                    sq, sr = np.nonzero(s >= tau)
+                    parts_s.append(s[sq, sr])
                     parts_q.append(rows[sq])
-                    parts_r.append(sr.astype(np.int64))
+                    parts_r.append(i[sq, sr].astype(np.int64))
                 flat_s = np.concatenate(parts_s)
                 flat_q = np.concatenate(parts_q)
                 flat_r = np.concatenate(parts_r)

@@ -1,0 +1,187 @@
+"""Corpus-sharded brute-force search over a device mesh.
+
+The TPU analog of FAISS multi-GPU — but sharding the *reference corpus*
+instead of replicating it (reference replicates via
+``index_cpu_to_all_gpus``; vsc/index.py:169-171): each device holds
+1/n of the reference descriptors in HBM, computes its local per-row
+top-κ with the same streaming matmul kernel, and partial results merge
+over ICI with one all-gather + top-k. Queries are replicated (they are
+small relative to the corpus). Corpus capacity and matmul throughput
+both scale linearly with devices; the merge traffic is O(M·κ·n_dev),
+independent of corpus size.
+
+Exactness: per-shard top-κ ⊇ each shard's contribution to the full
+top-κ, so the merged top-κ equals the single-device result and the host
+global-k logic (threshold + saturation fallback) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vsc2022_tpu.ops.similarity import (
+    NEG_INF,
+    SimilaritySearcher,
+    _ceil_to,
+    _pad_axis0,
+    streaming_count_above,
+    streaming_topk,
+)
+
+
+class ShardedSimilaritySearcher(SimilaritySearcher):
+    """Drop-in SimilaritySearcher over a 1-D corpus mesh."""
+
+    def __init__(
+        self,
+        refs: np.ndarray,
+        mesh: Mesh,
+        metric: str = "IP",
+        precision: str = "highest",
+        row_block: int = 4096,
+        col_block: int = 8192,
+    ):
+        assert metric in ("IP", "L2"), metric
+        assert len(mesh.axis_names) == 1, "corpus mesh must be 1-D"
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_dev = mesh.devices.size
+        self.metric = metric
+        self.precision = precision
+        self.n_refs = refs.shape[0]
+        self.dim = refs.shape[1]
+        self.row_block = row_block
+
+        # Shard size: multiple of col_block so each shard streams evenly.
+        per_dev = _ceil_to(max(self.n_refs, 1), self.n_dev) // self.n_dev
+        self.col_block = min(col_block, _ceil_to(per_dev, 128))
+        self.shard_rows = _ceil_to(per_dev, self.col_block)
+        n_pad = self.shard_rows * self.n_dev
+
+        refs_f32 = _pad_axis0(
+            np.ascontiguousarray(refs, dtype=np.float32), n_pad
+        )
+        sharding = NamedSharding(self.mesh, P(self.axis, None))
+        self._refs = jax.device_put(jnp.asarray(refs_f32), sharding)
+        ref_sq = (
+            jnp.sum(self._refs * self._refs, axis=1)
+            if metric == "L2"
+            else jnp.zeros((n_pad,), dtype=jnp.float32)
+        )
+        self._ref_sq = jax.device_put(ref_sq, NamedSharding(self.mesh, P(self.axis)))
+        self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
+        self._topk_fns = {}
+        self._full_fns = {}
+
+    # -- kernels ---------------------------------------------------------
+
+    def _build_topk(self, kappa: int, approx: bool):
+        axis, shard_rows = self.axis, self.shard_rows
+        col_block, metric, precision = self.col_block, self.metric, self.precision
+        local_kappa = min(kappa, shard_rows)
+
+        def local_fn(q, refs_local, ref_sq_local, n_valid):
+            base = jax.lax.axis_index(axis) * shard_rows
+            local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+            top_s, top_i = streaming_topk(
+                q, refs_local, local_valid, ref_sq_local,
+                kappa=local_kappa, col_block=col_block, metric=metric,
+                precision=precision, base=base, varying_axes=(axis,),
+                approx=approx,
+            )
+            # Merge partials over ICI: [n_dev, M, κ] → per-row top-κ.
+            all_s = jax.lax.all_gather(top_s, axis)
+            all_i = jax.lax.all_gather(top_i, axis)
+            m = q.shape[0]
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(m, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(m, -1)
+            merged_s, sel = jax.lax.top_k(all_s, min(kappa, all_s.shape[1]))
+            merged_i = jnp.take_along_axis(all_i, sel, axis=1)
+            return merged_s, merged_i
+
+        fn = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis, None), P(self.axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_full(self):
+        axis, shard_rows = self.axis, self.shard_rows
+        metric, precision = self.metric, self.precision
+
+        def local_fn(q, refs_local, ref_sq_local, n_valid):
+            prec = jax.lax.Precision(precision)
+            s = jnp.dot(q, refs_local.T, precision=prec,
+                        preferred_element_type=jnp.float32)
+            if metric == "L2":
+                q_sq = jnp.sum(q * q, axis=1)
+                s = 2.0 * s - ref_sq_local[None, :] - q_sq[:, None]
+            base = jax.lax.axis_index(axis) * shard_rows
+            col_ids = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col_ids < n_valid, s, NEG_INF)
+            gathered = jax.lax.all_gather(s, axis)  # [n_dev, S, shard]
+            return jnp.moveaxis(gathered, 0, 1).reshape(q.shape[0], -1)
+
+        fn = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis, None), P(self.axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_count(self):
+        axis, shard_rows = self.axis, self.shard_rows
+        col_block, metric, precision = self.col_block, self.metric, self.precision
+
+        def local_fn(q, refs_local, ref_sq_local, n_valid, tau):
+            base = jax.lax.axis_index(axis) * shard_rows
+            local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+            counts = streaming_count_above(
+                q, refs_local, local_valid, ref_sq_local, tau,
+                col_block=col_block, metric=metric, precision=precision,
+                varying_axes=(axis,),
+            )
+            return jax.lax.psum(counts, axis)
+
+        fn = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis, None), P(self.axis), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    # -- SimilaritySearcher kernel overrides -----------------------------
+
+    def _topk_kernel(self, block: np.ndarray, kappa: int, approx: bool = False):
+        key = (kappa, approx)
+        if key not in self._topk_fns:
+            self._topk_fns[key] = self._build_topk(kappa, approx)
+        return self._topk_fns[key](
+            jnp.asarray(block), self._refs, self._ref_sq, self._n_valid
+        )
+
+    def _count_kernel(self, block: np.ndarray, tau: float):
+        if "count" not in self._full_fns:
+            self._full_fns["count"] = self._build_count()
+        return self._full_fns["count"](
+            jnp.asarray(block), self._refs, self._ref_sq, self._n_valid,
+            jnp.float32(tau),
+        )
+
+    def _full_kernel(self, rows: np.ndarray):
+        if "fn" not in self._full_fns:
+            self._full_fns["fn"] = self._build_full()
+        return self._full_fns["fn"](
+            jnp.asarray(rows), self._refs, self._ref_sq, self._n_valid
+        )

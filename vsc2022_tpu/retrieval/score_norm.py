@@ -82,10 +82,21 @@ def score_normalize(
     noise_corpus = np.concatenate([ref.feature for ref in score_norm_refs], axis=0)
     searcher = SimilaritySearcher(noise_corpus.astype(np.float32))
 
-    # One fused pass per query video: nearest-noise similarity per frame.
+    # One fused pass over ALL query frames: nearest-noise similarity
+    # (the reference loops a FAISS search per video;
+    # vsc/baseline/score_normalization.py:93-99 — batching avoids
+    # per-video dispatch/transfer latency).
+    all_query_frames = np.concatenate(
+        [q.feature for q in queries], axis=0
+    ).astype(np.float32)
+    all_similarity = searcher.row_nn(all_query_frames)
+
     adapted_queries = []
+    offset = 0
     for query in queries:
-        similarity = searcher.row_nn(query.feature.astype(np.float32))
+        n = len(query)
+        similarity = all_similarity[offset : offset + n]
+        offset += n
         norm_term = (-beta * similarity)[:, None].astype(query.feature.dtype)
         feature = np.concatenate([query.feature, norm_term], axis=1)
         adapted_queries.append(dataclasses.replace(query, feature=feature))
