@@ -324,6 +324,62 @@ class VideoPair:
         return intersect_deltas, total_deltas
 
 
+def _match_metric_native(
+    gts: Collection[Match], predictions: Collection[Match]
+) -> Optional[AveragePrecision]:
+    """C++ fast path for match_metric (identical semantics; see
+    vsc2022_tpu/native/match_metric.cpp). Returns None when the native
+    library is unavailable."""
+    from vsc2022_tpu.native import get_library
+
+    lib = get_library()
+    if lib is None:
+        return None
+    import ctypes
+
+    predictions = sorted(predictions, key=lambda x: x.score, reverse=True)
+    pair_ids: Dict[Tuple[str, str], int] = {}
+
+    def pair_idx(m: Match) -> int:
+        return pair_ids.setdefault(m.pair_id(), len(pair_ids))
+
+    gt_pair = np.array([pair_idx(g) for g in gts], dtype=np.int64)
+    pred_pair = np.array([pair_idx(p) for p in predictions], dtype=np.int64)
+    gt_boxes = np.array(
+        [[g.query_start, g.query_end, g.ref_start, g.ref_end] for g in gts],
+        dtype=np.float64,
+    ).reshape(-1, 4)
+    pred_boxes = np.array(
+        [[p.query_start, p.query_end, p.ref_start, p.ref_end] for p in predictions],
+        dtype=np.float64,
+    ).reshape(-1, 4)
+    pred_scores = np.array([p.score for p in predictions], dtype=np.float64)
+
+    n_pred = len(predictions)
+    out_metric = np.zeros(1, dtype=np.float64)
+    out_recalls = np.empty(n_pred, dtype=np.float64)
+    out_precisions = np.empty(n_pred, dtype=np.float64)
+    out_scores = np.empty(n_pred, dtype=np.float64)
+    out_n = np.zeros(1, dtype=np.int64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.vsc_match_metric(
+        len(gts), ptr(gt_pair), ptr(gt_boxes),
+        n_pred, ptr(pred_pair), ptr(pred_boxes), ptr(pred_scores),
+        len(pair_ids), ptr(out_metric),
+        ptr(out_recalls), ptr(out_precisions), ptr(out_scores), ptr(out_n),
+    )
+    if rc != 0:
+        raise ZeroDivisionError("float division by zero")
+    n = int(out_n[0])
+    curve = PrecisionRecallCurve(
+        out_precisions[:n].copy(), out_recalls[:n].copy(), out_scores[:n].copy()
+    )
+    return AveragePrecision(float(out_metric[0]), curve)
+
+
 def match_metric(
     gts: Collection[Match],
     predictions: Collection[Match],
@@ -332,8 +388,15 @@ def match_metric(
 
     AP = Σ P(i) ΔR(i) with P = √(P_q·P_r), R = √(R_q·R_r); predictions
     visited in descending score order, score ties applied as one group
-    (reference: vsc/metrics.py:304-378).
+    (reference: vsc/metrics.py:304-378). Runs the C++ core when
+    available (vsc2022_tpu/native); the Python path below is the
+    reference semantics and the fallback.
     """
+    if gts and predictions:
+        native = _match_metric_native(gts, predictions)
+        if native is not None:
+            return native
+
     predictions = sorted(predictions, key=lambda x: x.score, reverse=True)
 
     video_pairs: Dict[Tuple[str, str], VideoPair] = collections.defaultdict(VideoPair)

@@ -299,7 +299,33 @@ class SimilaritySearcher:
 
     def row_nn(self, queries: np.ndarray) -> np.ndarray:
         """Best score per row (k=1), e.g. for score normalization
-        (reference: vsc/baseline/score_normalization.py:96)."""
+        (reference: vsc/baseline/score_normalization.py:96).
+
+        With VSC2022_TPU_USE_PALLAS=1 on a TPU backend, routes through
+        the fused Pallas matmul+row-max kernel (no HBM score
+        materialization; see ops/pallas_kernels.py for caveats)."""
+        import os
+
+        if (
+            os.environ.get("VSC2022_TPU_USE_PALLAS") == "1"
+            and self.metric == "IP"
+            and jax.default_backend() == "tpu"
+            and type(self) is SimilaritySearcher
+        ):
+            from vsc2022_tpu.ops.pallas_kernels import (
+                COL_TILE,
+                ROW_TILE,
+                fused_row_max,
+            )
+
+            nq = queries.shape[0]
+            q = self._stage_queries(queries, ROW_TILE)
+            n_pad = _ceil_to(self._refs.shape[0], COL_TILE)
+            refs = self._refs
+            if n_pad != refs.shape[0]:
+                pad = jnp.zeros((n_pad - refs.shape[0], self.dim), jnp.float32)
+                refs = jnp.concatenate([refs, pad], axis=0)
+            return np.asarray(fused_row_max(q, refs, self._n_valid))[:nq]
         s, _ = self.row_topk(queries, 1)
         return s[:, 0]
 
