@@ -48,19 +48,14 @@ def make_data(rng):
 
 def tpu_build(r, noise):
     """One-time index staging (the FAISS index-build analog)."""
-    from vsc2022_tpu.ops.similarity import SimilaritySearcher
+    from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
 
-    noise_searcher = SimilaritySearcher(noise, precision="default")
-    r_sn = np.concatenate([r, np.ones((r.shape[0], 1), np.float32)], axis=1)
-    searcher = SimilaritySearcher(r_sn, precision="default")
-    return noise_searcher, searcher
+    return ScoreNormalizedSearcher(r, noise, beta=1.2, precision="default")
 
 
-def tpu_pipeline(q, noise_searcher, searcher):
-    """Query-side work: score-norm bias + global top-k."""
-    bias = -1.2 * noise_searcher.row_nn(q)
-    q_sn = np.concatenate([q, bias[:, None]], axis=1)
-    return searcher.global_topk(q_sn, GLOBAL_K)
+def tpu_pipeline(q, searcher):
+    """Query-side work: fused device-resident score-norm + global top-k."""
+    return searcher.global_topk(q, GLOBAL_K)
 
 
 def cpu_pipeline(q, r, noise):
@@ -97,17 +92,22 @@ def main():
     rng = np.random.default_rng(0)
     q, r, noise = make_data(rng)
 
-    # TPU: stage index once, warmup (compile), then timed query runs.
-    noise_searcher, searcher = tpu_build(r, noise)
-    tpu_pipeline(q, noise_searcher, searcher)
-    t0 = time.perf_counter()
-    qi, ri, scores = tpu_pipeline(q, noise_searcher, searcher)
-    tpu_time = time.perf_counter() - t0
+    # TPU: stage index once, warmup (compile), then best-of-3 timed
+    # query runs (the host link adds run-to-run jitter).
+    searcher = tpu_build(r, noise)
+    tpu_pipeline(q, searcher)
+    tpu_time = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        qi, ri, scores = tpu_pipeline(q, searcher)
+        tpu_time = min(tpu_time, time.perf_counter() - t0)
     tpu_qps = N_QUERY_VIDEOS / tpu_time
 
-    t0 = time.perf_counter()
-    cqi, cri, cscores = cpu_pipeline(q, r, noise)
-    cpu_time = time.perf_counter() - t0
+    cpu_time = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cqi, cri, cscores = cpu_pipeline(q, r, noise)
+        cpu_time = min(cpu_time, time.perf_counter() - t0)
     cpu_qps = N_QUERY_VIDEOS / cpu_time
 
     # Sanity: both paths must retrieve (near-)identical result sets.

@@ -164,3 +164,25 @@ class TestCandidateGeneration:
             CandidatePair(query_id=1, ref_id=8, score=1.0),
             CandidatePair(query_id=1, ref_id=10, score=0.25),
         ]
+
+
+class TestScoreNormalizedSearcher:
+    def test_fused_matches_unfused(self):
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(9)
+        q = rng.randint(-3, 4, size=(17, 12)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(120, 12)).astype(np.float32)
+        noise = rng.randint(-3, 4, size=(64, 12)).astype(np.float32)
+
+        fused = ScoreNormalizedSearcher(r, noise, beta=1.2)
+        fqi, fri, fs = fused.global_topk(q, 50)
+
+        bias = -1.2 * SimilaritySearcher(noise).row_nn(q)
+        q_sn = np.concatenate([q, bias[:, None]], axis=1)
+        r_sn = np.concatenate([r, np.ones((120, 1), np.float32)], axis=1)
+        uqi, uri, us = SimilaritySearcher(r_sn).global_topk(q_sn, 50)
+
+        np.testing.assert_array_equal(fqi, uqi)
+        np.testing.assert_array_equal(fri, uri)
+        np.testing.assert_allclose(fs, us, rtol=1e-6)

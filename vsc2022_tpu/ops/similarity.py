@@ -226,12 +226,18 @@ class SimilaritySearcher:
             self._ref_sq = jnp.zeros((n_pad,), dtype=jnp.float32)
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
-    def _stage_queries(self, queries: np.ndarray, block_rows: int) -> jax.Array:
+    def _stage_queries(self, queries, block_rows: int) -> jax.Array:
         """One host→device transfer of the (padded) query matrix; all
         row blocks slice it on device. Transfers dominate on thin
-        host↔device links, so pay exactly one."""
+        host↔device links, so pay exactly one. Device arrays pass
+        through (pad on device) — zero transfers for fused pipelines."""
+        n_pad = _ceil_to(max(queries.shape[0], 1), block_rows)
+        if isinstance(queries, jax.Array):
+            if queries.shape[0] == n_pad:
+                return queries
+            return jnp.pad(queries, ((0, n_pad - queries.shape[0]), (0, 0)))
         q = np.ascontiguousarray(queries, dtype=np.float32)
-        return jnp.asarray(_pad_axis0(q, _ceil_to(max(q.shape[0], 1), block_rows)))
+        return jnp.asarray(_pad_axis0(q, n_pad))
 
     # ---- kernel entry points (overridden by the sharded searcher) ------
 
@@ -329,6 +335,18 @@ class SimilaritySearcher:
         s, _ = self.row_topk(queries, 1)
         return s[:, 0]
 
+    def row_nn_device(self, q_dev: jax.Array) -> jax.Array:
+        """Device-resident row_nn: input and output stay on device (for
+        fused pipelines like score-norm → search). q_dev rows must be a
+        multiple of row_block (use _stage_queries)."""
+        parts = []
+        for start in range(0, q_dev.shape[0], self.row_block):
+            rows = min(self.row_block, q_dev.shape[0] - start)
+            block = jax.lax.dynamic_slice_in_dim(q_dev, start, rows)
+            s, _ = self._topk_kernel(block, 1)
+            parts.append(s[:, 0])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
     # ---- global top-k --------------------------------------------------
 
     def global_topk(
@@ -362,7 +380,10 @@ class SimilaritySearcher:
                 np.empty(0, dtype=np.float32),
             )
         if kappa is None:
-            kappa = max(64, 4 * math.ceil(k / max(nq, 1)))
+            # ~2× the average per-row need: device→host candidate
+            # traffic is proportional to κ, and the count-verify pass
+            # repairs any under-collection exactly.
+            kappa = max(32, 2 * math.ceil(k / max(nq, 1)))
             kappa = 1 << (kappa - 1).bit_length()  # next power of two
         kappa = min(kappa, self.n_refs)
 

@@ -1,0 +1,65 @@
+"""Fused score-normalized search: the production query path.
+
+The reference runs score normalization and retrieval as separate FAISS
+stages with host round-trips between them (reference:
+vsc/baseline/score_normalization.py:86-105 then vsc/index.py:142-165).
+Here the query-side work is one device-resident pipeline: queries are
+staged to HBM once; the noise-NN bias is computed (fused row-max),
+appended as the extra CSLS dimension on device, and fed straight into
+the global top-k — no intermediate host transfers. References get
+their constant-1 dimension once at index build.
+
+Use this when descriptors are already normalized/prepared; the
+list-of-VideoFeature pipeline (retrieval.score_norm.score_normalize)
+remains the npz-compatible general path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsc2022_tpu.ops.similarity import SimilaritySearcher
+
+
+class ScoreNormalizedSearcher:
+    """Flat-array score-norm + global-top-k searcher."""
+
+    def __init__(
+        self,
+        refs: np.ndarray,  # [N, D] reference frame descriptors
+        noise: np.ndarray,  # [Nn, D] independent noise corpus
+        beta: float = 1.2,
+        precision: str = "highest",
+    ):
+        self.beta = beta
+        r_sn = np.concatenate(
+            [refs, np.ones((refs.shape[0], 1), refs.dtype)], axis=1
+        ).astype(np.float32)
+        self.searcher = SimilaritySearcher(r_sn, precision=precision)
+        self.noise_searcher = SimilaritySearcher(
+            np.ascontiguousarray(noise, dtype=np.float32), precision=precision
+        )
+
+    def normalize_queries(self, queries: np.ndarray) -> jax.Array:
+        """Stage queries and append the −β·NN-similarity bias dimension,
+        entirely on device."""
+        nq = queries.shape[0]
+        q_dev = self.noise_searcher._stage_queries(
+            queries, self.noise_searcher.row_block
+        )
+        bias = self.noise_searcher.row_nn_device(q_dev)
+        q_sn = jnp.concatenate(
+            [q_dev, (-self.beta * bias)[:, None]], axis=1
+        )
+        return q_sn[:nq]
+
+    def global_topk(
+        self, queries: np.ndarray, k: int, kappa: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.searcher.global_topk(
+            self.normalize_queries(queries), k, kappa=kappa
+        )

@@ -36,16 +36,19 @@ def store_features(
 
 
 def same_value_ranges(values) -> Iterator[Tuple[str, int, int]]:
-    """Yield (value, start, end) for contiguous runs of equal values."""
-    start = 0
-    value = values[start]
-    for i, v in enumerate(values):
-        if v == value:
-            continue
-        yield value, start, i
-        start = i
-        value = values[start]
-    yield value, start, len(values)
+    """Yield (value, start, end) for contiguous runs of equal values.
+
+    Vectorized run-length detection (the reference walks element by
+    element in Python; vsc/storage.py:28-39 — noticeable on
+    million-frame corpora)."""
+    arr = np.asarray(values)
+    if arr.shape[0] == 0:
+        return
+    boundaries = np.flatnonzero(arr[1:] != arr[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [arr.shape[0]]])
+    for start, end in zip(starts.tolist(), ends.tolist()):
+        yield arr[start], start, end
 
 
 def load_features(f, dataset: Optional[Dataset] = None) -> List[VideoFeature]:
