@@ -167,3 +167,69 @@ class TestTNLocalization:
         queries, refs = make_planted_case(rng)
         with pytest.raises(ValueError):
             TNLocalizationMaxSim(queries, refs, "DTW")
+
+
+class TestTNSpeedChange:
+    """Speed-changed copies produce non-unit-slope diagonals; TN's
+    step window (max_step=5) must still chain them."""
+
+    def run_align(self, sim, params=TNParams()):
+        sims = jnp.asarray(sim[None], dtype=jnp.float32)
+        q_len = jnp.asarray([sim.shape[0]], dtype=jnp.int32)
+        r_len = jnp.asarray([sim.shape[1]], dtype=jnp.int32)
+        boxes, valid, scores = tn_align(sims, q_len, r_len, params)
+        return np.asarray(boxes[0]), np.asarray(valid[0])
+
+    def test_double_speed_copy(self):
+        # Ref plays at 2x inside the query: q frame t matches r frame 2t.
+        sim = np.zeros((64, 96), dtype=np.float32)
+        for t in range(12):
+            sim[10 + t, 20 + 2 * t] = 0.9
+        boxes, valid = self.run_align(sim)
+        assert valid[0]
+        x1, y1, x2, y2 = boxes[0]
+        assert x1 == 10 and x2 == 21
+        assert y1 == 20 and y2 == 42
+
+    def test_half_speed_copy(self):
+        sim = np.zeros((96, 64), dtype=np.float32)
+        for t in range(12):
+            sim[10 + 2 * t, 20 + t] = 0.9
+        boxes, valid = self.run_align(sim)
+        assert valid[0]
+        x1, y1, x2, y2 = boxes[0]
+        assert x1 == 10 and x2 == 32
+        assert y1 == 20 and y2 == 31
+
+    def test_slope_beyond_max_step_not_chained(self):
+        # 8x speed: steps of 8 exceed max_step=5 → no segment of
+        # length >= min_length can form.
+        sim = np.zeros((32, 128), dtype=np.float32)
+        for t in range(8):
+            sim[4 + t, 8 * t] = 0.9
+        _, valid = self.run_align(sim)
+        assert not valid.any()
+
+    def test_noisy_planted_copy_features(self):
+        # End-to-end: features with additive noise, 1.5x speed ratio.
+        rng = np.random.RandomState(3)
+        d = 64
+
+        def l2n(x):
+            return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+        ref = l2n(rng.normal(size=(60, d))).astype(np.float32)
+        query = l2n(rng.normal(size=(48, d))).astype(np.float32)
+        # Query frames 12..27 copy ref frames 20..44 at ~1.5x speed.
+        for i in range(16):
+            src = 20 + int(round(1.5 * i))
+            noisy = ref[src] + 0.15 * rng.normal(size=d).astype(np.float32)
+            query[12 + i] = noisy / np.linalg.norm(noisy)
+        queries = [make_feature(1, query)]
+        refs = [make_feature(2, ref)]
+        loc = TNLocalizationMaxSim(queries, refs, "TN")
+        matches = loc.localize_all([CandidatePair(1, 2, 1.0)])
+        assert len(matches) >= 1
+        m = max(matches, key=lambda x: x.score)
+        assert m.query_start <= 14 and m.query_end >= 25
+        assert m.ref_start <= 23 and m.ref_end >= 40

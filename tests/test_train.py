@@ -89,3 +89,27 @@ class TestTrainStep:
             float(loss_sharded), float(loss_single), rtol=1e-4
         )
         assert int(new_state.step) == 1
+
+
+class TestAugment:
+    def test_two_views_shapes_and_range(self):
+        from vsc2022_tpu.train.augment import two_views
+
+        rng = np.random.RandomState(0)
+        frames = (rng.rand(4, 48, 64, 3) * 255).astype(np.uint8)
+        a, b = two_views(jax.random.PRNGKey(0), jnp.asarray(frames), out_hw=32)
+        assert a.shape == (4, 32, 32, 3)
+        assert b.shape == (4, 32, 32, 3)
+        # Views differ (random augmentation) and are finite.
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        assert np.isfinite(np.asarray(a)).all()
+
+    def test_deterministic_given_key(self):
+        from vsc2022_tpu.train.augment import two_views
+
+        rng = np.random.RandomState(1)
+        frames = (rng.rand(2, 40, 40, 3) * 255).astype(np.uint8)
+        a1, b1 = two_views(jax.random.PRNGKey(7), jnp.asarray(frames), out_hw=24)
+        a2, b2 = two_views(jax.random.PRNGKey(7), jnp.asarray(frames), out_hw=24)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))

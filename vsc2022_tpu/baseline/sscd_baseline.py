@@ -69,6 +69,10 @@ parser.add_argument(
 parser.add_argument(
     "--overwrite", help="Overwrite prediction files, if found.", action="store_true"
 )
+parser.add_argument(
+    "--profile_dir", help="Write a JAX profiler trace of the matching run.",
+    type=str, default=None,
+)
 
 
 def search(
@@ -180,9 +184,13 @@ def main(args):
         os.makedirs(args.output_path, exist_ok=True)
         store_features(os.path.join(args.output_path, "sn_queries.npz"), queries)
         store_features(os.path.join(args.output_path, "sn_refs.npz"), refs)
-    candidate_file, match_file = match(
-        queries, refs, args.output_path, score_normalization=score_normalization
-    )
+    from vsc2022_tpu.utils.profiling import maybe_profile
+
+    with maybe_profile(args.profile_dir):
+        candidate_file, match_file = match(
+            queries, refs, args.output_path,
+            score_normalization=score_normalization,
+        )
 
     if not args.ground_truth:
         return

@@ -84,6 +84,10 @@ inference_parser.add_argument(
 inference_parser.add_argument("--output_file", required=True)
 inference_parser.add_argument("--scratch_path", required=False)
 inference_parser.add_argument("--store_fp16", action="store_true")
+inference_parser.add_argument(
+    "--profile_dir", default=None,
+    help="Write a JAX profiler trace of the extraction run.",
+)
 
 dataset_parser = parser.add_argument_group("Dataset")
 dataset_parser.add_argument("--dataset_path", required=True)
@@ -190,12 +194,15 @@ def worker_process(args, rank, world_size, output_filename):
         transform=InferenceTransforms[args.transforms],
         batch_size=args.batch_size,
     )
+    from vsc2022_tpu.utils.profiling import maybe_profile
+
     progress = tqdm.tqdm(total=dataset.num_videos())
-    vfs = list(
-        extractor.extract(
-            dataset, store_fp16=args.store_fp16, progress=progress.update
+    with maybe_profile(getattr(args, "profile_dir", None)):
+        vfs = list(
+            extractor.extract(
+                dataset, store_fp16=args.store_fp16, progress=progress.update
+            )
         )
-    )
     logger.info(f"Storing worker {rank} outputs")
     store_features(output_filename, vfs)
     logger.info(

@@ -35,10 +35,15 @@ class MaxScoreAggregation(ScoreAggregation):
 
 
 class CandidateGeneration:
-    def __init__(self, references: List[VideoFeature], aggregation: ScoreAggregation):
+    def __init__(
+        self,
+        references: List[VideoFeature],
+        aggregation: ScoreAggregation,
+        mesh=None,
+    ):
         self.aggregation = aggregation
         dim = references[0].dimensions()
-        self.index = VideoIndex(dim)
+        self.index = VideoIndex(dim, mesh=mesh)
         self.index.add(references)
 
     def query(self, queries: List[VideoFeature], global_k: int) -> List[CandidatePair]:

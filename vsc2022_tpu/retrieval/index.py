@@ -35,12 +35,24 @@ class VideoIndex:
     def __init__(
         self,
         dim: int,
+        codec_str: str = "Flat",
         metric: str = "IP",
         precision: str = "highest",
+        mesh=None,
     ):
+        """``codec_str`` mirrors the reference's FAISS factory argument
+        (reference: vsc/index.py:78); only exact ("Flat") search exists
+        here. ``mesh``: an optional 1-D jax.sharding.Mesh to shard the
+        reference corpus across devices (parallel/sharded_search.py)."""
+        if codec_str != "Flat":
+            raise ValueError(
+                f"Unsupported codec '{codec_str}': the TPU searcher is "
+                "exact brute-force (the reference's 'Flat' index)"
+            )
         self.dim = dim
         self.metric = metric
         self.precision = precision
+        self.mesh = mesh
         self.video_clip_idx: List[int] = []
         self.video_clip_to_video_ids: List[str] = []
         self.video_metadata = {}
@@ -63,9 +75,19 @@ class VideoIndex:
                 if self._feature_blocks
                 else np.zeros((0, self.dim), dtype=np.float32)
             )
-            self._searcher = SimilaritySearcher(
-                corpus, metric=self.metric, precision=self.precision
-            )
+            if self.mesh is not None:
+                from vsc2022_tpu.parallel.sharded_search import (
+                    ShardedSimilaritySearcher,
+                )
+
+                self._searcher = ShardedSimilaritySearcher(
+                    corpus, self.mesh, metric=self.metric,
+                    precision=self.precision,
+                )
+            else:
+                self._searcher = SimilaritySearcher(
+                    corpus, metric=self.metric, precision=self.precision
+                )
         return self._searcher
 
     def search(
