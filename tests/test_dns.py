@@ -2,7 +2,6 @@
 fused fine+coarse localization on planted copies."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ import tempfile
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from vsc2022_tpu.inference.pipeline import (

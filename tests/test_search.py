@@ -186,3 +186,31 @@ class TestScoreNormalizedSearcher:
         np.testing.assert_array_equal(fqi, uqi)
         np.testing.assert_array_equal(fri, uri)
         np.testing.assert_allclose(fs, us, rtol=1e-6)
+
+
+class TestBf16Mode:
+    def test_bf16_search_plausible(self):
+        rng = np.random.RandomState(4)
+        # Small-integer features are exactly representable in bf16, so
+        # bf16 mode must match f32 exactly here.
+        q = rng.randint(-3, 4, size=(21, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(150, 16)).astype(np.float32)
+        f32 = SimilaritySearcher(r)
+        bf16 = SimilaritySearcher(r, dtype="bfloat16")
+        for k in [5, 60]:
+            fqi, fri, fs = f32.global_topk(q, k)
+            bqi, bri, bs = bf16.global_topk(q, k)
+            np.testing.assert_array_equal(bqi, fqi)
+            np.testing.assert_array_equal(bri, fri)
+            np.testing.assert_allclose(bs, fs, rtol=1e-6)
+
+    def test_bf16_l2(self):
+        rng = np.random.RandomState(5)
+        q = rng.randint(-2, 3, size=(9, 8)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(40, 8)).astype(np.float32)
+        f32 = SimilaritySearcher(r, metric="L2")
+        bf16 = SimilaritySearcher(r, metric="L2", dtype="bfloat16")
+        fqi, fri, fs = f32.global_topk(q, 20)
+        bqi, bri, bs = bf16.global_topk(q, 20)
+        np.testing.assert_array_equal(bqi, fqi)
+        np.testing.assert_allclose(bs, fs, rtol=1e-5)

@@ -2,7 +2,6 @@
 virtual multi-device mesh."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

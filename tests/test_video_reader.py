@@ -4,9 +4,7 @@ pipe-framing path without a real ffmpeg install."""
 
 import os
 import stat
-import tempfile
 
-import numpy as np
 import pytest
 
 from vsc2022_tpu.inference.video_reader import FFMpegVideoReader

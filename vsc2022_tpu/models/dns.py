@@ -31,7 +31,7 @@ slot in via vsc2022_tpu.models.convert.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ XLA can fuse and the mesh can shard it.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -77,7 +77,11 @@ def streaming_topk(
     n_blocks = n_pad // col_block
     prec = jax.lax.Precision(precision)
 
-    q_sq = jnp.sum(q * q, axis=1) if metric == "L2" else None
+    if metric == "L2":
+        q32 = q.astype(jnp.float32)
+        q_sq = jnp.sum(q32 * q32, axis=1)
+    else:
+        q_sq = None
 
     def body(carry, block_idx):
         top_s, top_i = carry
@@ -149,7 +153,11 @@ def streaming_count_above(
     m = q.shape[0]
     n_blocks = refs.shape[0] // col_block
     prec = jax.lax.Precision(precision)
-    q_sq = jnp.sum(q * q, axis=1) if metric == "L2" else None
+    if metric == "L2":
+        q32 = q.astype(jnp.float32)
+        q_sq = jnp.sum(q32 * q32, axis=1)
+    else:
+        q_sq = None
 
     def body(counts, block_idx):
         start = block_idx * col_block
@@ -188,7 +196,8 @@ def _full_rows(
     prec = jax.lax.Precision(precision)
     s = jnp.dot(q, refs.T, precision=prec, preferred_element_type=jnp.float32)
     if metric == "L2":
-        q_sq = jnp.sum(q * q, axis=1)
+        q32 = q.astype(jnp.float32)
+        q_sq = jnp.sum(q32 * q32, axis=1)
         s = 2.0 * s - ref_sq[None, :] - q_sq[:, None]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     return jnp.where(col_ids < n_valid, s, NEG_INF)
@@ -209,22 +218,38 @@ class SimilaritySearcher:
         precision: str = "highest",
         row_block: int = DEFAULT_ROW_BLOCK,
         col_block: int = DEFAULT_COL_BLOCK,
+        dtype: str = "float32",
     ):
+        """``dtype="bfloat16"`` stores the corpus and computes scores in
+        bf16 (f32 accumulation): half the HBM footprint and transfer
+        volume, MXU-native matmul throughput. Scores coarsen to bf16
+        resolution — ranking stays deterministic but differs slightly
+        from f32; use for throughput/scale, f32 for strict parity."""
         assert metric in ("IP", "L2"), metric
+        assert dtype in ("float32", "bfloat16"), dtype
         self.metric = metric
         self.precision = precision
+        self.dtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
         self.n_refs = refs.shape[0]
         self.dim = refs.shape[1]
         self.row_block = row_block
         self.col_block = min(col_block, _ceil_to(max(self.n_refs, 1), 128))
         n_pad = _ceil_to(max(self.n_refs, 1), self.col_block)
-        refs_f32 = np.ascontiguousarray(refs, dtype=np.float32)
-        self._refs = jnp.asarray(_pad_axis0(refs_f32, n_pad))
+        refs_host = np.ascontiguousarray(refs, dtype=self._np_dtype())
+        self._refs = jnp.asarray(_pad_axis0(refs_host, n_pad))
         if metric == "L2":
-            self._ref_sq = jnp.sum(self._refs * self._refs, axis=1)
+            r32 = self._refs.astype(jnp.float32)
+            self._ref_sq = jnp.sum(r32 * r32, axis=1)
         else:
             self._ref_sq = jnp.zeros((n_pad,), dtype=jnp.float32)
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
+
+    def _np_dtype(self):
+        if self.dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            return ml_dtypes.bfloat16
+        return np.float32
 
     def _stage_queries(self, queries, block_rows: int) -> jax.Array:
         """One host→device transfer of the (padded) query matrix; all
@@ -233,17 +258,18 @@ class SimilaritySearcher:
         through (pad on device) — zero transfers for fused pipelines."""
         n_pad = _ceil_to(max(queries.shape[0], 1), block_rows)
         if isinstance(queries, jax.Array):
+            queries = queries.astype(self.dtype)
             if queries.shape[0] == n_pad:
                 return queries
             return jnp.pad(queries, ((0, n_pad - queries.shape[0]), (0, 0)))
-        q = np.ascontiguousarray(queries, dtype=np.float32)
+        q = np.ascontiguousarray(queries, dtype=self._np_dtype())
         return jnp.asarray(_pad_axis0(q, n_pad))
 
     # ---- kernel entry points (overridden by the sharded searcher) ------
 
     def _topk_kernel(self, block: np.ndarray, kappa: int, approx: bool = False):
         return _block_topk(
-            jnp.asarray(block),
+            jnp.asarray(block).astype(self._refs.dtype),
             self._refs,
             self._n_valid,
             self._ref_sq,
@@ -256,7 +282,7 @@ class SimilaritySearcher:
 
     def _count_kernel(self, block: np.ndarray, tau: float):
         return _count_above(
-            jnp.asarray(block),
+            jnp.asarray(block).astype(self._refs.dtype),
             self._refs,
             self._n_valid,
             self._ref_sq,
@@ -268,7 +294,7 @@ class SimilaritySearcher:
 
     def _full_kernel(self, rows: np.ndarray):
         return _full_rows(
-            jnp.asarray(rows),
+            jnp.asarray(rows).astype(self._refs.dtype),
             self._refs,
             self._n_valid,
             self._ref_sq,

@@ -44,14 +44,17 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         precision: str = "highest",
         row_block: int = 4096,
         col_block: int = 8192,
+        dtype: str = "float32",
     ):
         assert metric in ("IP", "L2"), metric
+        assert dtype in ("float32", "bfloat16"), dtype
         assert len(mesh.axis_names) == 1, "corpus mesh must be 1-D"
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_dev = mesh.devices.size
         self.metric = metric
         self.precision = precision
+        self.dtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
         self.n_refs = refs.shape[0]
         self.dim = refs.shape[1]
         self.row_block = row_block
@@ -62,16 +65,16 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         self.shard_rows = _ceil_to(per_dev, self.col_block)
         n_pad = self.shard_rows * self.n_dev
 
-        refs_f32 = _pad_axis0(
-            np.ascontiguousarray(refs, dtype=np.float32), n_pad
+        refs_host = _pad_axis0(
+            np.ascontiguousarray(refs, dtype=self._np_dtype()), n_pad
         )
         sharding = NamedSharding(self.mesh, P(self.axis, None))
-        self._refs = jax.device_put(jnp.asarray(refs_f32), sharding)
-        ref_sq = (
-            jnp.sum(self._refs * self._refs, axis=1)
-            if metric == "L2"
-            else jnp.zeros((n_pad,), dtype=jnp.float32)
-        )
+        self._refs = jax.device_put(jnp.asarray(refs_host), sharding)
+        if metric == "L2":
+            r32 = self._refs.astype(jnp.float32)
+            ref_sq = jnp.sum(r32 * r32, axis=1)
+        else:
+            ref_sq = jnp.zeros((n_pad,), dtype=jnp.float32)
         self._ref_sq = jax.device_put(ref_sq, NamedSharding(self.mesh, P(self.axis)))
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
         self._topk_fns = {}

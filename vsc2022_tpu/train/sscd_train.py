@@ -20,7 +20,6 @@ collectives):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
