@@ -25,17 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vsc2022_tpu.baseline import pipeline
 from vsc2022_tpu.localization.localize import TNLocalizationMaxSim
-from vsc2022_tpu.metrics import (
-    AveragePrecision,
-    CandidatePair,
-    Dataset,
-    Match,
-    average_precision,
-    evaluate_matching_track,
-)
+from vsc2022_tpu.metrics import CandidatePair, Dataset, Match
 from vsc2022_tpu.models.dns import NUM_REGIONS
-from vsc2022_tpu.retrieval import CandidateGeneration, MaxScoreAggregation
 from vsc2022_tpu.storage import convert_to_dict, load_features
 from vsc2022_tpu.types import VideoFeature
 
@@ -199,18 +192,12 @@ class DnSLocalization(TNLocalizationMaxSim):
 def search(
     queries: List[VideoFeature],
     refs: List[VideoFeature],
-    retrieve_per_query: float = 1200.0,
-    candidates_per_query: float = 25.0,
+    retrieve_per_query: float = pipeline.RETRIEVE_PER_QUERY,
+    candidates_per_query: float = pipeline.CANDIDATES_PER_QUERY,
 ) -> List[CandidatePair]:
-    aggregation = MaxScoreAggregation()
-    logger.info("Searching")
-    cg = CandidateGeneration(refs, aggregation)
-    num_to_retrieve = int(retrieve_per_query * len(queries))
-    candidates = cg.query(queries, global_k=num_to_retrieve)
-    num_candidates = int(candidates_per_query * len(queries))
-    candidates = candidates[:num_candidates]
-    logger.info("Got %d candidates", len(candidates))
-    return candidates
+    return pipeline.retrieve_candidates(
+        queries, refs, retrieve_per_query, candidates_per_query
+    )
 
 
 def localize_and_verify(
@@ -237,19 +224,7 @@ def localize_and_verify(
         similarity_bias=0.5,
     )
 
-    matches = []
-    logger.info("Aligning %s candidate pairs", len(candidates))
-    BATCH_SIZE = 512
-    i = 0
-    while i < len(candidates):
-        batch = candidates[i : i + BATCH_SIZE]
-        matches.extend(alignment.localize_all(batch))
-        i += len(batch)
-        logger.info(
-            "Aligned %d pairs of %d; %d predictions so far",
-            i, len(candidates), len(matches),
-        )
-    return matches
+    return pipeline.align_candidates(alignment, candidates)
 
 
 def match(
@@ -261,27 +236,18 @@ def match(
     fg_type: str = "att",
 ) -> Tuple[str, str]:
     candidates = search(queries_coarse, refs_coarse)
-    os.makedirs(output_path, exist_ok=True)
-    candidate_file = os.path.join(output_path, "candidates.csv")
-    CandidatePair.write_csv(candidates, candidate_file)
-
+    candidate_file, _ = pipeline.write_stage_artifacts(output_path, candidates)
     matches = localize_and_verify(
         queries_fine, refs_fine, queries_coarse, refs_coarse, candidates,
         fg_type=fg_type,
     )
-    matches_file = os.path.join(output_path, "matches.csv")
-    Match.write_csv(matches, matches_file)
-    return candidate_file, matches_file
+    _, match_file = pipeline.write_stage_artifacts(
+        output_path, candidates, matches
+    )
+    return candidate_file, match_file
 
 
-def create_pr_plot(ap: AveragePrecision, filename: str):
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    ap.pr_curve.plot(linewidth=1)
-    plt.savefig(filename)
+create_pr_plot = pipeline.create_pr_plot
 
 
 def main(args):
@@ -303,25 +269,11 @@ def main(args):
         fg_type=args.fg_type,
     )
 
-    if not args.ground_truth:
-        return
-
-    gt_matches = Match.read_csv(args.ground_truth, is_gt=True)
-    gt_pairs = CandidatePair.from_matches(gt_matches)
-    candidate_pairs = CandidatePair.read_csv(candidate_file)
-    candidate_uap = average_precision(gt_pairs, candidate_pairs)
-    logger.info(f"Candidate uAP: {candidate_uap.ap:.4f}")
-    candidate_pr_file = os.path.join(args.output_path, "candidate_precision_recall.pdf")
-    create_pr_plot(candidate_uap, candidate_pr_file)
-
-    match_metrics = evaluate_matching_track(args.ground_truth, match_file)
-    logger.info(f"Matching track metric: {match_metrics.segment_ap.ap:.4f}")
-    matching_pr_file = os.path.join(args.output_path, "precision_recall.pdf")
-    create_pr_plot(match_metrics.segment_ap, matching_pr_file)
-    logger.info(f"Candidates: {candidate_file}")
-    logger.info(f"Matches: {match_file}")
-    logger.info(f"Candidate PR plot: {candidate_pr_file}")
-    logger.info(f"Match PR plot: {matching_pr_file}")
+    if args.ground_truth:
+        pipeline.report_metrics(
+            args.ground_truth, candidate_file, match_file, args.output_path,
+            logger,
+        )
 
 
 if __name__ == "__main__":

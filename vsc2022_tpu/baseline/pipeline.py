@@ -1,0 +1,126 @@
+"""Shared matching-pipeline stages for the baseline drivers.
+
+The reference duplicates search / alignment-batching / metric-report
+code between sscd_baseline.py and dns_baseline.py; here those stages
+live once and both drivers compose them. Stage budgets are the
+challenge protocol defaults (reference: vsc/baseline/sscd_baseline.py:
+90-152).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Tuple
+
+from vsc2022_tpu.localization.localize import Localization
+from vsc2022_tpu.metrics import (
+    AveragePrecision,
+    CandidatePair,
+    Match,
+    average_precision,
+    evaluate_matching_track,
+)
+from vsc2022_tpu.retrieval import CandidateGeneration, MaxScoreAggregation
+from vsc2022_tpu.types import VideoFeature
+
+logger = logging.getLogger(__name__)
+
+RETRIEVE_PER_QUERY = 1200.0
+CANDIDATES_PER_QUERY = 25.0
+LOCALIZE_PER_QUERY = 5.0
+ALIGN_BATCH_SIZE = 512
+
+
+def retrieve_candidates(
+    queries: List[VideoFeature],
+    refs: List[VideoFeature],
+    retrieve_per_query: float = RETRIEVE_PER_QUERY,
+    candidates_per_query: float = CANDIDATES_PER_QUERY,
+    mesh=None,
+) -> List[CandidatePair]:
+    """Global-k frame search + per-pair aggregation, truncated to the
+    candidate budget."""
+    logger.info("Searching")
+    generator = CandidateGeneration(refs, MaxScoreAggregation(), mesh=mesh)
+    candidates = generator.query(
+        queries, global_k=int(retrieve_per_query * len(queries))
+    )
+    candidates = candidates[: int(candidates_per_query * len(queries))]
+    logger.info("Got %d candidates", len(candidates))
+    return candidates
+
+
+def align_candidates(
+    alignment: Localization,
+    candidates: List[CandidatePair],
+    batch_size: int = ALIGN_BATCH_SIZE,
+) -> List[Match]:
+    """Run temporal alignment over candidate batches with progress."""
+    matches: List[Match] = []
+    logger.info("Aligning %s candidate pairs", len(candidates))
+    done = 0
+    while done < len(candidates):
+        batch = candidates[done : done + batch_size]
+        matches.extend(alignment.localize_all(batch))
+        done += len(batch)
+        logger.info(
+            "Aligned %d pairs of %d; %d predictions so far",
+            done, len(candidates), len(matches),
+        )
+    return matches
+
+
+def write_stage_artifacts(
+    output_path: str,
+    candidates: List[CandidatePair],
+    matches: Optional[List[Match]] = None,
+) -> Tuple[str, Optional[str]]:
+    """Persist the stage outputs (the resume points of the pipeline)."""
+    os.makedirs(output_path, exist_ok=True)
+    candidate_file = os.path.join(output_path, "candidates.csv")
+    CandidatePair.write_csv(candidates, candidate_file)
+    match_file = None
+    if matches is not None:
+        match_file = os.path.join(output_path, "matches.csv")
+        Match.write_csv(matches, match_file)
+    return candidate_file, match_file
+
+
+def create_pr_plot(ap: AveragePrecision, filename: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ap.pr_curve.plot(linewidth=1)
+    plt.savefig(filename)
+
+
+def report_metrics(
+    ground_truth: str,
+    candidate_file: str,
+    match_file: str,
+    output_path: str,
+    log: logging.Logger,
+) -> None:
+    """Candidate µAP + matching segment AP with PR plots
+    (reference: vsc/baseline/sscd_baseline.py:211-231)."""
+    gt_matches = Match.read_csv(ground_truth, is_gt=True)
+    gt_pairs = CandidatePair.from_matches(gt_matches)
+    candidate_pairs = CandidatePair.read_csv(candidate_file)
+    candidate_uap = average_precision(gt_pairs, candidate_pairs)
+    log.info(f"Candidate uAP: {candidate_uap.ap:.4f}")
+    candidate_pr_file = os.path.join(
+        output_path, "candidate_precision_recall.pdf"
+    )
+    create_pr_plot(candidate_uap, candidate_pr_file)
+
+    match_metrics = evaluate_matching_track(ground_truth, match_file)
+    log.info(f"Matching track metric: {match_metrics.segment_ap.ap:.4f}")
+    matching_pr_file = os.path.join(output_path, "precision_recall.pdf")
+    create_pr_plot(match_metrics.segment_ap, matching_pr_file)
+    log.info(f"Candidates: {candidate_file}")
+    log.info(f"Matches: {match_file}")
+    log.info(f"Candidate PR plot: {candidate_pr_file}")
+    log.info(f"Match PR plot: {matching_pr_file}")

@@ -1,12 +1,12 @@
 #!/usr/bin/env python3
 """SSCD/DINO matching baseline driver.
 
-Full matching pipeline: retrieval → candidates.csv → TN localization →
-matches.csv → (optional) metric evaluation. Mirrors the reference CLI
-contract (reference: vsc/baseline/sscd_baseline.py): same flags, same
-output files, same stage budgets (1200 retrievals and 25 candidates per
-query, 5 pairs localized per query, β=1.2 score-norm). Serves DINO
-features with the same script, like the reference
+Full matching pipeline — retrieval → candidates.csv → TN localization →
+matches.csv → optional metric report — with the reference's CLI
+contract, output files and stage budgets (reference:
+vsc/baseline/sscd_baseline.py; budgets: 1200 retrievals and 25
+candidates per query, 5 pairs localized per query, β=1.2 score-norm).
+DINO features run through the same script
 (reference: docs/baseline_dino.md:69-86).
 """
 
@@ -15,19 +15,12 @@ import logging
 import os
 from typing import List, Tuple
 
+from vsc2022_tpu.baseline import pipeline
 from vsc2022_tpu.localization import (
     TNLocalizationCandidateScore,
     TNLocalizationMaxSim,
 )
-from vsc2022_tpu.metrics import (
-    AveragePrecision,
-    CandidatePair,
-    Dataset,
-    Match,
-    average_precision,
-    evaluate_matching_track,
-)
-from vsc2022_tpu.retrieval import CandidateGeneration, MaxScoreAggregation
+from vsc2022_tpu.metrics import CandidatePair, Dataset, Match
 from vsc2022_tpu.retrieval.score_norm import (
     l2_normalize_rows,
     score_normalize,
@@ -35,8 +28,8 @@ from vsc2022_tpu.retrieval.score_norm import (
 )
 from vsc2022_tpu.storage import load_features, store_features
 from vsc2022_tpu.types import VideoFeature
-
 from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+from vsc2022_tpu.utils.profiling import maybe_profile
 
 enable_compilation_cache()
 
@@ -75,64 +68,51 @@ parser.add_argument(
 )
 
 
+# Thin wrappers preserving the reference's module-level API
+# (search / localize_and_verify / match are imported by downstream code).
+
 def search(
     queries: List[VideoFeature],
     refs: List[VideoFeature],
-    retrieve_per_query: float = 1200.0,
-    candidates_per_query: float = 25.0,
+    retrieve_per_query: float = pipeline.RETRIEVE_PER_QUERY,
+    candidates_per_query: float = pipeline.CANDIDATES_PER_QUERY,
 ) -> List[CandidatePair]:
-    aggregation = MaxScoreAggregation()
-    logger.info("Searching")
-    cg = CandidateGeneration(refs, aggregation)
-    num_to_retrieve = int(retrieve_per_query * len(queries))
-    candidates = cg.query(queries, global_k=num_to_retrieve)
-    num_candidates = int(candidates_per_query * len(queries))
-    candidates = candidates[:num_candidates]
-    logger.info("Got %d candidates", len(candidates))
-    return candidates
+    return pipeline.retrieve_candidates(
+        queries, refs, retrieve_per_query, candidates_per_query
+    )
+
+
+def build_alignment(
+    queries: List[VideoFeature],
+    refs: List[VideoFeature],
+    score_normalization: bool,
+):
+    """Alignment strategy selection (reference: sscd_baseline.py:117-135):
+    score-normalized features use MaxSim scoring over positively biased
+    similarity; raw features are L2-normalized and inherit the
+    candidate's retrieval score."""
+    if score_normalization:
+        return TNLocalizationMaxSim(
+            queries, refs, model_type="TN",
+            tn_max_step=5, min_length=4, similarity_bias=0.5,
+        )
+    return TNLocalizationCandidateScore(
+        transform_features(queries, l2_normalize_rows),
+        transform_features(refs, l2_normalize_rows),
+        model_type="TN", tn_max_step=5, min_length=4,
+    )
 
 
 def localize_and_verify(
     queries: List[VideoFeature],
     refs: List[VideoFeature],
     candidates: List[CandidatePair],
-    localize_per_query: float = 5.0,
+    localize_per_query: float = pipeline.LOCALIZE_PER_QUERY,
     score_normalization: bool = False,
 ) -> List[Match]:
-    num_to_localize = int(len(queries) * localize_per_query)
-    candidates = candidates[:num_to_localize]
-
-    if score_normalization:
-        alignment = TNLocalizationMaxSim(
-            queries,
-            refs,
-            model_type="TN",
-            tn_max_step=5,
-            min_length=4,
-            similarity_bias=0.5,
-        )
-    else:
-        alignment = TNLocalizationCandidateScore(
-            transform_features(queries, l2_normalize_rows),
-            transform_features(refs, l2_normalize_rows),
-            model_type="TN",
-            tn_max_step=5,
-            min_length=4,
-        )
-
-    matches = []
-    logger.info("Aligning %s candidate pairs", len(candidates))
-    BATCH_SIZE = 512
-    i = 0
-    while i < len(candidates):
-        batch = candidates[i : i + BATCH_SIZE]
-        matches.extend(alignment.localize_all(batch))
-        i += len(batch)
-        logger.info(
-            "Aligned %d pairs of %d; %d predictions so far",
-            i, len(candidates), len(matches),
-        )
-    return matches
+    to_localize = candidates[: int(len(queries) * localize_per_query)]
+    alignment = build_alignment(queries, refs, score_normalization)
+    return pipeline.align_candidates(alignment, to_localize)
 
 
 def match(
@@ -142,26 +122,17 @@ def match(
     score_normalization: bool = False,
 ) -> Tuple[str, str]:
     candidates = search(queries, refs)
-    os.makedirs(output_path, exist_ok=True)
-    candidate_file = os.path.join(output_path, "candidates.csv")
-    CandidatePair.write_csv(candidates, candidate_file)
-
+    candidate_file, _ = pipeline.write_stage_artifacts(output_path, candidates)
     matches = localize_and_verify(
         queries, refs, candidates, score_normalization=score_normalization
     )
-    matches_file = os.path.join(output_path, "matches.csv")
-    Match.write_csv(matches, matches_file)
-    return candidate_file, matches_file
+    _, match_file = pipeline.write_stage_artifacts(
+        output_path, candidates, matches
+    )
+    return candidate_file, match_file
 
 
-def create_pr_plot(ap: AveragePrecision, filename: str):
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    ap.pr_curve.plot(linewidth=1)
-    plt.savefig(filename)
+create_pr_plot = pipeline.create_pr_plot
 
 
 def main(args):
@@ -172,19 +143,14 @@ def main(args):
         )
     queries = load_features(args.query_features, Dataset.QUERIES)
     refs = load_features(args.ref_features, Dataset.REFS)
-    score_normalization = False
-    if args.score_norm_features:
-        queries, refs = score_normalize(
-            queries,
-            refs,
-            load_features(args.score_norm_features, Dataset.REFS),
-            beta=1.2,
-        )
-        score_normalization = True
+
+    score_normalization = bool(args.score_norm_features)
+    if score_normalization:
+        noise = load_features(args.score_norm_features, Dataset.REFS)
+        queries, refs = score_normalize(queries, refs, noise, beta=1.2)
         os.makedirs(args.output_path, exist_ok=True)
         store_features(os.path.join(args.output_path, "sn_queries.npz"), queries)
         store_features(os.path.join(args.output_path, "sn_refs.npz"), refs)
-    from vsc2022_tpu.utils.profiling import maybe_profile
 
     with maybe_profile(args.profile_dir):
         candidate_file, match_file = match(
@@ -192,27 +158,11 @@ def main(args):
             score_normalization=score_normalization,
         )
 
-    if not args.ground_truth:
-        return
-
-    # Descriptor track uAP (approximate)
-    gt_matches = Match.read_csv(args.ground_truth, is_gt=True)
-    gt_pairs = CandidatePair.from_matches(gt_matches)
-    candidate_pairs = CandidatePair.read_csv(candidate_file)
-    candidate_uap = average_precision(gt_pairs, candidate_pairs)
-    logger.info(f"Candidate uAP: {candidate_uap.ap:.4f}")
-    candidate_pr_file = os.path.join(args.output_path, "candidate_precision_recall.pdf")
-    create_pr_plot(candidate_uap, candidate_pr_file)
-
-    # Matching track metric
-    match_metrics = evaluate_matching_track(args.ground_truth, match_file)
-    logger.info(f"Matching track metric: {match_metrics.segment_ap.ap:.4f}")
-    matching_pr_file = os.path.join(args.output_path, "precision_recall.pdf")
-    create_pr_plot(match_metrics.segment_ap, matching_pr_file)
-    logger.info(f"Candidates: {candidate_file}")
-    logger.info(f"Matches: {match_file}")
-    logger.info(f"Candidate PR plot: {candidate_pr_file}")
-    logger.info(f"Match PR plot: {matching_pr_file}")
+    if args.ground_truth:
+        pipeline.report_metrics(
+            args.ground_truth, candidate_file, match_file, args.output_path,
+            logger,
+        )
 
 
 if __name__ == "__main__":
