@@ -88,6 +88,11 @@ inference_parser.add_argument(
     "--profile_dir", default=None,
     help="Write a JAX profiler trace of the extraction run.",
 )
+inference_parser.add_argument(
+    "--resume", action="store_true",
+    help="Skip videos already present in this worker's output file and "
+    "append only the missing ones (per-video checkpointing).",
+)
 
 dataset_parser = parser.add_argument_group("Dataset")
 dataset_parser.add_argument("--dataset_path", required=True)
@@ -188,6 +193,21 @@ def worker_process(args, rank, world_size, output_filename):
         distributed_rank=rank,
         distributed_world_size=world_size,
     )
+    done_features = []
+    if getattr(args, "resume", False) and os.path.exists(output_filename):
+        from vsc2022_tpu.storage import load_features
+
+        done_features = load_features(output_filename)
+        done_ids = {vf.video_id for vf in done_features}
+        dataset.selected_videos = [
+            (i, video)
+            for (i, video) in dataset.selected_videos
+            if os.path.basename(video).split(".")[0] not in done_ids
+        ]
+        logger.info(
+            "Resuming: %d videos already extracted, %d remaining",
+            len(done_ids), dataset.num_videos(),
+        )
     extractor = DescriptorExtractor(
         apply_fn,
         variables,
@@ -204,9 +224,11 @@ def worker_process(args, rank, world_size, output_filename):
             )
         )
     logger.info(f"Storing worker {rank} outputs")
-    store_features(output_filename, vfs)
+    all_features = done_features + vfs
+    store_features(output_filename, all_features)
     logger.info(
-        f"Wrote worker {rank} features for {len(vfs)} videos to {output_filename}"
+        f"Wrote worker {rank} features for {len(all_features)} videos "
+        f"({len(vfs)} new) to {output_filename}"
     )
 
 
