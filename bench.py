@@ -24,9 +24,10 @@ from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
 
 # Workload scale: ~60-frame videos, SSCD-like 512-d descriptors.
-N_QUERY_VIDEOS = 100
-N_REF_VIDEOS = 500
-N_NOISE_FRAMES = 20_000
+# (Fixed across rounds — the driver tracks this number over time.)
+N_QUERY_VIDEOS = 150
+N_REF_VIDEOS = 1000
+N_NOISE_FRAMES = 30_000
 FRAMES = 60
 DIM = 512
 GLOBAL_K = 1200 * N_QUERY_VIDEOS

@@ -183,6 +183,44 @@ _count_above = jax.jit(
 )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("kappa", "col_block", "metric", "precision", "approx",
+                     "k_eff"),
+)
+def _fused_candidates(
+    q: jax.Array,  # [M_pad, D]
+    refs: jax.Array,
+    n_rows: jax.Array,  # scalar int32: valid query rows (≤ M_pad)
+    n_valid: jax.Array,
+    ref_sq: jax.Array,
+    kappa: int,
+    col_block: int,
+    metric: str,
+    precision: str,
+    approx: bool,
+    k_eff: int,
+):
+    """Whole candidate phase in ONE dispatch: per-row top-κ, the global
+    k-th threshold τ over valid rows, and the exact ≥τ counts for the
+    verification — host↔device round-trips cost ~50 ms each on thin
+    links, so everything that can fuse, fuses."""
+    top_s, top_i = streaming_topk(
+        q, refs, n_valid, ref_sq, kappa=kappa, col_block=col_block,
+        metric=metric, precision=precision, approx=approx,
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0)
+    masked = jnp.where(row_ids < n_rows, top_s, NEG_INF)
+    flat = jnp.sort(masked.reshape(-1))[::-1]
+    k_idx = min(k_eff, flat.shape[0]) - 1
+    tau = flat[k_idx]  # NEG_INF if fewer than k_eff finite candidates
+    counts = streaming_count_above(
+        q, refs, n_valid, ref_sq, tau, col_block=col_block, metric=metric,
+        precision=precision,
+    )
+    return top_s, top_i, counts, tau
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "precision"))
 def _full_rows(
     q: jax.Array,  # [S, D]
@@ -290,6 +328,28 @@ class SimilaritySearcher:
             col_block=self.col_block,
             metric=self.metric,
             precision=self.precision,
+        )
+
+    def _fused_kernel(self, q_dev, nq: int, kappa: int, approx: bool,
+                      k_eff: int):
+        """Single-dispatch candidate phase, when the query set fits one
+        row block. Returns None to fall back to the loop path (the
+        sharded searcher overrides with None: its merge already spans
+        dispatch boundaries)."""
+        if q_dev.shape[0] > self.row_block:
+            return None
+        return _fused_candidates(
+            q_dev.astype(self._refs.dtype),
+            self._refs,
+            jnp.asarray(nq, dtype=jnp.int32),
+            self._n_valid,
+            self._ref_sq,
+            kappa=kappa,
+            col_block=self.col_block,
+            metric=self.metric,
+            precision=self.precision,
+            approx=approx,
+            k_eff=k_eff,
         )
 
     def _full_kernel(self, rows: np.ndarray):
@@ -415,37 +475,55 @@ class SimilaritySearcher:
 
         block_rows = min(self.row_block, _ceil_to(nq, 8))
         q_dev = self._stage_queries(queries, block_rows)
-        all_s = np.empty((nq, kappa), dtype=np.float32)
-        all_i = np.empty((nq, kappa), dtype=np.int64)
-        for start in range(0, nq, block_rows):
-            stop = min(start + block_rows, nq)
-            block = jax.lax.dynamic_slice_in_dim(q_dev, start, block_rows)
-            s, i = self._topk_kernel(block, kappa, approx=approx_candidates)
-            all_s[start:stop] = np.asarray(s)[: stop - start]
-            all_i[start:stop] = np.asarray(i)[: stop - start]
+        k_eff = min(k, total)
+
+        fused = self._fused_kernel(q_dev, nq, kappa, approx_candidates, k_eff)
+        if fused is not None:
+            # Single-dispatch path: candidates + τ + counts together.
+            top_s, top_i, counts, tau_dev = fused
+            all_s = np.asarray(top_s)[:nq]
+            all_i = np.asarray(top_i)[:nq].astype(np.int64)
+            true_counts = np.asarray(counts)[:nq].astype(np.int64)
+            tau = float(np.asarray(tau_dev))
+        else:
+            all_s = np.empty((nq, kappa), dtype=np.float32)
+            all_i = np.empty((nq, kappa), dtype=np.int64)
+            for start in range(0, nq, block_rows):
+                stop = min(start + block_rows, nq)
+                block = jax.lax.dynamic_slice_in_dim(q_dev, start, block_rows)
+                s, i = self._topk_kernel(block, kappa, approx=approx_candidates)
+                all_s[start:stop] = np.asarray(s)[: stop - start]
+                all_i[start:stop] = np.asarray(i)[: stop - start]
+            true_counts = None
+            tau = None
 
         flat_s = all_s.ravel()
         flat_q = np.repeat(np.arange(nq, dtype=np.int64), kappa)
         flat_r = all_i.ravel()
 
-        k_eff = min(k, total)
         if kappa < self.n_refs or approx_candidates:
             # Global threshold τ = k-th best among candidates (−inf when
             # fewer than k were collected: then every row may be missing
             # entries and must be recomputed).
-            if flat_s.size >= k_eff:
-                tau = np.partition(flat_s, flat_s.size - k_eff)[flat_s.size - k_eff]
-            else:
-                tau = NEG_INF
+            if tau is None:
+                if flat_s.size >= k_eff:
+                    tau = np.partition(flat_s, flat_s.size - k_eff)[
+                        flat_s.size - k_eff
+                    ]
+                else:
+                    tau = NEG_INF
             # Exact verification: recompute any row holding fewer
             # candidates ≥ τ than its true count ≥ τ.
             kept_counts = (all_s >= tau).sum(axis=1)
-            true_counts = np.empty(nq, dtype=np.int64)
-            for start in range(0, nq, block_rows):
-                stop = min(start + block_rows, nq)
-                block = jax.lax.dynamic_slice_in_dim(q_dev, start, block_rows)
-                counts = np.asarray(self._count_kernel(block, tau))
-                true_counts[start:stop] = counts[: stop - start]
+            if true_counts is None:
+                true_counts = np.empty(nq, dtype=np.int64)
+                for start in range(0, nq, block_rows):
+                    stop = min(start + block_rows, nq)
+                    block = jax.lax.dynamic_slice_in_dim(
+                        q_dev, start, block_rows
+                    )
+                    counts = np.asarray(self._count_kernel(block, tau))
+                    true_counts[start:stop] = counts[: stop - start]
             saturated = np.where(true_counts > kept_counts)[0]
             if saturated.size:
                 # Exact recompute of deficient rows with a top-κ′ big

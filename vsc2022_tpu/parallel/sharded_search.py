@@ -188,3 +188,6 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         return self._full_fns["fn"](
             jnp.asarray(rows), self._refs, self._ref_sq, self._n_valid
         )
+
+    def _fused_kernel(self, q_dev, nq, kappa, approx, k_eff):
+        return None  # sharded path uses the explicit multi-stage kernels
