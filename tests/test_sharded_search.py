@@ -67,3 +67,20 @@ class TestShardedSearch:
         hq, hr, hs = sharded.global_topk(q, 10)
         np.testing.assert_array_equal(hq, sq)
         np.testing.assert_array_equal(hr, sr)
+
+
+class TestShardedScoreNormSearch:
+    def test_sharded_sn_matches_single(self, mesh):
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(6)
+        q = rng.randint(-3, 4, size=(13, 12)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(200, 12)).astype(np.float32)
+        noise = rng.randint(-3, 4, size=(90, 12)).astype(np.float32)
+        single = ScoreNormalizedSearcher(r, noise)
+        sharded = ScoreNormalizedSearcher(r, noise, mesh=mesh)
+        sq, sr, ss = single.global_topk(q, 40)
+        hq, hr, hs = sharded.global_topk(q, 40)
+        np.testing.assert_array_equal(hq, sq)
+        np.testing.assert_array_equal(hr, sr)
+        np.testing.assert_allclose(hs, ss, rtol=1e-6)

@@ -34,15 +34,32 @@ class ScoreNormalizedSearcher:
         noise: np.ndarray,  # [Nn, D] independent noise corpus
         beta: float = 1.2,
         precision: str = "highest",
+        mesh=None,
+        dtype: str = "float32",
     ):
         self.beta = beta
         r_sn = np.concatenate(
             [refs, np.ones((refs.shape[0], 1), refs.dtype)], axis=1
         ).astype(np.float32)
-        self.searcher = SimilaritySearcher(r_sn, precision=precision)
-        self.noise_searcher = SimilaritySearcher(
-            np.ascontiguousarray(noise, dtype=np.float32), precision=precision
-        )
+        noise_f32 = np.ascontiguousarray(noise, dtype=np.float32)
+        if mesh is not None:
+            from vsc2022_tpu.parallel.sharded_search import (
+                ShardedSimilaritySearcher,
+            )
+
+            self.searcher = ShardedSimilaritySearcher(
+                r_sn, mesh, precision=precision, dtype=dtype
+            )
+            self.noise_searcher = ShardedSimilaritySearcher(
+                noise_f32, mesh, precision=precision, dtype=dtype
+            )
+        else:
+            self.searcher = SimilaritySearcher(
+                r_sn, precision=precision, dtype=dtype
+            )
+            self.noise_searcher = SimilaritySearcher(
+                noise_f32, precision=precision, dtype=dtype
+            )
 
     def normalize_queries(self, queries: np.ndarray) -> jax.Array:
         """Stage queries and append the −β·NN-similarity bias dimension,

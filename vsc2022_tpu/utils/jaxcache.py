@@ -12,6 +12,11 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    # Escape hatch for CI/tests: force the CPU backend even where a
+    # sitecustomize pre-selects an accelerator platform.
+    if os.environ.get("VSC2022_TPU_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = path or os.environ.get(
         "VSC2022_TPU_JAX_CACHE",
         os.path.expanduser("~/.cache/vsc2022_tpu/jax"),
