@@ -15,13 +15,12 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
-
-from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
-
-enable_compilation_cache()
 
 # Workload scale: ~60-frame videos, SSCD-like 512-d descriptors.
 # (Fixed across rounds — the driver tracks this number over time.)
@@ -89,7 +88,10 @@ def cpu_pipeline(q, r, noise):
     return top_q[order], top_r[order], top_s[order]
 
 
-def main():
+def run_measurement():
+    from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     rng = np.random.default_rng(0)
     q, r, noise = make_data(rng)
 
@@ -128,6 +130,36 @@ def main():
             }
         )
     )
+
+
+def main():
+    """Run the measurement in a child process with a timeout + one
+    retry: the TPU relay on this rig occasionally stalls a process
+    outright, and a hung benchmark would leave no recorded result."""
+    if "--_child" in sys.argv:
+        run_measurement()
+        return
+    for attempt in range(2):
+        try:
+            result = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_child"],
+                capture_output=True, text=True, timeout=480,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench attempt {attempt + 1} timed out; retrying",
+                file=sys.stderr,
+            )
+            continue
+        lines = [
+            ln for ln in result.stdout.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        if result.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        print(result.stderr[-2000:], file=sys.stderr)
+    raise SystemExit("bench failed after 2 attempts")
 
 
 if __name__ == "__main__":
