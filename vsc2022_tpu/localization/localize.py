@@ -56,6 +56,19 @@ def _pair_sims(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _gathered_pair_sims(
+    table: jax.Array,  # [T, D] all frame features (row 0 = zeros)
+    q_idx: jax.Array,  # [B, NQ] int32 rows into table (0 = pad)
+    r_idx: jax.Array,  # [B, NR]
+    bias: jax.Array,
+    precision: str = "highest",
+) -> jax.Array:
+    q = jnp.take(table, q_idx, axis=0)  # [B, NQ, D]
+    r = jnp.take(table, r_idx, axis=0)
+    return _pair_sims(q, r, bias, precision)
+
+
 class Localization(abc.ABC):
     @abc.abstractmethod
     def localize(self, candidate: CandidatePair) -> List[Match]:
@@ -135,24 +148,59 @@ class TNLocalization(LocalizationWithMetadata):
             self.refs[candidate.ref_id].feature,
         )
 
+    def _feature_table(self):
+        """All query/ref frame features concatenated on device, with
+        per-video row offsets — staged ONCE; per-batch inputs are then
+        built by on-device gathers instead of re-transferring features
+        for every candidate (videos recur across candidate pairs)."""
+        if getattr(self, "_table", None) is None:
+            offsets = {}
+            rows = []
+            cursor = 1  # row 0 is a zero pad row for masked gathers
+            d = None
+            for source in (self.queries, self.refs):
+                for vid, vf in source.items():
+                    key = id(source), vid
+                    feat = np.asarray(vf.feature, dtype=np.float32)
+                    d = feat.shape[1]
+                    offsets[key] = (cursor, feat.shape[0])
+                    rows.append(feat)
+                    cursor += feat.shape[0]
+            table = np.concatenate(
+                [np.zeros((1, d), np.float32)] + rows, axis=0
+            )
+            self._table = jnp.asarray(table)
+            self._table_offsets = offsets
+        return self._table, self._table_offsets
+
+    def _gather_indices(
+        self, source, video_ids: Sequence, n_pad: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """[B, n_pad] row indices into the feature table (0 = pad row)."""
+        _, offsets = self._feature_table()
+        idx = np.zeros((len(video_ids), n_pad), dtype=np.int32)
+        lengths = np.empty(len(video_ids), dtype=np.int32)
+        for i, vid in enumerate(video_ids):
+            start, n = offsets[(id(source), vid)]
+            idx[i, :n] = np.arange(start, start + n, dtype=np.int32)
+            lengths[i] = n
+        return idx, lengths
+
     def _batch_sims(
         self, candidates: Sequence[CandidatePair], nq: int, nr: int
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Build [B, nq, nr] similarity matrices for same-bucket pairs."""
-        b = len(candidates)
-        feats = [self._features_for(c) for c in candidates]
-        d = feats[0][0].shape[1]
-        qb = np.zeros((b, nq, d), dtype=np.float32)
-        rb = np.zeros((b, nr, d), dtype=np.float32)
-        q_len = np.empty(b, dtype=np.int32)
-        r_len = np.empty(b, dtype=np.int32)
-        for i, (qf, rf) in enumerate(feats):
-            qb[i, : qf.shape[0]] = qf
-            rb[i, : rf.shape[0]] = rf
-            q_len[i] = qf.shape[0]
-            r_len[i] = rf.shape[0]
-        sims = _pair_sims(
-            jnp.asarray(qb), jnp.asarray(rb), jnp.float32(self.similarity_bias)
+        """Build [B, nq, nr] similarity matrices for same-bucket pairs
+        via on-device gathers from the staged feature table."""
+        table, _ = self._feature_table()
+        q_idx, q_len = self._gather_indices(
+            self.queries, [c.query_id for c in candidates], nq
+        )
+        r_idx, r_len = self._gather_indices(
+            self.refs, [c.ref_id for c in candidates], nr
+        )
+        sims = _gathered_pair_sims(
+            table, jnp.asarray(q_idx), jnp.asarray(r_idx),
+            jnp.float32(self.similarity_bias),
         )
         return sims, jnp.asarray(q_len), jnp.asarray(r_len)
 
