@@ -214,3 +214,19 @@ class TestBf16Mode:
         bqi, bri, bs = bf16.global_topk(q, 20)
         np.testing.assert_array_equal(bqi, fqi)
         np.testing.assert_allclose(bs, fs, rtol=1e-5)
+
+
+class TestMultiBlockPath:
+    def test_loop_path_matches_oracle(self):
+        # Tiny row_block forces the multi-dispatch loop path (used for
+        # query sets larger than one row block).
+        rng = np.random.RandomState(8)
+        q = rng.randint(-3, 4, size=(37, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(180, 16)).astype(np.float32)
+        searcher = SimilaritySearcher(r, row_block=16)
+        for k in [7, 200]:
+            qi, ri, s = searcher.global_topk(q, k)
+            oqi, ori, os_ = brute_force_global_topk(q, r, k)
+            np.testing.assert_array_equal(qi, oqi)
+            np.testing.assert_array_equal(ri, ori)
+            np.testing.assert_allclose(s, os_, rtol=1e-6)
