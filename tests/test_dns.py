@@ -106,3 +106,84 @@ class TestDnSLocalization:
         m = max(matches, key=lambda x: x.score)
         assert m.query_start <= 11 and m.query_end >= 20
         assert m.ref_start <= 6 and m.ref_end >= 15
+
+
+class TestDnSTwoStageFlow:
+    """dns_index → dns_baseline via their main() entry points and npz/csv
+    file contracts (random-init students; checks plumbing, not quality)."""
+
+    def test_index_then_match(self, tmp_path):
+        import argparse
+
+        from vsc2022_tpu.baseline import dns_baseline, dns_index
+        from vsc2022_tpu.metrics import Dataset
+        from vsc2022_tpu.storage import store_features
+
+        rng = np.random.RandomState(0)
+        raw_dim = NUM_REGIONS * 3840
+
+        def vids(prefix, n, frames=6):
+            return [
+                vf(f"{prefix}{i:06d}", rng.randn(frames, raw_dim) * 0.05)
+                for i in range(n)
+            ]
+
+        store_features(str(tmp_path / "q.npz"), vids("Q", 2), Dataset.QUERIES)
+        store_features(str(tmp_path / "r.npz"), vids("R", 3), Dataset.REFS)
+        store_features(
+            str(tmp_path / "noise.npz"), vids("R", 2)[0:2], Dataset.REFS
+        )
+        # rename noise ids to avoid overlap with refs
+        from vsc2022_tpu.storage import load_features
+        noise = load_features(str(tmp_path / "noise.npz"))
+        for i, n in enumerate(noise):
+            n.video_id = f"R{900 + i:06d}"
+        store_features(str(tmp_path / "noise.npz"), noise)
+
+        # Stage 1a: coarse indexing with score norm.
+        dns_index.main(argparse.Namespace(
+            query_features=str(tmp_path / "q.npz"),
+            ref_features=str(tmp_path / "r.npz"),
+            score_norm_features=str(tmp_path / "noise.npz"),
+            output_path=str(tmp_path / "idx"),
+            student="cg", fg_type="att", checkpoint_path=None,
+        ))
+        assert (tmp_path / "idx" / "queries_cg_student_sn.npz").exists()
+        assert (tmp_path / "idx" / "refs_cg_student_sn.npz").exists()
+
+        # Stage 1b: fine indexing (att).
+        dns_index.main(argparse.Namespace(
+            query_features=str(tmp_path / "q.npz"),
+            ref_features=str(tmp_path / "r.npz"),
+            score_norm_features=None,
+            output_path=str(tmp_path / "idx"),
+            student="fg", fg_type="att", checkpoint_path=None,
+        ))
+        assert (tmp_path / "idx" / "queries_fg_att_student.npz").exists()
+
+        # fg + score-norm is rejected (reference rule).
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="can not be combined"):
+            dns_index.main(argparse.Namespace(
+                query_features=str(tmp_path / "q.npz"),
+                ref_features=str(tmp_path / "r.npz"),
+                score_norm_features=str(tmp_path / "noise.npz"),
+                output_path=str(tmp_path / "idx"),
+                student="fg", fg_type="att", checkpoint_path=None,
+            ))
+
+        # Stage 2: matching.
+        dns_baseline.main(argparse.Namespace(
+            query_coarse_features=str(
+                tmp_path / "idx" / "queries_cg_student_sn.npz"
+            ),
+            ref_coarse_features=str(tmp_path / "idx" / "refs_cg_student_sn.npz"),
+            query_fine_features=str(
+                tmp_path / "idx" / "queries_fg_att_student.npz"
+            ),
+            ref_fine_features=str(tmp_path / "idx" / "refs_fg_att_student.npz"),
+            fg_type="att", output_path=str(tmp_path / "out"),
+            ground_truth=None, overwrite=False,
+        ))
+        assert (tmp_path / "out" / "candidates.csv").exists()
+        assert (tmp_path / "out" / "matches.csv").exists()

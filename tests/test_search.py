@@ -230,3 +230,30 @@ class TestMultiBlockPath:
             np.testing.assert_array_equal(qi, oqi)
             np.testing.assert_array_equal(ri, ori)
             np.testing.assert_allclose(s, os_, rtol=1e-6)
+
+
+class TestGlobalTopKFuzz:
+    def test_random_float_workloads(self):
+        """Float fuzz: returned pairs must be (tolerance-tie aware)
+        exactly the top-k set under the dense oracle."""
+        rng = np.random.RandomState(12)
+        for trial in range(6):
+            nq = int(rng.randint(5, 60))
+            nr = int(rng.randint(20, 400))
+            d = int(rng.choice([8, 32, 96]))
+            q = rng.randn(nq, d).astype(np.float32)
+            r = rng.randn(nr, d).astype(np.float32)
+            k = int(rng.randint(1, nq * nr + 1))
+            kappa = int(rng.choice([8, 32, 128]))
+            searcher = SimilaritySearcher(r)
+            qi, ri, s = searcher.global_topk(q, k, kappa=kappa)
+            dense = (q.astype(np.float64) @ r.astype(np.float64).T)
+            flat = np.sort(dense.ravel())[::-1]
+            tau = flat[min(k, flat.size) - 1]
+            assert len(qi) == min(k, nq * nr)
+            # Every returned pair is at/above the oracle threshold.
+            assert (dense[qi, ri] >= tau - 1e-4).all()
+            # Returned scores match the oracle's at those cells.
+            np.testing.assert_allclose(s, dense[qi, ri], rtol=1e-4, atol=1e-4)
+            # Scores are sorted descending.
+            assert (np.diff(s) <= 1e-6).all()

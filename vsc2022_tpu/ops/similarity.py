@@ -213,7 +213,12 @@ def _fused_candidates(
     masked = jnp.where(row_ids < n_rows, top_s, NEG_INF)
     flat = jnp.sort(masked.reshape(-1))[::-1]
     k_idx = min(k_eff, flat.shape[0]) - 1
-    tau = flat[k_idx]  # NEG_INF if fewer than k_eff finite candidates
+    # τ = the global k-th candidate score. When k exceeds the number of
+    # valid candidates (n_rows·κ), the true k-th is unknowable from the
+    # candidates → −inf so the verify pass flags every row.
+    tau = jnp.where(
+        k_eff > n_rows * kappa, NEG_INF, flat[k_idx]
+    )
     counts = streaming_count_above(
         q, refs, n_valid, ref_sq, tau, col_block=col_block, metric=metric,
         precision=precision,
