@@ -233,3 +233,90 @@ class TestTNSpeedChange:
         m = max(matches, key=lambda x: x.score)
         assert m.query_start <= 14 and m.query_end >= 25
         assert m.ref_start <= 23 and m.ref_end >= 40
+
+
+def oracle_tn(sim, params):
+    """Independent O(NQ·NR·step²) Python implementation of the TN DP
+    (same semantics: gated nodes, windowed predecessors, longest path by
+    (node count, simsum), endpoint boxes, box masking, multi-path)."""
+    nq, nr = sim.shape
+    thr = max(params.min_sim, sim.mean() + params.adaptive_sigma * sim.std())
+    if params.top_k_per_row < nr:
+        kth = np.sort(sim, axis=1)[:, -params.top_k_per_row][:, None]
+        topk_mask = sim >= kth
+    else:
+        topk_mask = np.ones_like(sim, dtype=bool)
+    nodes = topk_mask & (sim >= thr)
+
+    results = []
+    for _ in range(params.max_paths):
+        ln = np.zeros((nq, nr), dtype=int)
+        sm = np.full((nq, nr), -np.inf)
+        si = np.zeros((nq, nr), dtype=int)
+        sj = np.zeros((nq, nr), dtype=int)
+        for i in range(nq):
+            for j in range(nr):
+                if not nodes[i, j]:
+                    continue
+                best = (0, -np.inf, i, j)
+                for di in range(1, params.max_step + 1):
+                    for dj in range(1, params.max_step + 1):
+                        pi, pj = i - di, j - dj
+                        if pi < 0 or pj < 0 or ln[pi, pj] == 0:
+                            continue
+                        cand = (ln[pi, pj], sm[pi, pj], si[pi, pj], sj[pi, pj])
+                        if (cand[0], cand[1]) > (best[0], best[1]):
+                            best = cand
+                if best[0] > 0:
+                    ln[i, j] = best[0] + 1
+                    sm[i, j] = best[1] + sim[i, j]
+                    si[i, j], sj[i, j] = best[2], best[3]
+                else:
+                    ln[i, j] = 1
+                    sm[i, j] = sim[i, j]
+                    si[i, j], sj[i, j] = i, j
+        eligible = ln >= params.min_length
+        if not eligible.any():
+            break
+        # best cell by (ln, sm) lexicographic
+        best_val = None
+        best_cell = None
+        for i in range(nq):
+            for j in range(nr):
+                if not eligible[i, j]:
+                    continue
+                v = (ln[i, j], sm[i, j])
+                if best_val is None or v > best_val:
+                    best_val = v
+                    best_cell = (i, j)
+        i, j = best_cell
+        box = (si[i, j], sj[i, j], i, j)
+        results.append(box)
+        nodes[box[0] : box[2] + 1, box[1] : box[3] + 1] = False
+    return results
+
+
+class TestTNFuzz:
+    def test_kernel_matches_oracle(self):
+        rng = np.random.RandomState(17)
+        params = TNParams(max_step=3, min_length=3, max_paths=4,
+                          min_sim=0.5, top_k_per_row=4, adaptive_sigma=0.0)
+        for trial in range(8):
+            nq = int(rng.randint(8, 24))
+            nr = int(rng.randint(8, 24))
+            sim = rng.rand(nq, nr).astype(np.float32)
+            # sparsify so paths are nontrivial
+            sim = np.where(rng.rand(nq, nr) < 0.75, sim * 0.3, sim)
+            expect = oracle_tn(sim.astype(np.float64), params)
+            boxes, valid, _ = tn_align(
+                jnp.asarray(sim[None]),
+                jnp.asarray([nq], jnp.int32),
+                jnp.asarray([nr], jnp.int32),
+                params,
+            )
+            boxes = np.asarray(boxes[0])
+            valid = np.asarray(valid[0])
+            got = [tuple(boxes[p]) for p in range(len(valid)) if valid[p]]
+            assert got == [tuple(map(int, b)) for b in expect], (
+                trial, got, expect
+            )
