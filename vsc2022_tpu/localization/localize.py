@@ -114,7 +114,7 @@ class TNLocalization(LocalizationWithMetadata):
         min_sim: float = 0.2,
         top_k_per_row: int = 10,
         max_paths: int = 10,
-        adaptive_sigma: float = 3.5,
+        adaptive_sigma: float = 2.5,
         **kwargs,
     ):
         super().__init__(queries, refs)

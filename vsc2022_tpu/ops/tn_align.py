@@ -50,15 +50,17 @@ class TNParams(NamedTuple):
     similarity scale and to the additive similarity_bias, and rejects
     random-descriptor collisions whatever the descriptor dimension
     (noise std of normalized d-dim descriptors is 1/√d, so no single
-    absolute threshold works across models). Set to 0 to disable and
-    use the absolute ``min_sim`` only."""
+    absolute threshold works across models). The 2.5 default maximizes
+    segment AP on the synthetic planted-copy benchmark sweep
+    (tools/synthetic_eval.py across seeds and noise levels). Set to 0
+    to disable and use the absolute ``min_sim`` only."""
 
     max_step: int = 5
     min_length: int = 4
     max_paths: int = 10
     min_sim: float = 0.2
     top_k_per_row: int = 10
-    adaptive_sigma: float = 3.5
+    adaptive_sigma: float = 2.5
 
 
 def _shift_down(x: jnp.ndarray, delta: int, fill) -> jnp.ndarray:
