@@ -1,0 +1,59 @@
+"""Utility-layer tests: checkpoint round-trip, profiling hook, umbrella
+CLI listing."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+
+from vsc2022_tpu.utils.checkpoint import load_variables, save_variables
+from vsc2022_tpu.utils.profiling import maybe_profile
+
+
+class TestCheckpoint:
+    def test_roundtrip_nested_tree(self, tmp_path):
+        rng = np.random.RandomState(0)
+        tree = {
+            "params": {
+                "backbone": {"conv1": {"kernel": rng.randn(3, 3, 3, 8)}},
+                "project": {"kernel": rng.randn(8, 4), "bias": rng.randn(4)},
+            },
+            "batch_stats": {"bn1": {"mean": rng.randn(8), "var": rng.rand(8)}},
+        }
+        path = str(tmp_path / "ckpt.npz")
+        save_variables(path, tree)
+        restored = load_variables(path)
+        np.testing.assert_array_equal(
+            restored["params"]["backbone"]["conv1"]["kernel"],
+            tree["params"]["backbone"]["conv1"]["kernel"],
+        )
+        np.testing.assert_array_equal(
+            restored["batch_stats"]["bn1"]["var"], tree["batch_stats"]["bn1"]["var"]
+        )
+        assert set(restored.keys()) == {"params", "batch_stats"}
+
+
+class TestProfiling:
+    def test_noop_without_dir(self):
+        with maybe_profile(None):
+            x = 1 + 1
+        assert x == 2
+
+
+class TestUmbrellaCLI:
+    def test_lists_commands(self):
+        result = subprocess.run(
+            [sys.executable, "-m", "vsc2022_tpu", "--help"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert result.returncode == 0
+        for cmd in ("inference", "sscd-baseline", "dns-index", "train"):
+            assert cmd in result.stdout
+
+    def test_unknown_command_exits_nonzero(self):
+        result = subprocess.run(
+            [sys.executable, "-m", "vsc2022_tpu", "frobnicate"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert result.returncode == 2

@@ -152,7 +152,11 @@ class TNLocalization(LocalizationWithMetadata):
         """All query/ref frame features concatenated on device, with
         per-video row offsets — staged ONCE; per-batch inputs are then
         built by on-device gathers instead of re-transferring features
-        for every candidate (videos recur across candidate pairs)."""
+        for every candidate (videos recur across candidate pairs).
+
+        The table is built lazily at the first localize call and not
+        invalidated: mutating video features on a live localizer is
+        unsupported (construct a new one instead)."""
         if getattr(self, "_table", None) is None:
             offsets = {}
             rows = []
