@@ -45,6 +45,11 @@ parser.add_argument("--dim", type=int, default=128)
 parser.add_argument("--positive_fraction", type=float, default=0.5)
 parser.add_argument("--feature_noise", type=float, default=0.2)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument(
+    "--dns", action="store_true",
+    help="Also evaluate the DnS-style pipeline: region features, fused "
+    "fine+coarse chamfer localization.",
+)
 
 
 def l2n(x):
@@ -127,17 +132,87 @@ def main(args):
     matches = localize_and_verify(sn_q, sn_r, candidates, score_normalization=True)
     seg = match_metric(gt, matches)
 
-    print(
-        json.dumps(
-            {
-                "candidate_uap": round(uap.ap, 4),
-                "segment_ap": round(seg.ap, 4),
-                "num_gt": len(gt),
-                "num_candidates": len(candidates),
-                "num_matches": len(matches),
-            }
+    report = {
+        "candidate_uap": round(uap.ap, 4),
+        "segment_ap": round(seg.ap, 4),
+        "num_gt": len(gt),
+        "num_candidates": len(candidates),
+        "num_matches": len(matches),
+    }
+
+    if args.dns:
+        report["dns_segment_ap"] = round(run_dns_variant(args), 4)
+
+    print(json.dumps(report))
+
+
+def run_dns_variant(args):
+    """DnS-style pipeline on synthetic region features: coarse retrieval
+    (score-normed mean-pooled regions) + fused fine+coarse chamfer
+    localization (baseline/dns_baseline.DnSLocalization)."""
+    import dataclasses
+
+    from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
+    from vsc2022_tpu.models.dns import NUM_REGIONS
+
+    queries, refs, noise, gt = build_benchmark(args)
+    rng = np.random.RandomState(args.seed + 99)
+    d_region = 64
+
+    def to_regions(vf):
+        # Derive per-region features: the frame descriptor (truncated)
+        # plus per-region jitter, unit-normalized — copies stay copies.
+        base = vf.feature[:, :d_region][:, None, :]
+        jitter = 0.05 * rng.normal(
+            size=(vf.feature.shape[0], NUM_REGIONS, d_region)
+        ).astype(np.float32)
+        regions = base + jitter
+        regions /= np.linalg.norm(regions, axis=-1, keepdims=True)
+        return regions
+
+    def coarse_of(regions):
+        pooled = regions.mean(axis=1)
+        return pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+    q_regions = {q.video_id: to_regions(q) for q in queries}
+    r_regions = {r.video_id: to_regions(r) for r in refs}
+    queries_fine = {
+        vid: dataclasses.replace(
+            next(q for q in queries if q.video_id == vid),
+            feature=reg.reshape(reg.shape[0], -1),
         )
+        for vid, reg in q_regions.items()
+    }
+    refs_fine = {
+        vid: dataclasses.replace(
+            next(r for r in refs if r.video_id == vid),
+            feature=reg.reshape(reg.shape[0], -1),
+        )
+        for vid, reg in r_regions.items()
+    }
+    queries_coarse = [
+        dataclasses.replace(q, feature=coarse_of(q_regions[q.video_id]))
+        for q in queries
+    ]
+    refs_coarse = [
+        dataclasses.replace(r, feature=coarse_of(r_regions[r.video_id]))
+        for r in refs
+    ]
+    noise_coarse = [
+        dataclasses.replace(n, feature=coarse_of(to_regions(n))) for n in noise
+    ]
+
+    sn_q, sn_r = score_normalize(
+        queries_coarse, refs_coarse, noise_coarse, replace_dim=False, beta=1.2
     )
+    candidates = search(sn_q, sn_r)[: len(queries) * 5]
+    loc = DnSLocalization(
+        queries_fine, refs_fine, sn_q, sn_r,
+        model_type="TN", fg_type="att", tn_max_step=5, min_length=4,
+        similarity_bias=0.5,
+    )
+    matches = loc.localize_all(candidates)
+    return match_metric(gt, matches).ap
 
 
 if __name__ == "__main__":
