@@ -95,12 +95,12 @@ def run_measurement():
     rng = np.random.default_rng(0)
     q, r, noise = make_data(rng)
 
-    # TPU: stage index once, warmup (compile), then best-of-3 timed
+    # TPU: stage index once, warmup (compile), then best-of-5 timed
     # query runs (the host link adds run-to-run jitter).
     searcher = tpu_build(r, noise)
     tpu_pipeline(q, searcher)
     tpu_time = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         qi, ri, scores = tpu_pipeline(q, searcher)
         tpu_time = min(tpu_time, time.perf_counter() - t0)
