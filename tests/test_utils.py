@@ -1,7 +1,6 @@
 """Utility-layer tests: checkpoint round-trip, profiling hook, umbrella
 CLI listing."""
 
-import io
 import subprocess
 import sys
 

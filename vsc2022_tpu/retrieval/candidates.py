@@ -11,7 +11,7 @@ extensions for experimentation.
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
