@@ -84,3 +84,24 @@ class TestShardedScoreNormSearch:
         np.testing.assert_array_equal(hq, sq)
         np.testing.assert_array_equal(hr, sr)
         np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+
+class TestShardedFuzz:
+    def test_random_float_workloads_match_single(self, mesh):
+        rng = np.random.RandomState(21)
+        for _ in range(4):
+            nq = int(rng.randint(4, 40))
+            nr = int(rng.randint(30, 500))
+            d = int(rng.choice([8, 48]))
+            q = rng.randn(nq, d).astype(np.float32)
+            r = rng.randn(nr, d).astype(np.float32)
+            k = int(rng.randint(1, nq * nr + 1))
+            single = SimilaritySearcher(r)
+            sharded = ShardedSimilaritySearcher(r, mesh)
+            sq, sr, ss = single.global_topk(q, k)
+            hq, hr, hs = sharded.global_topk(q, k)
+            # Same pair sets (ordering can differ only on exact float
+            # ties, which random floats don't produce).
+            np.testing.assert_array_equal(hq, sq)
+            np.testing.assert_array_equal(hr, sr)
+            np.testing.assert_allclose(hs, ss, rtol=1e-5, atol=1e-5)
