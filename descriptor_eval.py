@@ -33,11 +33,22 @@ parser.add_argument(
 parser.add_argument(
     "--candidates_output", help="Path to write the candidates CSV file.", type=str
 )
+parser.add_argument(
+    "--sharded", action="store_true",
+    help="Shard the reference corpus across all local devices.",
+)
 
 
 def main(args):
+    protocol = None
+    if args.sharded:
+        from vsc2022_tpu.descriptor_eval_lib import DescriptorEvalProtocol
+        from vsc2022_tpu.parallel import corpus_mesh
+
+        protocol = DescriptorEvalProtocol(mesh=corpus_mesh())
     ap, candidates = evaluate_descriptor_track(
-        args.query_features, args.ref_features, args.ground_truth
+        args.query_features, args.ref_features, args.ground_truth,
+        protocol=protocol,
     )
     if ap is not None:
         logger.info(f"Descriptor track micro-AP (uAP): {ap.ap:.4f}")
