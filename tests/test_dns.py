@@ -163,7 +163,7 @@ class TestDnSTwoStageFlow:
 
         # fg + score-norm is rejected (reference rule).
         import pytest as _pytest
-        with _pytest.raises(Exception, match="can not be combined"):
+        with _pytest.raises(Exception, match="score normalization"):
             dns_index.main(argparse.Namespace(
                 query_features=str(tmp_path / "q.npz"),
                 ref_features=str(tmp_path / "r.npz"),

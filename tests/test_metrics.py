@@ -1,5 +1,10 @@
-"""Metric-layer tests: bit-compatibility with the reference definitions
-(modeled on reference tests/test_metrics.py; engine-free)."""
+"""Metric-layer tests.
+
+The numeric cases are the spec: golden AP values, the VCSL figure-4f
+counterexample, tie/order invariance and CSV round-trips must match the
+reference definitions bit-for-bit (reference: vsc/metrics.py and its
+tests). Scaffolding here is pytest-native and parametrized.
+"""
 
 import io
 import tempfile
@@ -19,200 +24,200 @@ from vsc2022_tpu.metrics import (
     match_metric,
 )
 
+Q1R2 = ("Q1", "R2")
 
-def match(
-    query_start,
-    query_end,
-    ref_start,
-    ref_end,
-    score=1.0,
-    query_id="Q1",
-    ref_id="R2",
-):
+
+def seg(box, s=1.0, pair=Q1R2):
+    """Segment match from a (q_start, q_end, r_start, r_end) box."""
+    qs, qe, rs, re = box
     return Match(
-        query_id=query_id,
-        ref_id=ref_id,
-        query_start=query_start,
-        query_end=query_end,
-        ref_start=ref_start,
-        ref_end=ref_end,
-        score=score,
+        query_id=pair[0],
+        ref_id=pair[1],
+        score=s,
+        query_start=qs,
+        query_end=qe,
+        ref_start=rs,
+        ref_end=re,
     )
+
+
+def segment_ap(gt, preds) -> float:
+    return match_metric(gt, preds).ap
 
 
 class TestIntervals:
     def test_intersect_length(self):
         a = Intervals([(2, 5), (7, 8)])
-        b = Intervals([(1, 3), (4, 7)])
-        c = Intervals([(-1, 0), (3.5, 12)])
-        assert a.intersect_length(b) == pytest.approx(2)
-        assert a.intersect_length(c) == pytest.approx(2.5)
+        assert a.intersect_length(Intervals([(1, 3), (4, 7)])) == pytest.approx(2)
+        assert a.intersect_length(
+            Intervals([(-1, 0), (3.5, 12)])
+        ) == pytest.approx(2.5)
 
-    def test_touching_merge(self):
-        a = Intervals([(0, 1), (1, 2), (5, 6)])
-        assert a.intervals == [(0, 2), (5, 6)]
-        assert a.total_length() == pytest.approx(3)
+    def test_touching_intervals_coalesce(self):
+        merged = Intervals([(0, 1), (1, 2), (5, 6)])
+        assert merged.intervals == [(0, 2), (5, 6)]
+        assert merged.total_length() == pytest.approx(3)
 
-    def test_add(self):
-        a = Intervals([(0, 1)])
-        a.add((0.5, 3))
-        assert a.intervals == [(0, 3)]
+    def test_add_extends_in_place(self):
+        ivs = Intervals([(0, 1)])
+        ivs.add((0.5, 3))
+        assert ivs.intervals == [(0, 3)]
 
 
-class TestMatchMetric:
-    def score(self, gt, predictions):
-        return match_metric(gt, predictions).ap
+class TestSegmentAP:
+    def test_exact_hit_scores_one(self):
+        truth = [seg((4, 14, 10, 18))]
+        assert segment_ap(truth, [seg((4, 14, 10, 18))]) == pytest.approx(1.0)
 
-    def test_perfect(self):
-        gt = [match(4, 14, 10, 18)]
-        detections = [match(4, 14, 10, 18, score=1.0)]
-        assert self.score(gt, detections) == pytest.approx(1.0)
+    def test_two_piece_cover_still_one(self):
+        # The GT segment found as two disjoint predictions is a full hit.
+        truth = [seg((4, 14, 10, 18))]
+        preds = [seg((4, 8, 10, 14), s=1.0), seg((8, 14, 14, 18), s=2.0)]
+        assert segment_ap(truth, preds) == pytest.approx(1.0)
 
-    def test_split(self):
-        gt = [match(4, 14, 10, 18)]
-        detections = [
-            match(4, 8, 10, 14, score=1.0),
-            match(8, 14, 14, 18, score=2.0),
+    @pytest.mark.parametrize(
+        "sloppy_score,lo,hi",
+        [
+            # Imprecise box ranked last → near-perfect metric.
+            (0.0, 0.9, 1.0),
+            # Same boxes, imprecise one ranked first → heavy penalty.
+            (3.0, 0.0, 0.5),
+        ],
+    )
+    def test_calibration_sensitivity(self, sloppy_score, lo, hi):
+        truth = [seg((4, 14, 10, 18))]
+        preds = [
+            seg((4, 8, 10, 14), s=1.0),
+            seg((8, 14, 16, 18), s=2.0),
+            seg((0, 30, 5, 25), s=sloppy_score),
         ]
-        assert self.score(gt, detections) == pytest.approx(1.0)
+        value = segment_ap(truth, preds)
+        assert lo < value < hi
 
-    def test_imperfect_calibrated(self):
-        gt = [match(4, 14, 10, 18)]
-        detections = [
-            match(4, 8, 10, 14, score=1.0),
-            match(8, 14, 16, 18, score=2.0),
-            match(0, 30, 5, 25, score=0.0),
+    def test_vcsl_fig4f_counterexample(self):
+        # Two GT boxes and two predictions whose per-axis projections
+        # line up but which never overlap as 2-D boxes. Without the
+        # overlap gate the metric would read 1.0; the corrected
+        # definition reads 0.
+        truth = [seg((4, 14, 10, 18)), seg((20, 28, 21, 29))]
+        preds = [seg((4, 14, 21, 29)), seg((20, 28, 10, 18))]
+        assert segment_ap(truth, preds) == pytest.approx(0.0)
+
+    def test_one_hit_in_three_pairs(self):
+        truth = [seg((4, 14, 10, 18), pair=Q1R2)]
+        preds = [
+            seg((4, 14, 10, 18), s=3.0, pair=("Q2", "R2")),
+            seg((4, 14, 10, 18), s=2.0, pair=("Q1", "R1")),
+            seg((4, 14, 10, 18), s=1.0, pair=Q1R2),
         ]
-        metric = self.score(gt, detections)
-        assert 0.9 < metric < 1.0
+        assert segment_ap(truth, preds) == pytest.approx(1 / 3.0)
 
-    def test_imperfect_poorly_calibrated(self):
-        gt = [match(4, 14, 10, 18)]
-        detections = [
-            match(4, 8, 10, 14, score=1.0),
-            match(8, 14, 16, 18, score=2.0),
-            match(0, 30, 5, 25, score=3.0),
-        ]
-        assert self.score(gt, detections) < 0.5
-
-    def test_vcsl_fig4f(self):
-        # No GT/pred overlap → metric must be 0 (overlap-gated GT fix).
-        gt = [match(4, 14, 10, 18), match(20, 28, 21, 29)]
-        detections = [
-            match(4, 14, 21, 29, score=1.0),
-            match(20, 28, 10, 18, score=1.0),
-        ]
-        assert self.score(gt, detections) == pytest.approx(0.0)
-
-    def test_multiple_pairs(self):
-        gt = [match(4, 14, 10, 18, query_id="Q1", ref_id="R2")]
-        detections = [
-            match(4, 14, 10, 18, score=3.0, query_id="Q2", ref_id="R2"),
-            match(4, 14, 10, 18, score=2.0, query_id="Q1", ref_id="R1"),
-            match(4, 14, 10, 18, score=1.0, query_id="Q1", ref_id="R2"),
-        ]
-        assert self.score(gt, detections) == pytest.approx(1 / 3.0)
-
-    def test_robustness_to_order(self):
-        gt = [match(4, 14, 10, 18, query_id="Q1", ref_id="R2")]
-        detections = [
-            match(4, 10, 10, 14, score=3.0, query_id="Q1", ref_id="R2"),
-            match(4, 10, 10, 14, score=3.0, query_id="Q2", ref_id="R1"),
-            match(4, 14, 10, 18, score=2.0, query_id="Q1", ref_id="R1"),
-            match(4, 14, 10, 18, score=1.0, query_id="Q2", ref_id="R2"),
-            match(4, 14, 10, 18, score=1.0, query_id="Q2", ref_id="R1"),
-            match(10, 14, 14, 18, score=1.0, query_id="Q1", ref_id="R2"),
+    def test_input_order_invariance(self):
+        truth = [seg((4, 14, 10, 18), pair=Q1R2)]
+        preds = [
+            seg((4, 10, 10, 14), s=3.0, pair=Q1R2),
+            seg((4, 10, 10, 14), s=3.0, pair=("Q2", "R1")),
+            seg((4, 14, 10, 18), s=2.0, pair=("Q1", "R1")),
+            seg((4, 14, 10, 18), s=1.0, pair=("Q2", "R2")),
+            seg((4, 14, 10, 18), s=1.0, pair=("Q2", "R1")),
+            seg((10, 14, 14, 18), s=1.0, pair=Q1R2),
         ]
         rng = np.random.RandomState(0)
-        metrics = []
+        seen = set()
         for _ in range(10):
-            rng.shuffle(detections)
-            metrics.append(self.score(gt, detections))
-        assert len(set(metrics)) == 1
+            rng.shuffle(preds)
+            seen.add(segment_ap(truth, preds))
+        assert len(seen) == 1
 
 
-class TestEvaluateMatchingTrack:
-    def run_csv_test(self, gt, detections) -> float:
-        with tempfile.NamedTemporaryFile() as gt_file:
-            with tempfile.NamedTemporaryFile() as det_file:
-                Match.write_csv(gt, gt_file.name)
-                Match.write_csv(detections, det_file.name)
-                return evaluate_matching_track(
-                    gt_file.name, det_file.name
-                ).segment_ap.ap
+class TestMatchingTrackFromCsv:
+    def eval_files(self, gt_rows, pred_rows) -> float:
+        with tempfile.NamedTemporaryFile() as gt_f, tempfile.NamedTemporaryFile() as pr_f:
+            Match.write_csv(gt_rows, gt_f.name)
+            Match.write_csv(pred_rows, pr_f.name)
+            return evaluate_matching_track(gt_f.name, pr_f.name).segment_ap.ap
 
-    def test_multiple_pairs(self):
-        gt = [match(4, 14, 10, 18, query_id=1, ref_id=2)]
-        detections = [
-            match(4, 14, 10, 18, score=3.0, query_id=2, ref_id=2),
-            match(4, 14, 10, 18, score=2.0, query_id=1, ref_id=1),
-            match(4, 14, 10, 18, score=1.0, query_id=1, ref_id=2),
+    def test_int_ids_formatted_on_read(self):
+        truth = [seg((4, 14, 10, 18), pair=(1, 2))]
+        preds = [
+            seg((4, 14, 10, 18), s=3.0, pair=(2, 2)),
+            seg((4, 14, 10, 18), s=2.0, pair=(1, 1)),
+            seg((4, 14, 10, 18), s=1.0, pair=(1, 2)),
         ]
-        assert self.run_csv_test(gt, detections) == pytest.approx(1 / 3.0)
+        assert self.eval_files(truth, preds) == pytest.approx(1 / 3.0)
 
-    def test_inline_csv_column_order_and_int_ids(self):
-        gt_str = (
+    def test_any_column_order_and_missing_gt_score(self):
+        gt_csv = (
             "query_start,query_end,ref_start,ref_end,query_id,ref_id\n"
             "4,14,10,18,Q000001,R000002\n"
         )
-        predictions_str = (
+        pred_csv = (
             "query_id,ref_id,query_start,query_end,ref_start,ref_end,score\n"
             "2,2,4,14,10,18,3.0\n"
             "1,1,4,14,10,18,2.0\n"
             "1,2,4,14,10,18,1.0\n"
         )
-        with tempfile.NamedTemporaryFile("wt") as gt_file:
-            with tempfile.NamedTemporaryFile("wt") as det_file:
-                gt_file.write(gt_str)
-                gt_file.flush()
-                det_file.write(predictions_str)
-                det_file.flush()
-                metrics = evaluate_matching_track(gt_file.name, det_file.name)
-        assert metrics.segment_ap.ap == pytest.approx(1 / 3.0)
+        with tempfile.NamedTemporaryFile("wt") as gt_f, tempfile.NamedTemporaryFile(
+            "wt"
+        ) as pr_f:
+            gt_f.write(gt_csv)
+            gt_f.flush()
+            pr_f.write(pred_csv)
+            pr_f.flush()
+            result = evaluate_matching_track(gt_f.name, pr_f.name)
+        assert result.segment_ap.ap == pytest.approx(1 / 3.0)
 
 
-def make_candidate(query_id, ref_id, score):
+def cand(query, ref, score):
     return CandidatePair(
-        format_video_id(query_id, Dataset.QUERIES),
-        format_video_id(ref_id, Dataset.REFS),
+        format_video_id(query, Dataset.QUERIES),
+        format_video_id(ref, Dataset.REFS),
         score,
     )
 
 
-class TestDescriptorTrack:
-    def ap(self, gt, predictions):
-        metrics = average_precision(gt, predictions)
-        assert metrics.ap == pytest.approx(metrics.simple_ap)
-        return metrics.ap
+class TestDescriptorMicroAP:
+    TWO_POSITIVES = [cand(1, 10, 1.0), cand(2, 11, 1.0)]
 
-    def test_uap(self):
-        C = make_candidate
-        gt = [C(1, 10, 1.0), C(2, 11, 1.0)]
-        assert self.ap(gt, [C(1, 10, 8.0), C(2, 11, 4.0), C(99, 99, 2.0)]) == 1.0
-        assert self.ap(
-            gt, [C(1, 10, 8.0), C(2, 11, 4.0), C(99, 99, 5.0)]
-        ) == pytest.approx(np.mean([1, 2 / 3]))
-        assert self.ap(
-            gt, [C(1, 10, 3.0), C(2, 10, 2.0), C(99, 99, 1.0)]
-        ) == pytest.approx(np.mean([1, 0]))
-        assert self.ap(
-            gt, [C(1, 10, 2.0), C(2, 10, 3.0), C(99, 99, 1.0)]
-        ) == pytest.approx(np.mean([1 / 2, 0]))
+    @pytest.mark.parametrize(
+        "preds,expected",
+        [
+            # Both positives ranked above the junk pair.
+            ([cand(1, 10, 8.0), cand(2, 11, 4.0), cand(99, 99, 2.0)], 1.0),
+            # Junk pair splits the positives.
+            (
+                [cand(1, 10, 8.0), cand(2, 11, 4.0), cand(99, 99, 5.0)],
+                np.mean([1, 2 / 3]),
+            ),
+            # Second positive predicted against the wrong ref.
+            (
+                [cand(1, 10, 3.0), cand(2, 10, 2.0), cand(99, 99, 1.0)],
+                np.mean([1, 0]),
+            ),
+            # Wrong pair additionally outranks the true one.
+            (
+                [cand(1, 10, 2.0), cand(2, 10, 3.0), cand(99, 99, 1.0)],
+                np.mean([1 / 2, 0]),
+            ),
+        ],
+    )
+    def test_uap_golden_values(self, preds, expected):
+        result = average_precision(self.TWO_POSITIVES, preds)
+        # On these small exhaustive cases canonical == simple AP.
+        assert result.ap == pytest.approx(result.simple_ap)
+        assert result.ap == pytest.approx(expected)
 
-    def test_duplicate_detection(self):
-        C = make_candidate
-        gt = [C(1, 10, 1.0)]
+    def test_rejects_duplicate_predictions(self):
+        truth = [cand(1, 10, 1.0)]
         with pytest.raises(AssertionError):
-            average_precision(gt, [C(1, 10, 1.0), C(1, 10, 2.0)])
+            average_precision(truth, [cand(1, 10, 1.0), cand(1, 10, 2.0)])
 
     def test_candidate_csv_roundtrip(self):
-        C = make_candidate
-        candidates = [C(1, 10, 1.0), C(2, 11, 2.0)]
+        pairs = [cand(1, 10, 1.0), cand(2, 11, 2.0)]
         with io.StringIO() as buf:
-            CandidatePair.write_csv(candidates, buf)
+            CandidatePair.write_csv(pairs, buf)
             buf.seek(0)
-            recovered = CandidatePair.read_csv(buf)
-        assert candidates == recovered
+            assert CandidatePair.read_csv(buf) == pairs
 
 
 class TestBinaryAveragePrecision:
@@ -238,14 +243,12 @@ class TestBinaryAveragePrecision:
             assert ours == pytest.approx(theirs, abs=1e-12)
 
 
-class TestMatchSerialization:
-    def test_roundtrip(self):
-        matches = [
-            match(4, 8, 10, 14, score=1.0, query_id="Q123456", ref_id="R000100"),
-            match(8, 14, 14, 18, score=2.0, query_id="Q000011", ref_id="R000101"),
-        ]
-        with io.StringIO() as buf:
-            Match.write_csv(matches, buf)
-            buf.seek(0)
-            recovered = Match.read_csv(buf)
-        assert matches == recovered
+def test_match_csv_roundtrip():
+    rows = [
+        seg((4, 8, 10, 14), s=1.0, pair=("Q123456", "R000100")),
+        seg((8, 14, 14, 18), s=2.0, pair=("Q000011", "R000101")),
+    ]
+    with io.StringIO() as buf:
+        Match.write_csv(rows, buf)
+        buf.seek(0)
+        assert Match.read_csv(buf) == rows

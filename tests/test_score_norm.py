@@ -73,7 +73,7 @@ class TestScoreNormalize:
     def test_eval_set_overlap_rejected(self):
         rng = np.random.RandomState(2)
         queries, refs, _ = make_data(rng)
-        with pytest.raises(Exception, match="against VSC rules"):
+        with pytest.raises(Exception, match="independent dataset"):
             score_normalize(queries, refs, refs)
 
     def test_transform_features_preserves_metadata(self):

@@ -87,60 +87,53 @@ def index_videos(
     return indexed
 
 
-def main(args):
-    if args.student == "fg" and args.score_norm_features:
-        raise Exception(
-            f"Student type {args.student} can not be combined with score "
-            "normalization."
-        )
+def _build_student(args) -> DnSStudent:
     params = None
     if args.checkpoint_path:
         from vsc2022_tpu.utils.checkpoint import load_variables
 
         params = load_variables(args.checkpoint_path)
-    model = DnSStudent(
-        args.student, args.fg_type if args.student == "fg" else None,
-        params=params,
+    fg_type = args.fg_type if args.student == "fg" else None
+    return DnSStudent(args.student, fg_type, params=params)
+
+
+def _load_and_reencode(
+    model: DnSStudent, path: str, dataset: Dataset, role: str
+) -> List[VideoFeature]:
+    logger.info(f"Re-encoding {role} ({path}) through {model.get_network_name()}")
+    videos = load_features(path, dataset)
+    logger.info(f"  {len(videos)} {role} videos")
+    return index_videos(model, videos)
+
+
+def main(args):
+    if args.student == "fg" and args.score_norm_features:
+        raise Exception(
+            "Fine-grained student output feeds the localizer directly; "
+            "score normalization only applies to the coarse (cg) student."
+        )
+    model = _build_student(args)
+
+    out_queries = _load_and_reencode(
+        model, args.query_features, Dataset.QUERIES, "queries"
     )
-    extension = model.get_network_name()
+    out_refs = _load_and_reencode(model, args.ref_features, Dataset.REFS, "refs")
 
-    logger.info(f"Loading query features from {args.query_features}")
-    queries = load_features(args.query_features, Dataset.QUERIES)
-    logger.info(f"{len(queries)} queries loaded")
-    logger.info(f"Index query features based on {extension}")
-    indexed_queries = index_videos(model, queries)
-
-    logger.info(f"Loading ref features from {args.ref_features}")
-    refs = load_features(args.ref_features, Dataset.REFS)
-    logger.info(f"{len(refs)} refs loaded")
-    logger.info(f"Index ref features based on {extension}")
-    indexed_refs = index_videos(model, refs)
-
+    suffix = model.get_network_name()
     if args.score_norm_features:
-        logger.info(
-            f"Loading features for score normalization from "
-            f"{args.score_norm_features}"
+        noise = _load_and_reencode(
+            model, args.score_norm_features, Dataset.REFS, "score-norm refs"
         )
-        sn_refs = load_features(args.score_norm_features, Dataset.REFS)
-        logger.info(f"{len(sn_refs)} features loaded")
-        logger.info(f"Index score normalization features based on {extension}")
-        sn_refs = index_videos(model, sn_refs)
-        indexed_queries, indexed_refs = score_normalize(
-            indexed_queries,
-            indexed_refs,
-            sn_refs,
-            replace_dim=False,
-            beta=1.2,
+        out_queries, out_refs = score_normalize(
+            out_queries, out_refs, noise, replace_dim=False, beta=1.2
         )
-        extension += "_sn"
+        suffix += "_sn"
 
     os.makedirs(args.output_path, exist_ok=True)
-    store_features(
-        os.path.join(args.output_path, f"queries_{extension}.npz"), indexed_queries
-    )
-    store_features(
-        os.path.join(args.output_path, f"refs_{extension}.npz"), indexed_refs
-    )
+    for name, videos in (("queries", out_queries), ("refs", out_refs)):
+        target = os.path.join(args.output_path, f"{name}_{suffix}.npz")
+        store_features(target, videos)
+        logger.info(f"Wrote {target}")
 
 
 if __name__ == "__main__":

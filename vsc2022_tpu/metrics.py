@@ -11,6 +11,9 @@ identical; internals differ:
     layer has no sklearn dependency.
   * Interval union/merge is vectorized with numpy instead of a Python
     sweep (reference: vsc/metrics.py:154-169).
+  * Segment-AP bookkeeping carries (query-axis, ref-axis) quantities as
+    length-2 vectors rather than per-axis dict plumbing, and the
+    DrivenData AP realizes the GT left-merge as a set-membership lookup.
 
 Matching-track metric semantics (reference: vsc/metrics.py:238-378):
 segment AP over predictions sorted by score, tie-groups updated together,
@@ -21,10 +24,8 @@ count toward the intersection once they overlap at least one prediction
 
 from __future__ import annotations
 
-import collections
 import dataclasses
 import enum
-import itertools
 from math import sqrt
 from typing import (
     Collection,
@@ -49,22 +50,27 @@ class Dataset(enum.Enum):
 def format_video_id(video_id: Union[str, int], dataset: Optional[Dataset]) -> str:
     """Normalize a video id to the ``Q%06d`` / ``R%06d`` convention.
 
-    (reference: vsc/metrics.py:26-40)
+    Integer ids are rendered with the dataset's prefix; string ids pass
+    through after a prefix sanity check. (reference: vsc/metrics.py:26-40)
     """
+    prefix = None if dataset is None else dataset.value
+    if isinstance(video_id, str):
+        # np.str_ is a str subclass, so ids loaded from npz land here too.
+        if prefix is not None and not video_id.startswith(prefix):
+            raise AssertionError(
+                f"video id {video_id!r} lacks the {prefix!r} prefix "
+                f"expected for {dataset}"
+            )
+        return video_id
     if isinstance(video_id, (int, np.integer)):
-        if dataset is None:
+        if prefix is None:
             raise ValueError(
                 "Unable to convert integer video_id without a Dataset enum"
             )
-        return f"{dataset.value}{video_id:06d}"
-    assert isinstance(
-        video_id, str
-    ), f"unexpected video_id: {video_id} of type {type(video_id)}"
-    if dataset is not None:
-        assert (
-            video_id[0] == dataset.value
-        ), f"dataset mismatch? got {video_id} for dataset {dataset}"
-    return video_id
+        return f"{prefix}{int(video_id):06d}"
+    raise AssertionError(
+        f"video id must be str or int; got {type(video_id).__name__}"
+    )
 
 
 @dataclasses.dataclass
@@ -80,15 +86,19 @@ class CandidatePair:
 
     @classmethod
     def to_dataframe(cls, candidates: Collection["CandidatePair"]) -> pd.DataFrame:
+        if not candidates:
+            return pd.DataFrame([])
         return pd.DataFrame(
-            [
-                {
-                    "query_id": format_video_id(c.query_id, Dataset.QUERIES),
-                    "ref_id": format_video_id(c.ref_id, Dataset.REFS),
-                    "score": c.score,
-                }
-                for c in candidates
-            ],
+            {
+                "query_id": [
+                    format_video_id(c.query_id, Dataset.QUERIES)
+                    for c in candidates
+                ],
+                "ref_id": [
+                    format_video_id(c.ref_id, Dataset.REFS) for c in candidates
+                ],
+                "score": [c.score for c in candidates],
+            }
         )
 
     @classmethod
@@ -111,17 +121,16 @@ class CandidatePair:
 
     @classmethod
     def from_matches(cls, matches: Collection["Match"]) -> List["CandidatePair"]:
-        """Per-pair max-score reduction over segment matches.
-
-        (reference: vsc/metrics.py:85-93)
-        """
-        scores: Dict[Tuple[str, str], float] = collections.defaultdict(float)
+        """Per-pair max-score reduction over segment matches; scores are
+        floored at 0.0 as in the reference (vsc/metrics.py:85-93, whose
+        defaultdict(float) starts every pair at zero)."""
+        best: Dict[Tuple[str, str], float] = {}
         for m in matches:
-            key = (m.query_id, m.ref_id)
-            scores[key] = max(m.score, scores[key])
+            k = (m.query_id, m.ref_id)
+            best[k] = max(best.get(k, 0.0), m.score)
         return [
             CandidatePair(query_id=q, ref_id=r, score=s)
-            for ((q, r), s) in scores.items()
+            for (q, r), s in best.items()
         ]
 
 
@@ -236,6 +245,13 @@ class Match(NamedTuple):
             return (self.query_start, self.query_end)
         return (self.ref_start, self.ref_end)
 
+    def spans(self) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+        """(query span, ref span) — index 0/1 = the two time axes."""
+        return (
+            (self.query_start, self.query_end),
+            (self.ref_start, self.ref_end),
+        )
+
     def intersection_area(self, other: "Match") -> float:
         dq = min(self.query_end, other.query_end) - max(
             self.query_start, other.query_start
@@ -248,23 +264,25 @@ class Match(NamedTuple):
 
     @classmethod
     def write_csv(cls, matches: Collection["Match"], file: Union[str, TextIO]):
-        df = pd.DataFrame([m._asdict() for m in matches], columns=cls._fields)
-        df.to_csv(file, index=False)
+        # NamedTuples unpack directly as DataFrame rows.
+        pd.DataFrame(list(matches), columns=cls._fields).to_csv(file, index=False)
 
     @classmethod
     def read_csv(
         cls, file: Union[str, TextIO], is_gt: bool = False, check: bool = True
     ) -> List["Match"]:
         df = pd.read_csv(file)
-        df["query_id"] = df.query_id.map(lambda x: format_video_id(x, Dataset.QUERIES))
-        df["ref_id"] = df.ref_id.map(lambda x: format_video_id(x, Dataset.REFS))
+        df["query_id"] = [
+            format_video_id(v, Dataset.QUERIES) for v in df["query_id"]
+        ]
+        df["ref_id"] = [format_video_id(v, Dataset.REFS) for v in df["ref_id"]]
         if is_gt:
             # GT scores are not meaningful; force 1.0
             # (reference: vsc/metrics.py:230-231).
             df["score"] = 1.0
         if check:
-            for field in cls._fields:
-                assert not df[field].isna().any(), f"NaN in column {field}"
+            na_cols = [f for f in cls._fields if df[f].isna().any()]
+            assert not na_cols, f"NaN values in column(s): {na_cols}"
             # Negative-length segments would poison the interval algebra
             # downstream (division by a cancelled total); fail loudly here
             # instead. (The reference crashes with ZeroDivisionError.)
@@ -278,50 +296,56 @@ class Match(NamedTuple):
 
 
 class VideoPair:
-    """Incremental per-(query, ref) matching state.
+    """Incremental per-(query, ref) matching state for segment AP.
 
-    ``add_prediction`` returns the *deltas* of per-axis GT-intersection
-    and prediction-total lengths, where only GT boxes overlapping at
-    least one prediction contribute to the intersection (the VCSL
-    figure-4f correction; reference: vsc/metrics.py:238-301).
+    Carries per-axis quantities as length-2 vectors (index 0 = query
+    time axis, 1 = ref time axis): ``covered`` is the length of GT that
+    predictions intersect, ``claimed`` the total length predictions
+    span. A GT box participates in ``covered`` only once at least one
+    prediction touches it — the VCSL figure-4f correction
+    (reference semantics: vsc/metrics.py:238-301).
     """
 
+    __slots__ = ("gts", "preds", "covered", "claimed")
+
     def __init__(self):
-        self.intersections: Dict[Axis, float] = {axis: 0.0 for axis in Axis}
-        self.totals: Dict[Axis, float] = {axis: 0.0 for axis in Axis}
         self.gts: List[Match] = []
         self.preds: List[Match] = []
-
-    def total_gt_length(self, axis: Axis) -> float:
-        return Intervals([gt.interval(axis) for gt in self.gts]).total_length()
-
-    def total_pred_length(self, axis: Axis) -> float:
-        return Intervals([p.interval(axis) for p in self.preds]).total_length()
-
-    def gt_overlaps(self, gt: Match) -> bool:
-        return any(gt.overlaps(pred) for pred in self.preds)
+        self.covered = np.zeros(2)
+        self.claimed = np.zeros(2)
 
     def add_gt(self, bbox: Match):
         self.gts.append(bbox)
 
-    def add_prediction(
-        self, bbox: Match
-    ) -> Tuple[Dict[Axis, float], Dict[Axis, float]]:
-        self.preds.append(bbox)
-        gts_to_consider = [gt for gt in self.gts if self.gt_overlaps(gt)]
+    def total_gt_length(self) -> np.ndarray:
+        """GT union length per axis, as a (2,) vector."""
+        per_axis = zip(*(gt.spans() for gt in self.gts)) if self.gts else ((), ())
+        return np.array(
+            [Intervals(list(spans)).total_length() for spans in per_axis]
+        )
 
-        intersect_deltas: Dict[Axis, float] = {}
-        total_deltas: Dict[Axis, float] = {}
-        for axis in Axis:
-            pred_ints = Intervals([p.interval(axis) for p in self.preds])
-            gt_ints = Intervals([gt.interval(axis) for gt in gts_to_consider])
-            intersect_length = pred_ints.intersect_length(gt_ints)
-            prediction_length = pred_ints.total_length()
-            intersect_deltas[axis] = intersect_length - self.intersections[axis]
-            total_deltas[axis] = prediction_length - self.totals[axis]
-            self.intersections[axis] = intersect_length
-            self.totals[axis] = prediction_length
-        return intersect_deltas, total_deltas
+    def add_prediction(self, bbox: Match) -> Tuple[np.ndarray, np.ndarray]:
+        """Fold one prediction in; return the (2,) deltas of
+        (GT-intersection length, prediction-total length) per axis."""
+        self.preds.append(bbox)
+        # Only GT boxes touched by some prediction count (fig. 4f).
+        active = [
+            gt
+            for gt in self.gts
+            if any(gt.overlaps(p) for p in self.preds)
+        ]
+
+        state = np.empty((2, 2))  # rows: covered, claimed; cols: axis
+        for ax in range(2):
+            pred_union = Intervals([p.spans()[ax] for p in self.preds])
+            gt_union = Intervals([g.spans()[ax] for g in active])
+            state[0, ax] = pred_union.intersect_length(gt_union)
+            state[1, ax] = pred_union.total_length()
+
+        covered_delta = state[0] - self.covered
+        claimed_delta = state[1] - self.claimed
+        self.covered, self.claimed = state[0], state[1]
+        return covered_delta, claimed_delta
 
 
 def _match_metric_native(
@@ -388,60 +412,60 @@ def match_metric(
 
     AP = Σ P(i) ΔR(i) with P = √(P_q·P_r), R = √(R_q·R_r); predictions
     visited in descending score order, score ties applied as one group
-    (reference: vsc/metrics.py:304-378). Runs the C++ core when
-    available (vsc2022_tpu/native); the Python path below is the
-    reference semantics and the fallback.
+    (reference semantics: vsc/metrics.py:304-378). Runs the C++ core
+    when available (vsc2022_tpu/native); the Python path below is the
+    fallback.
     """
     if gts and predictions:
         native = _match_metric_native(gts, predictions)
         if native is not None:
             return native
 
-    predictions = sorted(predictions, key=lambda x: x.score, reverse=True)
-
-    video_pairs: Dict[Tuple[str, str], VideoPair] = collections.defaultdict(VideoPair)
+    ledgers: Dict[Tuple[str, str], VideoPair] = {}
     for gt in gts:
-        video_pairs[gt.pair_id()].add_gt(gt)
+        ledgers.setdefault(gt.pair_id(), VideoPair()).add_gt(gt)
 
-    gt_total_lengths = {axis: 0.0 for axis in Axis}
-    for pair in video_pairs.values():
-        for axis in Axis:
-            gt_total_lengths[axis] += pair.total_gt_length(axis)
-
-    recall = 0.0
-    metric = 0.0
-    intersections = {axis: 0.0 for axis in Axis}
-    totals = {axis: 0.0 for axis in Axis}
-    pr_recalls: List[float] = []
-    pr_precisions: List[float] = []
-    pr_scores: List[float] = []
-
-    for score, group in itertools.groupby(predictions, key=lambda x: x.score):
-        for prediction in group:
-            intersect_deltas, total_deltas = video_pairs[
-                prediction.pair_id()
-            ].add_prediction(prediction)
-            for axis in Axis:
-                intersections[axis] += intersect_deltas[axis]
-                totals[axis] += total_deltas[axis]
-
-        recalls = {axis: intersections[axis] / gt_total_lengths[axis] for axis in Axis}
-        precisions = {axis: intersections[axis] / totals[axis] for axis in Axis}
-        new_recall = sqrt(recalls[Axis.QUERY] * recalls[Axis.REF])
-        precision = sqrt(precisions[Axis.QUERY] * precisions[Axis.REF])
-
-        delta_recall = new_recall - recall
-        metric += precision * delta_recall
-        recall = new_recall
-        if delta_recall > 0:
-            pr_recalls.append(recall)
-            pr_precisions.append(precision)
-            pr_scores.append(score)
-
-    curve = PrecisionRecallCurve(
-        np.array(pr_precisions), np.array(pr_recalls), np.array(pr_scores)
+    # Denominator: total GT length per axis across all pairs, (2,).
+    gt_span = sum(
+        (pair.total_gt_length() for pair in ledgers.values()),
+        start=np.zeros(2),
     )
-    return AveragePrecision(metric, curve)
+
+    ranked = sorted(predictions, key=lambda m: m.score, reverse=True)
+    covered = np.zeros(2)
+    claimed = np.zeros(2)
+    ap = 0.0
+    last_recall = 0.0
+    curve_rows: List[Tuple[float, float, float]] = []  # (P, R, score)
+
+    # Walk tie groups: all predictions sharing a score land together.
+    i = 0
+    while i < len(ranked):
+        j = i + 1
+        while j < len(ranked) and ranked[j].score == ranked[i].score:
+            j += 1
+        for pred in ranked[i:j]:
+            ledger = ledgers.setdefault(pred.pair_id(), VideoPair())
+            covered_delta, claimed_delta = ledger.add_prediction(pred)
+            covered += covered_delta
+            claimed += claimed_delta
+
+        # Plain-float division so an empty axis raises ZeroDivisionError,
+        # as the reference does.
+        recall_qr = [float(covered[ax]) / float(gt_span[ax]) for ax in range(2)]
+        precision_qr = [float(covered[ax]) / float(claimed[ax]) for ax in range(2)]
+        recall = sqrt(recall_qr[0] * recall_qr[1])
+        precision = sqrt(precision_qr[0] * precision_qr[1])
+
+        ap += precision * (recall - last_recall)
+        if recall > last_recall:
+            curve_rows.append((precision, recall, ranked[i].score))
+        last_recall = recall
+        i = j
+
+    columns = list(zip(*curve_rows)) if curve_rows else ([], [], [])
+    curve = PrecisionRecallCurve(*(np.array(col) for col in columns))
+    return AveragePrecision(ap, curve)
 
 
 @dataclasses.dataclass
@@ -507,33 +531,36 @@ def average_precision(
     Includes the canonical DrivenData AP (rescaled by the fraction of GT
     positives that are present in the prediction set) plus a simple
     cumulative AP and the PR curve sampled at correct hits
-    (reference: vsc/metrics.py:418-450).
+    (reference semantics: vsc/metrics.py:418-450).
     """
-    gt_pairs = {(pair.query_id, pair.ref_id) for pair in ground_truth}
-    if len(gt_pairs) != len(ground_truth):
-        raise AssertionError("Duplicates detected in ground truth")
-    predicted_pairs = {(pair.query_id, pair.ref_id) for pair in predictions}
-    if len(predicted_pairs) != len(predictions):
-        raise AssertionError("Duplicates detected in predictions")
+    positives = {(c.query_id, c.ref_id) for c in ground_truth}
+    assert len(positives) == len(ground_truth), (
+        "Duplicates detected in ground truth"
+    )
+    distinct_preds = {(c.query_id, c.ref_id) for c in predictions}
+    assert len(distinct_preds) == len(predictions), (
+        "Duplicates detected in predictions"
+    )
 
     canonical_ap = drivendata_average_precision(
         predicted=CandidatePair.to_dataframe(predictions),
         ground_truth=CandidatePair.to_dataframe(ground_truth),
     )
 
-    predictions = sorted(predictions, key=lambda x: x.score, reverse=True)
-    scores = np.array([pair.score for pair in predictions])
-    correct = np.array(
-        [(pair.query_id, pair.ref_id) in gt_pairs for pair in predictions]
+    ranked = sorted(predictions, key=lambda c: c.score, reverse=True)
+    hits = np.fromiter(
+        ((c.query_id, c.ref_id) in positives for c in ranked),
+        dtype=bool,
+        count=len(ranked),
     )
-    total_pairs = len(gt_pairs)
-    cumulative_correct = np.cumsum(correct)
-    cumulative_predicted = np.arange(len(correct)) + 1
-    recall = cumulative_correct / total_pairs
-    precision = cumulative_correct / cumulative_predicted
-    simple_ap = np.sum(precision * correct) / total_pairs
-    indices = np.nonzero(correct)[0]
-    curve = PrecisionRecallCurve(precision[indices], recall[indices], scores[indices])
+    hits_so_far = np.cumsum(hits)
+    precision_at = hits_so_far / np.arange(1, hits.size + 1)
+    simple_ap = float(precision_at[hits].sum()) / len(positives)
+
+    scores = np.array([c.score for c in ranked])
+    curve = PrecisionRecallCurve(
+        precision_at[hits], hits_so_far[hits] / len(positives), scores[hits]
+    )
     return AveragePrecision(ap=canonical_ap, pr_curve=curve, simple_ap=simple_ap)
 
 
@@ -542,28 +569,33 @@ def drivendata_average_precision(
     ground_truth: pd.DataFrame,
 ) -> float:
     """Canonical challenge AP: unadjusted binary AP over predictions
-    (left-merged against GT) rescaled by predicted_n_pos / actual_n_pos
-    to penalize non-exhaustive prediction sets.
+    labeled against GT, rescaled by predicted_n_pos / actual_n_pos to
+    penalize non-exhaustive prediction sets.
 
-    (reference: vsc/metrics.py:453-489)
+    The reference realizes the labeling as a pandas left-merge
+    (vsc/metrics.py:453-489); a set-membership lookup is equivalent
+    because the caller guarantees GT pairs are unique.
     """
-    actual = ground_truth[["query_id", "ref_id"]]
-    scores = predicted["score"]
-    if not np.isfinite(scores).all() or np.isnan(scores).any():
+    scores = predicted["score"].to_numpy(dtype=np.float64)
+    if not np.isfinite(scores).all():
         raise ValueError("Scores must be finite.")
 
-    predicted = predicted.sort_values("score", ascending=False)
-    merged = predicted.merge(
-        right=actual.assign(actual=1.0),
-        how="left",
-        on=["query_id", "ref_id"],
-    ).fillna({"actual": 0.0})
-
-    unadjusted_ap = (
-        binary_average_precision(merged["actual"].values, merged["score"].values)
-        if merged["actual"].sum()
-        else 0.0
+    gt_rows = ground_truth[["query_id", "ref_id"]]
+    positives = set(zip(gt_rows["query_id"], gt_rows["ref_id"]))
+    labels = np.fromiter(
+        (
+            pair in positives
+            for pair in zip(predicted["query_id"], predicted["ref_id"])
+        ),
+        dtype=np.float64,
+        count=len(predicted),
     )
-    predicted_n_pos = int(merged["actual"].sum())
-    actual_n_pos = int(actual["ref_id"].notna().sum())
-    return unadjusted_ap * (predicted_n_pos / actual_n_pos)
+
+    matched_n_pos = int(labels.sum())
+    if matched_n_pos == 0:
+        return 0.0
+    raw_ap = binary_average_precision(labels, scores)
+    # Rows with a blank ref_id exist only to validate query ids upstream;
+    # they are not scorable positives.
+    actual_n_pos = int(gt_rows["ref_id"].notna().sum())
+    return raw_ap * (matched_n_pos / actual_n_pos)

@@ -105,10 +105,9 @@ class VideoIndex:
 
         if global_k < 0:
             logger.warning(
-                "Using local k for KNN search. Warning: this is against the "
-                "VSC rules, since predictions for a query-ref pair are not "
-                "independent of other references. KNN search is provided for "
-                "comparison."
+                "Per-query KNN mode violates the VSC rules: it makes each "
+                "query-ref prediction depend on the other references. "
+                "Use it for comparison only; global-k is the conforming mode."
             )
             search_indices = self._knn_search(query_features, -global_k)
         else:

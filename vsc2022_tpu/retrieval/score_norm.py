@@ -55,30 +55,32 @@ def score_normalize(
     replace_dim: bool = True,
     beta: float = 1.0,
 ) -> Tuple[List[VideoFeature], List[VideoFeature]]:
-    if {f.video_id for f in refs}.intersection({f.video_id for f in score_norm_refs}):
+    overlap = {f.video_id for f in refs} & {f.video_id for f in score_norm_refs}
+    if overlap:
         raise Exception(
-            "Normalizing on the dataset we're evaluating on is against VSC rules. "
-            "An independent dataset is needed."
+            f"Noise corpus shares {len(overlap)} video(s) with the eval "
+            "refs; VSC rules require score normalization against an "
+            "independent dataset."
         )
     if score_norm_refs is not None and replace_dim:
         # Make space for the additional score-normalization dimension by
         # dropping the minimum-variance dimension of the noise corpus
         # (reference: vsc/baseline/score_normalization.py:68-79).
-        logger.info("Replacing dimension")
         sn_features = np.concatenate([ref.feature for ref in score_norm_refs], axis=0)
         low_var_dim = int(sn_features.var(axis=0).argmin())
+        logger.info(f"Dropping min-variance dimension {low_var_dim}")
         queries, refs, score_norm_refs = [
             transform_features(x, lambda f: np.delete(f, low_var_dim, axis=1))
             for x in [queries, refs, score_norm_refs]
         ]
     if l2_normalize:
-        logger.info("L2 normalizing")
+        logger.info("L2-normalizing descriptor rows")
         queries, refs, score_norm_refs = [
             transform_features(x, l2_normalize_rows)
             for x in [queries, refs, score_norm_refs]
         ]
 
-    logger.info("Applying score normalization")
+    logger.info(f"Score-normalizing with beta={beta}")
     noise_corpus = np.concatenate([ref.feature for ref in score_norm_refs], axis=0)
     searcher = SimilaritySearcher(noise_corpus.astype(np.float32))
 
