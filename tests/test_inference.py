@@ -172,3 +172,62 @@ class TestFFmpegGate:
     def test_missing_ffmpeg_clear_error(self):
         with pytest.raises(RuntimeError, match="ffmpeg binary not found"):
             FFMpegVideoReader("/tmp/x.mp4", 1.0, ffmpeg_path="/nonexistent/ffmpeg")
+
+
+class TestMultiHost:
+    """Multi-host DCN wiring (reference analog: the manually-assigned
+    --distributed_rank/size mode, vsc/baseline/inference.py:95-99)."""
+
+    def test_initialize_distributed_single_process_noop(self, monkeypatch):
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import initialize_distributed
+
+        def boom(**kwargs):
+            raise AssertionError("jax.distributed.initialize called")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        # num_processes <= 1 (or unset) must never touch jax.distributed.
+        initialize_distributed(None, None, None)
+        initialize_distributed("10.0.0.1:8476", 1, 0)
+
+    def make_args(self, cli, **overrides):
+        args = cli.parser.parse_args(
+            ["--output_file", "/tmp/out.npz", "--dataset_path", "/tmp/ds"]
+        )
+        for key, value in overrides.items():
+            setattr(args, key, value)
+        return args
+
+    def test_cli_routes_through_distributed_init(self, monkeypatch, tmp_path):
+        from vsc2022_tpu.inference import cli
+        from vsc2022_tpu.parallel import mesh
+
+        calls = {}
+        monkeypatch.setattr(
+            mesh,
+            "initialize_distributed",
+            lambda coord, n, pid: calls.setdefault("init", (coord, n, pid)),
+        )
+        monkeypatch.setattr(
+            cli,
+            "worker_process",
+            lambda args, rank, size, out: calls.setdefault(
+                "worker", (rank, size, out)
+            ),
+        )
+        out = str(tmp_path / "h1.npz")
+        args = self.make_args(
+            cli, output_file=out, coordinator="c:1234",
+            num_processes=4, process_id=1,
+        )
+        cli.main(args)
+        assert calls["init"] == ("c:1234", 4, 1)
+        assert calls["worker"] == (1, 4, out)
+
+    def test_cli_rejects_mixed_distribution_schemes(self):
+        from vsc2022_tpu.inference import cli
+
+        args = self.make_args(cli, num_processes=2, distributed_size=2)
+        with pytest.raises(Exception, match="one distribution scheme"):
+            cli.main(args)

@@ -56,6 +56,20 @@ class TestFFmpegPipeReader:
             assert frame.shape == (H, W, 3)
             assert (frame == i).all()
 
+    def test_reference_compat_timestamps(self, stub_tools, tmp_path):
+        # With the compat flag, frame spans are 1 s regardless of fps
+        # (the reference reader's hardcoded behavior;
+        # vsc/baseline/video_reader/ffmpeg_video_reader.py:47-54).
+        ffmpeg, ffprobe = stub_tools
+        video = tmp_path / "v.mp4"
+        video.write_bytes(b"")
+        reader = FFMpegVideoReader(
+            str(video), required_fps=2.0, ffmpeg_path=ffmpeg,
+            ffprobe_path=ffprobe, reference_compat_timestamps=True,
+        )
+        spans = [(s, e) for s, e, _ in reader.frames()]
+        assert spans == [(float(i), float(i + 1)) for i in range(FRAMES)]
+
     def test_truncated_stream_stops_cleanly(self, stub_tools, tmp_path):
         ffmpeg, ffprobe = stub_tools
         # Stub that emits 1.5 frames: the partial frame must be dropped.

@@ -94,6 +94,27 @@ inference_parser.add_argument(
     "append only the missing ones (per-video checkpointing).",
 )
 
+multihost_parser = parser.add_argument_group(
+    "Multi-host (DCN)",
+    "Run one process per host and let jax.distributed connect them. "
+    "Replaces the reference's torch.distributed rendezvous "
+    "(vsc/baseline/inference.py:95-99,140-158); the video shard follows "
+    "process_id % num_processes.",
+)
+multihost_parser.add_argument(
+    "--coordinator", default=None,
+    help="coordinator address host:port, e.g. 10.0.0.1:8476 "
+    "(passed to jax.distributed.initialize)",
+)
+multihost_parser.add_argument(
+    "--num_processes", type=int, default=1,
+    help="total number of host processes in the job",
+)
+multihost_parser.add_argument(
+    "--process_id", type=int, default=0,
+    help="this host's index in [0, num_processes)",
+)
+
 dataset_parser = parser.add_argument_group("Dataset")
 dataset_parser.add_argument("--dataset_path", required=True)
 dataset_parser.add_argument("--fps", default=1, type=float)
@@ -102,6 +123,12 @@ dataset_parser.add_argument(
     "--video_reader", choices=[x.name for x in VideoReaderType], default="FFMPEG"
 )
 dataset_parser.add_argument("--ffmpeg_path", default="ffmpeg")
+dataset_parser.add_argument(
+    "--reference_compat_timestamps", action="store_true",
+    help="Stamp every sampled frame with a 1-second span regardless of "
+    "--fps, reproducing the reference reader bit-for-bit (it hardcodes "
+    "1 s spans; only correct at fps=1). Default: spans scale with --fps.",
+)
 
 
 def build_model(args):
@@ -184,7 +211,12 @@ def worker_process(args, rank, world_size, output_filename):
 
     apply_fn, variables = build_model(args)
     reader_factory = partial(
-        FFMpegVideoReader, required_fps=args.fps, ffmpeg_path=args.ffmpeg_path
+        FFMpegVideoReader,
+        required_fps=args.fps,
+        ffmpeg_path=args.ffmpeg_path,
+        reference_compat_timestamps=getattr(
+            args, "reference_compat_timestamps", False
+        ),
     )
     dataset = VideoDataset(
         path=args.dataset_path,
@@ -233,11 +265,18 @@ def worker_process(args, rank, world_size, output_filename):
 
 
 def main(args):
+    n_hosts = getattr(args, "num_processes", 1) or 1
     if args.processes > 1 and args.distributed_size > 1:
         raise Exception(
             "Set either --processes (single-machine distributed) or "
             "both --distributed_size and --distributed_rank (arbitrary "
             "distributed)"
+        )
+    if n_hosts > 1 and (args.processes > 1 or args.distributed_size > 1):
+        raise Exception(
+            "--num_processes (multi-host DCN) excludes --processes and "
+            "--distributed_rank/--distributed_size; pick one distribution "
+            "scheme"
         )
     if args.processes > 1 and Accelerator[args.accelerator.upper()] != Accelerator.CPU:
         raise Exception(
@@ -277,6 +316,20 @@ def main(args):
 
                 num = merge_feature_files(worker_files, args.output_file)
                 logger.info(f"Features for {num} videos saved to {args.output_file}")
+        elif n_hosts > 1:
+            # Multi-host DCN: jax.distributed connects the hosts; the
+            # video shard is this host's slice, written to a per-host
+            # output (merge the shards afterwards, as in the reference's
+            # multi-machine mode).
+            from vsc2022_tpu.parallel.mesh import initialize_distributed
+
+            logger.info(
+                f"Joining distributed job as process {args.process_id} of "
+                f"{n_hosts} (coordinator: {args.coordinator})"
+            )
+            initialize_distributed(args.coordinator, n_hosts, args.process_id)
+            worker_process(args, args.process_id, n_hosts, args.output_file)
+            success = True
         else:
             worker_process(
                 args, args.distributed_rank, args.distributed_size,

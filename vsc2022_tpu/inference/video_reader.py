@@ -59,11 +59,14 @@ class FFMpegVideoReader(VideoReader):
     """Streaming rawvideo pipe decode at a fixed sampling fps.
 
     Frame i sampled at ``required_fps`` covers
-    (i / required_fps, (i+1) / required_fps) seconds. (The reference
+    (i / required_fps, (i+1) / required_fps) seconds. The reference
     hardcodes a 1 s span per frame regardless of --fps — correct only
-    for the default fps=1; reference:
-    vsc/baseline/video_reader/ffmpeg_video_reader.py:47-54. This reader
-    scales spans by the actual sampling rate.)
+    for the default fps=1 (reference:
+    vsc/baseline/video_reader/ffmpeg_video_reader.py:47-54). Pass
+    ``reference_compat_timestamps=True`` to reproduce that behavior
+    bit-for-bit (needed when npz outputs must match the reference at
+    fps != 1); the default scales spans by the actual sampling rate.
+    At fps=1 the two modes are identical.
     """
 
     def __init__(
@@ -72,8 +75,12 @@ class FFMpegVideoReader(VideoReader):
         required_fps: float,
         ffmpeg_path: str = "ffmpeg",
         ffprobe_path: Optional[str] = None,
+        reference_compat_timestamps: bool = False,
     ):
         super().__init__(video_path, required_fps)
+        self.frame_span = (
+            1.0 if reference_compat_timestamps else 1.0 / required_fps
+        )
         self.ffmpeg_path = ffmpeg_path
         self.ffprobe_path = ffprobe_path or (
             ffmpeg_path[:-6] + "ffprobe" if ffmpeg_path.endswith("ffmpeg")
@@ -111,11 +118,7 @@ class FFMpegVideoReader(VideoReader):
                 frame = np.frombuffer(buf, dtype=np.uint8).reshape(
                     height, width, 3
                 )
-                yield (
-                    i / self.required_fps,
-                    (i + 1) / self.required_fps,
-                    frame,
-                )
+                yield (i * self.frame_span, (i + 1) * self.frame_span, frame)
                 i += 1
         finally:
             proc.stdout.close()

@@ -122,7 +122,9 @@ def streaming_topk(
         jnp.zeros((m, kappa), dtype=jnp.int32),
     )
     if varying_axes:
-        init = tuple(jax.lax.pvary(x, varying_axes) for x in init)
+        init = tuple(
+            jax.lax.pcast(x, varying_axes, to="varying") for x in init
+        )
     (top_s, top_i), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
     return top_s, top_i
 
@@ -172,7 +174,7 @@ def streaming_count_above(
 
     init = jnp.zeros((m,), dtype=jnp.int32)
     if varying_axes:
-        init = jax.lax.pvary(init, varying_axes)
+        init = jax.lax.pcast(init, varying_axes, to="varying")
     counts, _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
     return counts
 
