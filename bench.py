@@ -1,17 +1,33 @@
 #!/usr/bin/env python3
-"""End-to-end retrieval benchmark: query videos/sec on the TPU search
-core versus a CPU numpy brute-force baseline (the reference's CPU FAISS
-role; BASELINE.md north star is >10× query-videos/sec).
+"""End-to-end benchmark: TPU retrieval + SSCD descriptor inference.
 
-Workload (synthetic, fixed seed): score-normalized retrieval exactly as
-the SSCD pipeline runs it — noise-NN score normalization (k=1 over the
-noise corpus) + global top-k frame search (k = 1200·|Q|) + per-pair
-max aggregation. The timed TPU pass excludes compilation (one warmup);
-the CPU baseline runs the same exact computation with numpy.
+Two workloads, fixed seeds and sizes across rounds so the driver can
+track regressions:
 
-Prints ONE JSON line:
-  {"metric": "query_videos_per_sec", "value": ..., "unit": "videos/s",
-   "vs_baseline": <TPU qps / CPU qps>}
+1. Retrieval (the reference's CPU-FAISS role; BASELINE.md north star is
+   >10x query-videos/sec): score-normalized retrieval exactly as the
+   SSCD pipeline runs it — noise-NN score normalization (k=1 over the
+   noise corpus) + global top-k frame search (k = 1200*|Q|) + per-pair
+   max aggregation. Baseline is a numpy brute-force pipeline on the host
+   CPU (faiss is not installed here; BLAS-backed CPU FAISS IndexFlatIP
+   would land several x faster than this loop, so read vs_baseline as an
+   upper bound on the margin vs CPU FAISS).
+2. Inference (the reference's heavy job — per-frame SSCD descriptor
+   extraction; vsc/baseline/inference_impl.py:210-239): batched
+   ResNet-50+GeM forward at 320x320 on the TPU, fps measured both
+   end-to-end from host uint8 frames and device-resident (the split
+   exposes the host link cost: this rig reaches the chip over a
+   ~25-30 MB/s relay).
+
+Compute honesty: the line reports achieved TFLOP/s and the
+transfer/compute split for both workloads, so link-bound and
+compute-bound regressions are distinguishable round-over-round.
+
+Prints ONE JSON line; primary metric stays query_videos_per_sec with
+vs_baseline = TPU qps / numpy-CPU qps. Extra keys: retrieval_qps,
+retrieval_tflops, link_s, compute_s, inference_fps,
+inference_fps_device, inference_tflops, inference_gflop_per_frame,
+baseline.
 """
 
 import json
@@ -22,7 +38,7 @@ import time
 
 import numpy as np
 
-# Workload scale: ~60-frame videos, SSCD-like 512-d descriptors.
+# Retrieval workload scale: ~60-frame videos, SSCD-like 512-d descriptors.
 # (Fixed across rounds — the driver tracks this number over time.)
 N_QUERY_VIDEOS = 150
 N_REF_VIDEOS = 1000
@@ -30,6 +46,11 @@ N_NOISE_FRAMES = 30_000
 FRAMES = 60
 DIM = 512
 GLOBAL_K = 1200 * N_QUERY_VIDEOS
+
+# Inference workload: SSCD forward, reference-default input size.
+INF_BATCH = 32
+INF_HW = 320
+INF_BATCHES = 4
 
 
 def l2n(x):
@@ -51,11 +72,6 @@ def tpu_build(r, noise):
     from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
 
     return ScoreNormalizedSearcher(r, noise, beta=1.2, precision="default")
-
-
-def tpu_pipeline(q, searcher):
-    """Query-side work: fused device-resident score-norm + global top-k."""
-    return searcher.global_topk(q, GLOBAL_K)
 
 
 def cpu_pipeline(q, r, noise):
@@ -88,30 +104,45 @@ def cpu_pipeline(q, r, noise):
     return top_q[order], top_r[order], top_s[order]
 
 
-def run_measurement():
-    from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+def bench_retrieval(results):
+    import jax
 
-    enable_compilation_cache()
     rng = np.random.default_rng(0)
     q, r, noise = make_data(rng)
 
-    # TPU: stage index once, warmup (compile), then best-of-5 timed
-    # query runs (the host link adds run-to-run jitter).
     searcher = tpu_build(r, noise)
-    tpu_pipeline(q, searcher)
-    tpu_time = float("inf")
+    searcher.global_topk(q, GLOBAL_K)  # warmup/compile
+
+    # End-to-end (host numpy in, host arrays out); best-of-5 to shed
+    # relay jitter.
+    e2e_s = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        qi, ri, scores = tpu_pipeline(q, searcher)
-        tpu_time = min(tpu_time, time.perf_counter() - t0)
-    tpu_qps = N_QUERY_VIDEOS / tpu_time
+        qi, ri, scores = searcher.global_topk(q, GLOBAL_K)
+        e2e_s = min(e2e_s, time.perf_counter() - t0)
+
+    # Device-resident: queries pre-staged in HBM, so the measured time
+    # is compute + the (small) top-k result D2H. link_s = e2e - compute.
+    q_dev = jax.device_put(q)
+    jax.block_until_ready(q_dev)
+    searcher.global_topk(q_dev, GLOBAL_K)  # warm any shape-specialized jit
+    compute_s = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        searcher.global_topk(q_dev, GLOBAL_K)
+        compute_s = min(compute_s, time.perf_counter() - t0)
+    link_s = max(e2e_s - compute_s, 0.0)
+
+    # Achieved FLOP/s over the two matmuls (top-k selection excluded).
+    flops = 2.0 * q.shape[0] * noise.shape[0] * DIM  # noise-NN pass
+    flops += 2.0 * q.shape[0] * r.shape[0] * (DIM + 1)  # main search
+    tflops = flops / compute_s / 1e12
 
     cpu_time = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         cqi, cri, cscores = cpu_pipeline(q, r, noise)
         cpu_time = min(cpu_time, time.perf_counter() - t0)
-    cpu_qps = N_QUERY_VIDEOS / cpu_time
 
     # Sanity: both paths must retrieve (near-)identical result sets.
     agreement = len(
@@ -120,16 +151,91 @@ def run_measurement():
     ) / 1000.0
     assert agreement > 0.99, f"TPU/CPU search disagree: {agreement:.3f}"
 
-    print(
-        json.dumps(
-            {
-                "metric": "query_videos_per_sec",
-                "value": round(tpu_qps, 2),
-                "unit": "videos/s",
-                "vs_baseline": round(tpu_qps / cpu_qps, 2),
-            }
-        )
+    results["retrieval_qps"] = round(N_QUERY_VIDEOS / e2e_s, 2)
+    results["retrieval_tflops"] = round(tflops, 3)
+    results["link_s"] = round(link_s, 3)
+    results["compute_s"] = round(compute_s, 3)
+    results["vs_baseline"] = round(
+        (N_QUERY_VIDEOS / e2e_s) / (N_QUERY_VIDEOS / cpu_time), 2
     )
+
+
+def bench_inference(results):
+    """SSCD forward fps: uint8 frames -> on-device preprocess -> ResNet-50
+    +GeM descriptors (the reference's per-frame extraction hot loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsc2022_tpu.inference.transforms import (
+        InferenceTransforms,
+        preprocess,
+    )
+    from vsc2022_tpu.models import SSCDModel
+
+    model = SSCDModel()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, INF_HW, INF_HW, 3), jnp.float32),
+    )
+
+    @jax.jit
+    def embed(vars_, frames_u8):
+        images = preprocess(frames_u8, InferenceTransforms.RESIZE_320_CENTER)
+        return model.apply(vars_, images)
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(
+        0, 256, size=(INF_BATCH, INF_HW, INF_HW, 3), dtype=np.uint8
+    )
+    np.asarray(embed(variables, frames))  # warmup/compile
+
+    # End-to-end: host uint8 -> H2D -> preprocess+forward -> D2H.
+    e2e_s = float("inf")
+    for _ in range(INF_BATCHES):
+        t0 = time.perf_counter()
+        np.asarray(embed(variables, frames))
+        e2e_s = min(e2e_s, time.perf_counter() - t0)
+
+    # Device-resident: frames already in HBM; D2H is 32x512 floats.
+    frames_dev = jax.device_put(frames)
+    jax.block_until_ready(frames_dev)
+    dev_s = float("inf")
+    for _ in range(INF_BATCHES):
+        t0 = time.perf_counter()
+        jax.block_until_ready(embed(variables, frames_dev))
+        dev_s = min(dev_s, time.perf_counter() - t0)
+
+    # Per-frame FLOPs from the compiled executable when XLA reports it;
+    # else the analytic ResNet-50 estimate (~4.1 GMACs @224^2, scaled).
+    try:
+        cost = embed.lower(variables, frames_dev).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        gflop_per_frame = cost["flops"] / INF_BATCH / 1e9
+    except Exception:
+        gflop_per_frame = 2 * 4.1 * (INF_HW / 224.0) ** 2
+
+    results["inference_fps"] = round(INF_BATCH / e2e_s, 2)
+    results["inference_fps_device"] = round(INF_BATCH / dev_s, 2)
+    results["inference_tflops"] = round(
+        gflop_per_frame * (INF_BATCH / dev_s) / 1e3, 3
+    )
+    results["inference_gflop_per_frame"] = round(gflop_per_frame, 2)
+
+
+def run_measurement():
+    from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    results = {
+        "metric": "query_videos_per_sec",
+        "unit": "videos/s",
+        "baseline": "numpy brute force on host CPU (faiss not installed)",
+    }
+    bench_retrieval(results)
+    bench_inference(results)
+    results["value"] = results["retrieval_qps"]
+    print(json.dumps(results))
 
 
 def main():
@@ -143,7 +249,7 @@ def main():
         try:
             result = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_child"],
-                capture_output=True, text=True, timeout=480,
+                capture_output=True, text=True, timeout=540,
             )
         except subprocess.TimeoutExpired:
             print(

@@ -210,3 +210,181 @@ class TestDinoViTFullModelConversion:
             )
         )
         np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
+
+
+# ---- DnS students (distill-and-select layout; DnS paper math) ---------
+
+
+class TorchDnSAttention(tnn.Module):
+    """Tensor-dot (l2-) attention: weights in [0,1] from a unit-norm
+    context vector (ViSiL/DnS formulation)."""
+
+    def __init__(self, dims=512):
+        super().__init__()
+        self.context_vector = tnn.Linear(dims, 1, bias=False)
+
+    def forward(self, x):
+        u = torch.nn.functional.normalize(
+            self.context_vector.weight, dim=-1
+        )
+        weights = (x @ u.t() + 1.0) / 2.0
+        return x * weights, weights
+
+
+class TorchFineStudent(tnn.Module):
+    def __init__(self, fg_type="att"):
+        super().__init__()
+        self.fg_type = fg_type
+        self.reduction = tnn.Linear(3840, 512)
+        self.attention = TorchDnSAttention(512)
+        if fg_type == "bin":
+            self.binarization = tnn.Module()
+            self.binarization.W = tnn.Parameter(torch.randn(512, 512))
+
+    def forward(self, regions):  # [T, 9, 3840]
+        x = self.reduction(regions)
+        x = torch.nn.functional.normalize(x, dim=-1, eps=1e-12)
+        x, _ = self.attention(x)
+        if self.fg_type == "bin":
+            x = x @ self.binarization.W
+        return x
+
+
+class TorchCoarseStudent(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.reduction = tnn.Linear(3840, 512)
+        self.attention = TorchDnSAttention(512)
+        self.project = tnn.Linear(512, 1024)
+
+    def forward(self, regions):  # [T, 9, 3840]
+        x = self.reduction(regions)
+        x = torch.nn.functional.normalize(x, dim=-1, eps=1e-12)
+        x, weights = self.attention(x)
+        pooled = x.sum(dim=1) / weights.sum(dim=1).clamp(min=1e-6)
+        return torch.tanh(self.project(pooled))
+
+
+class TestDnSStudentConversion:
+    def _state(self, model):
+        return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    def _regions(self, rng, t=5):
+        r = rng.randn(t, 9, 3840).astype(np.float32)
+        return r / np.linalg.norm(r, axis=-1, keepdims=True)
+
+    @pytest.mark.parametrize("fg_type", ["att", "bin"])
+    def test_fine_student_outputs_match(self, fg_type):
+        from vsc2022_tpu.models.convert import dns_student_from_torch
+        from vsc2022_tpu.models.dns import DnSStudent
+
+        torch.manual_seed(3)
+        rng = np.random.RandomState(3)
+        ref_model = TorchFineStudent(fg_type).eval()
+        params = dns_student_from_torch(self._state(ref_model), "fg", fg_type)
+        student = DnSStudent("fg", fg_type, params=params)
+
+        regions = self._regions(rng)
+        with torch.no_grad():
+            expect = ref_model(torch.from_numpy(regions)).numpy()
+        got = student.index_video(regions.reshape(regions.shape[0], -1))
+        np.testing.assert_allclose(
+            got.reshape(expect.shape), expect, rtol=1e-4, atol=1e-5
+        )
+        if fg_type == "bin":
+            # The driver stores sign(x) via > 0 (dns_index.py:113):
+            # the converted rotation must preserve every sign bit.
+            assert ((got.reshape(expect.shape) > 0) == (expect > 0)).all()
+
+    def test_coarse_student_outputs_match(self):
+        from vsc2022_tpu.models.convert import dns_student_from_torch
+        from vsc2022_tpu.models.dns import DnSStudent
+
+        torch.manual_seed(4)
+        rng = np.random.RandomState(4)
+        ref_model = TorchCoarseStudent().eval()
+        params = dns_student_from_torch(self._state(ref_model), "cg")
+        student = DnSStudent("cg", params=params)
+
+        regions = self._regions(rng, t=7)
+        with torch.no_grad():
+            expect = ref_model(torch.from_numpy(regions)).numpy()
+        got = student.index_video(regions.reshape(regions.shape[0], -1))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+class ScriptableFineStudent(tnn.Module):
+    """TorchScript-able fg student exposing the reference artifact
+    surface (index_video / get_network_name / student_type / fg_type)."""
+
+    def __init__(self, fg_type: str = "att"):
+        super().__init__()
+        self.student_type = "fg"
+        self.fg_type = fg_type
+        self.reduction = tnn.Linear(3840, 512)
+        self.attention = tnn.Module()
+        self.attention.context_vector = tnn.Linear(512, 1, bias=False)
+        self.use_bin = fg_type == "bin"
+        if self.use_bin:
+            self.binarization = tnn.Module()
+            self.binarization.W = tnn.Parameter(torch.randn(512, 512))
+        else:
+            self.binarization = tnn.Module()
+            self.binarization.W = tnn.Parameter(torch.eye(512))
+
+    @torch.jit.export
+    def get_network_name(self) -> str:
+        return "fg_" + self.fg_type + "_student"
+
+    @torch.jit.export
+    def index_video(self, x: torch.Tensor) -> torch.Tensor:
+        return self.forward(x)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        x = x.reshape(x.shape[0], 9, 3840)
+        x = self.reduction(x)
+        x = torch.nn.functional.normalize(x, dim=-1, eps=1e-12)
+        u = torch.nn.functional.normalize(
+            self.attention.context_vector.weight, dim=-1
+        )
+        x = x * ((x @ u.t() + 1.0) / 2.0)
+        if self.use_bin:
+            x = x @ self.binarization.W
+        return x
+
+
+class TestAdaptModelDnSEndToEnd:
+    def test_torchscript_to_checkpoint_with_verify(self, tmp_path):
+        import argparse
+
+        from vsc2022_tpu.baseline import adapt_model
+        from vsc2022_tpu.models.dns import DnSStudent
+        from vsc2022_tpu.utils.checkpoint import load_variables
+
+        torch.manual_seed(5)
+        scripted = torch.jit.script(ScriptableFineStudent("att").eval())
+        ts_path = str(tmp_path / "fg_att_student.torchscript")
+        ckpt_path = str(tmp_path / "fg_att_student.npz")
+        scripted.save(ts_path)
+
+        adapt_model.main(argparse.Namespace(
+            input_torchscript=ts_path,
+            output_checkpoint=ckpt_path,
+            model="dns_fg_att",
+            strip_prefix="",
+            verify=True,  # runs the numeric equivalence check
+        ))
+
+        # The written checkpoint round-trips into a working student.
+        student = DnSStudent("fg", "att", params=load_variables(ckpt_path))
+        rng = np.random.RandomState(6)
+        regions = rng.randn(2, 9, 3840).astype(np.float32)
+        regions /= np.linalg.norm(regions, axis=-1, keepdims=True)
+        with torch.no_grad():
+            expect = scripted.index_video(
+                torch.from_numpy(regions.reshape(2, -1))
+            ).numpy()
+        got = student.index_video(regions.reshape(2, -1))
+        np.testing.assert_allclose(
+            got.reshape(expect.shape), expect, rtol=1e-4, atol=1e-5
+        )

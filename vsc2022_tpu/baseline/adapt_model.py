@@ -36,7 +36,14 @@ parser.add_argument(
     help="The Flax npz checkpoint to write.",
 )
 parser.add_argument(
-    "--model", choices=["sscd", "dino"], default="sscd",
+    "--model",
+    choices=["sscd", "dino", "dns_cg", "dns_fg_att", "dns_fg_bin"],
+    default="sscd",
+)
+parser.add_argument(
+    "--strip_prefix", default="",
+    help="Leading module prefix to strip from serialized parameter "
+    "names (e.g. 'student.').",
 )
 parser.add_argument(
     "--verify", action="store_true",
@@ -47,6 +54,7 @@ parser.add_argument(
 def main(args):
     from vsc2022_tpu.models.convert import (
         dino_vit_from_torch,
+        dns_student_from_torch,
         load_torchscript_state,
         sscd_from_torch,
     )
@@ -55,11 +63,18 @@ def main(args):
     if os.path.exists(args.output_checkpoint):
         raise Exception("Output file already exists")
 
-    state = load_torchscript_state(args.input_torchscript)
+    state = load_torchscript_state(
+        args.input_torchscript, strip_prefix=args.strip_prefix
+    )
     if args.model == "sscd":
         variables = sscd_from_torch(state)
-    else:
+    elif args.model == "dino":
         variables = dino_vit_from_torch(state)
+    else:  # dns_cg / dns_fg_att / dns_fg_bin
+        _, student_type, *fg = args.model.split("_")
+        variables = dns_student_from_torch(
+            state, student_type, fg[0] if fg else "att"
+        )
 
     if args.verify:
         import jax.numpy as jnp
@@ -68,14 +83,40 @@ def main(args):
         from vsc2022_tpu.models import DinoViT, SSCDModel
 
         torch_model = torch.jit.load(args.input_torchscript).eval()
-        x = np.random.RandomState(0).randn(2, 3, 64, 64).astype(np.float32)
-        with torch.no_grad():
-            expect = torch_model(torch.from_numpy(x)).numpy()
-        model = SSCDModel() if args.model == "sscd" else DinoViT()
-        got = np.asarray(
-            model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
-        )
-        dist = ((got - expect) ** 2).sum(axis=1)
+        rng = np.random.RandomState(0)
+        if args.model.startswith("dns_"):
+            from vsc2022_tpu.models.dns import DnSStudent
+
+            _, student_type, *fg = args.model.split("_")
+            student = DnSStudent(
+                student_type, fg[0] if fg else None, params=variables
+            )
+            regions = rng.randn(3, 9, 3840).astype(np.float32)
+            regions /= np.linalg.norm(regions, axis=-1, keepdims=True)
+            with torch.no_grad():
+                if student_type == "cg":
+                    # Reference feeds cg with an unsqueezed dim
+                    # (dns_index.py:110-111).
+                    expect = torch_model.index_video(
+                        torch.from_numpy(regions).unsqueeze(1)
+                    ).numpy()
+                else:
+                    expect = torch_model.index_video(
+                        torch.from_numpy(regions)
+                    ).numpy()
+            got = student.index_video(regions.reshape(regions.shape[0], -1))
+            expect = expect.reshape(got.shape)
+        else:
+            x = rng.randn(2, 3, 64, 64).astype(np.float32)
+            with torch.no_grad():
+                expect = torch_model(torch.from_numpy(x)).numpy()
+            model = SSCDModel() if args.model == "sscd" else DinoViT()
+            got = np.asarray(
+                model.apply(
+                    variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+                )
+            )
+        dist = ((got - expect) ** 2).reshape(got.shape[0], -1).sum(axis=1)
         if (dist > 1e-3).any():
             raise Exception(
                 f"Conversion mismatch: max squared distance {dist.max():.2e}"

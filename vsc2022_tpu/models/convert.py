@@ -186,3 +186,45 @@ def dino_vit_from_torch(state: StateDict, dim: int = 384, heads: int = 6) -> dic
         }
         i += 1
     return {"params": params}
+
+
+def dns_student_from_torch(
+    state: StateDict, student_type: str, fg_type: str = "att"
+) -> dict:
+    """Convert DnS student weights to DnSStudent parameter trees.
+
+    Expected torch layout (distill-and-select style, per the DnS paper +
+    the reference's call surface — vsc/baseline/dns_index.py:100-116,
+    vsc/baseline/dns_baseline.py:138-163):
+
+      * ``reduction.{weight,bias}``: the 3840→512 region reduction
+      * ``attention.context_vector.weight`` [1, 512]: the tensor-dot
+        (ℓ2-) attention context
+      * fg_bin only — ``binarization.W`` [512, 512]: the ITQ-style
+        rotation whose sign gives the binary codes
+      * cg only — ``project.{weight,bias}``: the 512→1024 frame head
+
+    The published artifacts serialize these inside TorchScript; extract
+    with ``load_torchscript_state`` and pass the state dict here. Any
+    leading module prefix (e.g. ``student.``) must be stripped via
+    ``load_torchscript_state(..., strip_prefix=...)``.
+    """
+    if student_type not in ("cg", "fg"):
+        raise ValueError(f"student_type must be cg|fg, got {student_type!r}")
+    params: dict = {
+        "reduction": {
+            "kernel": _linear(state["reduction.weight"]),
+            "bias": state["reduction.bias"],
+        },
+        "attention": {
+            "context": _linear(state["attention.context_vector.weight"])
+        },
+    }
+    if student_type == "cg":
+        params["project"] = {
+            "kernel": _linear(state["project.weight"]),
+            "bias": state["project.bias"],
+        }
+    elif fg_type == "bin":
+        params["rotation"] = state["binarization.W"]
+    return {"params": params}
