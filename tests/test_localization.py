@@ -320,3 +320,161 @@ class TestTNFuzz:
             assert got == [tuple(map(int, b)) for b in expect], (
                 trial, got, expect
             )
+
+
+def oracle_tn_vcsl(sim, max_step=5, min_length=4, max_paths=10,
+                   min_sim=0.2, top_k=5, max_iou=0.3):
+    """VCSL-faithful TN oracle, reconstructed from the published
+    semantics (VCSL paper sec. 4.2 + alipay/VCSL vta.py TN interface:
+    tn_top_K per-row frame retrieval, absolute min_sim gate, DAG over
+    forward steps <= tn_max_step, nx.dag_longest_path per iteration with
+    the path's NODES removed from the graph — not its bounding box —
+    and max_iou box dedup). Implemented with explicit parent pointers
+    and traceback, deliberately unlike the kernel's endpoint-box scan,
+    so a shared misreading of the DP cannot hide."""
+    nq, nr = sim.shape
+    if top_k < nr:
+        kth = np.sort(sim, axis=1)[:, -top_k][:, None]
+        nodes = (sim >= kth) & (sim >= min_sim)
+    else:
+        nodes = sim >= min_sim
+    nodes = nodes.copy()
+
+    accepted = []
+    for _ in range(max_paths):
+        ln = np.zeros((nq, nr), dtype=int)
+        sm = np.full((nq, nr), -np.inf)
+        parent = {}
+        for i in range(nq):
+            for j in range(nr):
+                if not nodes[i, j]:
+                    continue
+                best = None  # (ln, sum, cell)
+                for pi in range(max(0, i - max_step), i):
+                    for pj in range(max(0, j - max_step), j):
+                        if ln[pi, pj] == 0:
+                            continue
+                        cand = (ln[pi, pj], sm[pi, pj], (pi, pj))
+                        if best is None or (cand[0], cand[1]) > (
+                            best[0], best[1]
+                        ):
+                            best = cand
+                if best is None:
+                    ln[i, j], sm[i, j] = 1, sim[i, j]
+                else:
+                    ln[i, j] = best[0] + 1
+                    sm[i, j] = best[1] + sim[i, j]
+                    parent[(i, j)] = best[2]
+        # Longest path endpoint, simsum tie-break.
+        flat_best = None
+        for i in range(nq):
+            for j in range(nr):
+                if ln[i, j] == 0:
+                    continue
+                v = (ln[i, j], sm[i, j])
+                if flat_best is None or v > flat_best[0]:
+                    flat_best = (v, (i, j))
+        if flat_best is None or flat_best[0][0] < min_length:
+            break
+        # Traceback: collect the path cells, remove them from the graph.
+        cell = flat_best[1]
+        path = [cell]
+        while cell in parent:
+            cell = parent[cell]
+            path.append(cell)
+        for (i, j) in path:
+            nodes[i, j] = False
+        box = (
+            min(i for i, _ in path), min(j for _, j in path),
+            max(i for i, _ in path), max(j for _, j in path),
+        )
+
+        def iou(a, b):
+            ix = max(0, min(a[2], b[2]) - max(a[0], b[0]) + 1)
+            iy = max(0, min(a[3], b[3]) - max(a[1], b[1]) + 1)
+            inter = ix * iy
+            area = lambda t: (t[2] - t[0] + 1) * (t[3] - t[1] + 1)  # noqa: E731
+            return inter / float(area(a) + area(b) - inter)
+
+        if all(iou(box, prev) <= max_iou for prev in accepted):
+            accepted.append(box)
+    return accepted
+
+
+class TestVCSLFaithfulMode:
+    """The parity configuration (TNParams.vcsl_faithful) must reproduce
+    the published VCSL TN semantics, checked against an independent
+    parent-pointer oracle."""
+
+    def test_kernel_matches_vcsl_oracle_fuzz(self):
+        rng = np.random.RandomState(23)
+        params = TNParams.vcsl_faithful(max_step=3, min_length=3,
+                                        max_paths=5)
+        for trial in range(10):
+            nq = int(rng.randint(8, 26))
+            nr = int(rng.randint(8, 26))
+            sim = rng.rand(nq, nr).astype(np.float32)
+            sim = np.where(rng.rand(nq, nr) < 0.7, sim * 0.25, sim)
+            expect = oracle_tn_vcsl(
+                sim.astype(np.float64), max_step=3, min_length=3,
+                max_paths=5, min_sim=params.min_sim,
+                top_k=params.top_k_per_row, max_iou=params.max_iou,
+            )
+            boxes, valid, _ = tn_align(
+                jnp.asarray(sim[None]),
+                jnp.asarray([nq], jnp.int32),
+                jnp.asarray([nr], jnp.int32),
+                params,
+            )
+            got = [
+                tuple(map(int, np.asarray(boxes[0][p])))
+                for p in range(boxes.shape[1])
+                if bool(valid[0][p])
+            ]
+            assert got == [tuple(map(int, b)) for b in expect], (
+                trial, got, expect
+            )
+
+    def test_path_masking_keeps_nested_segment(self):
+        # A long sparse path whose bounding box contains a short dense
+        # one: box masking would consume the inner path's cells; the
+        # VCSL-faithful mode must still find it (small box, low IoU).
+        nq = nr = 24
+        sim = np.zeros((nq, nr), dtype=np.float32)
+        # Outer path: steps of 3 along the diagonal (box 0..21 x 0..21).
+        for t in range(8):
+            sim[3 * t, 3 * t] = 0.9
+        # Inner path: inside the outer box but too far off-diagonal for
+        # any max_step=3 edge to connect it to the outer path.
+        for t in range(4):
+            sim[3 * t + 2, 3 * t + 12] = 0.8
+        params = TNParams.vcsl_faithful(max_step=3, min_length=4)
+        boxes, valid, _ = tn_align(
+            jnp.asarray(sim[None]),
+            jnp.asarray([nq], jnp.int32),
+            jnp.asarray([nr], jnp.int32),
+            params,
+        )
+        got = {
+            tuple(map(int, np.asarray(boxes[0][p])))
+            for p in range(boxes.shape[1])
+            if bool(valid[0][p])
+        }
+        assert (0, 0, 21, 21) in got
+        assert (2, 12, 11, 21) in got
+
+        # Same input under box masking loses the nested path.
+        box_params = TNParams(max_step=3, min_length=4, min_sim=0.2,
+                              top_k_per_row=5, adaptive_sigma=0.0)
+        boxes2, valid2, _ = tn_align(
+            jnp.asarray(sim[None]),
+            jnp.asarray([nq], jnp.int32),
+            jnp.asarray([nr], jnp.int32),
+            box_params,
+        )
+        got_box = {
+            tuple(map(int, np.asarray(boxes2[0][p])))
+            for p in range(boxes2.shape[1])
+            if bool(valid2[0][p])
+        }
+        assert (2, 12, 11, 21) not in got_box

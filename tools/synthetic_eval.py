@@ -3,16 +3,37 @@
 
 The VSC2022 dataset is not distributable with this repo, so this tool
 builds a controlled synthetic benchmark in descriptor space — planted
-copies with realistic corruptions (additive noise, speed changes,
-partial overlaps, multi-segment copies) — and runs the complete
-pipeline (score normalization → global-k retrieval → TN localization →
-metrics). It reports candidate µAP and matching segment AP, serving as
-a quality regression harness for the retrieval + localization stack
-(model quality is evaluated separately once real checkpoints/data are
+copies with realistic corruptions — and runs the complete pipeline
+(score normalization → global-k retrieval → TN localization → metrics).
+It reports candidate µAP and matching segment AP, serving as a quality
+regression harness for the retrieval + localization stack (model
+quality is evaluated separately once real checkpoints/data are
 available).
 
+Corruption levels:
+  * default: additive noise, speed changes (0.5–2×), partial overlaps,
+    per-query random placement.
+  * --hard additionally plants: segments truncated at video edges,
+    repeated segments (one ref segment copied twice into one query),
+    and near-duplicate reference videos (hard retrieval negatives).
+
+Pipelines:
+  * SSCD-style: --dim (default 128) descriptors, score-normalized.
+  * --dino: 768-d descriptors evaluated on BOTH the raw path
+    (L2-normalize + candidate-score localization, the reference's
+    no-score-norm mode) and the score-normalized path.
+  * --dns: region features, fused fine+coarse chamfer localization.
+
+TN modes: --tn_mode tuned|vcsl|both — the tuned adaptive-sigma gate
+(this framework's extension) vs the VCSL-faithful parity configuration
+(TNParams.vcsl_faithful).
+
+--sweep runs the {default,hard} × {tuned,vcsl} × {sscd,dino} grid and
+prints a markdown table (the committed regression baseline lives at
+docs/synthetic_results.md).
+
 Usage:
-  python tools/synthetic_eval.py [--queries 40] [--refs 120] [--dim 128]
+  python tools/synthetic_eval.py [--queries 40] [--refs 120] [--sweep]
 """
 
 import argparse
@@ -46,9 +67,29 @@ parser.add_argument("--positive_fraction", type=float, default=0.5)
 parser.add_argument("--feature_noise", type=float, default=0.2)
 parser.add_argument("--seed", type=int, default=0)
 parser.add_argument(
+    "--tn_mode", choices=["tuned", "vcsl", "both"], default="tuned",
+    help="TN gate: tuned adaptive-sigma (extension) or VCSL-faithful "
+    "parity configuration.",
+)
+parser.add_argument(
+    "--hard", action="store_true",
+    help="Harsher corruptions: edge-truncated segments, repeated "
+    "segments, near-duplicate refs.",
+)
+parser.add_argument(
+    "--dino", action="store_true",
+    help="Also evaluate a DINO-style 768-d descriptor run (raw and "
+    "score-normalized paths).",
+)
+parser.add_argument(
     "--dns", action="store_true",
     help="Also evaluate the DnS-style pipeline: region features, fused "
     "fine+coarse chamfer localization.",
+)
+parser.add_argument(
+    "--sweep", action="store_true",
+    help="Run the corruption × TN-mode × descriptor grid and print a "
+    "markdown table.",
 )
 
 
@@ -56,10 +97,11 @@ def l2n(x):
     return x / np.linalg.norm(x, axis=-1, keepdims=True)
 
 
-def build_benchmark(args):
+def build_benchmark(args, dim=None, hard=None):
     """Queries copy ref segments under per-query corruptions."""
     rng = np.random.RandomState(args.seed)
-    d = args.dim
+    d = dim or args.dim
+    hard = args.hard if hard is None else hard
 
     def interval_ts(n):
         # Production-style per-frame [start, end] spans (1 fps), like
@@ -75,6 +117,22 @@ def build_benchmark(args):
         )
 
     refs = [video(f"R{i:06d}", int(rng.randint(40, 120))) for i in range(args.refs)]
+    if hard:
+        # Near-duplicate refs: the last quarter are noisy copies of the
+        # first quarter — hard negatives the retrieval stage must rank
+        # below the true (GT) source.
+        quarter = len(refs) // 4
+        for i in range(quarter):
+            src = refs[i]
+            dup = src.feature + 0.25 * rng.normal(
+                size=src.feature.shape
+            ).astype(np.float32)
+            j = len(refs) - quarter + i
+            refs[j] = VideoFeature(
+                video_id=refs[j].video_id,
+                timestamps=src.timestamps,
+                feature=l2n(dup).astype(np.float32),
+            )
     noise = [
         video(f"R{10_000 + i:06d}", int(rng.randint(30, 80)))
         for i in range(args.noise_videos)
@@ -82,35 +140,53 @@ def build_benchmark(args):
 
     queries, gt = [], []
     n_pos = int(args.positive_fraction * args.queries)
+
+    def plant(feat, qi, ref, q_start, copy_len, speed):
+        n = feat.shape[0]
+        copy_len = min(copy_len, n - q_start)
+        r_span = int(round(speed * copy_len))
+        max_r_start = len(ref) - r_span - 1
+        if max_r_start <= 0:
+            speed, r_span = 1.0, copy_len
+            max_r_start = len(ref) - copy_len - 1
+        r_start = int(rng.randint(0, max(max_r_start, 1)))
+        for t in range(copy_len):
+            src = r_start + int(round(speed * t))
+            noisy = ref.feature[src] + args.feature_noise * rng.normal(
+                size=d
+            ).astype(np.float32)
+            feat[q_start + t] = noisy / np.linalg.norm(noisy)
+        return Match(
+            query_id=f"Q{qi:06d}",
+            ref_id=ref.video_id,
+            score=1.0,
+            query_start=float(q_start),
+            query_end=float(q_start + copy_len),
+            ref_start=float(r_start),
+            ref_end=float(r_start + r_span),
+        )
+
     for qi in range(args.queries):
         n = int(rng.randint(40, 100))
         feat = l2n(rng.normal(size=(n, d))).astype(np.float32)
         if qi < n_pos:
             ref = refs[qi % len(refs)]
-            speed = rng.choice([0.5, 1.0, 1.0, 1.5, 2.0])
+            speed = float(rng.choice([0.5, 1.0, 1.0, 1.5, 2.0]))
             copy_len = int(rng.randint(8, min(24, n - 4)))
-            q_start = int(rng.randint(0, n - copy_len))
-            max_r_start = len(ref) - int(copy_len * speed) - 1
-            if max_r_start <= 0:
-                speed, max_r_start = 1.0, len(ref) - copy_len - 1
-            r_start = int(rng.randint(0, max(max_r_start, 1)))
-            for t in range(copy_len):
-                src = r_start + int(round(speed * t))
-                noisy = ref.feature[src] + args.feature_noise * rng.normal(
-                    size=d
-                ).astype(np.float32)
-                feat[q_start + t] = noisy / np.linalg.norm(noisy)
-            gt.append(
-                Match(
-                    query_id=f"Q{qi:06d}",
-                    ref_id=ref.video_id,
-                    score=1.0,
-                    query_start=float(q_start),
-                    query_end=float(q_start + copy_len),
-                    ref_start=float(r_start),
-                    ref_end=float(r_start + int(round(speed * copy_len))),
+            if hard and qi % 3 == 0:
+                # Segment truncated at a video edge.
+                q_start = 0 if qi % 6 == 0 else n - copy_len
+            else:
+                q_start = int(rng.randint(0, n - copy_len))
+            gt.append(plant(feat, qi, ref, q_start, copy_len, speed))
+            if hard and qi % 4 == 0 and n - copy_len > 2 * copy_len + 8:
+                # The same ref copied a second time into this query.
+                second_start = int(
+                    rng.randint(copy_len + 4, n - copy_len)
                 )
-            )
+                gt.append(
+                    plant(feat, qi, ref, second_start, copy_len, 1.0)
+                )
         queries.append(
             VideoFeature(
                 video_id=f"Q{qi:06d}",
@@ -121,29 +197,80 @@ def build_benchmark(args):
     return queries, refs, noise, gt
 
 
-def main(args):
-    queries, refs, noise, gt = build_benchmark(args)
+def run_pipeline(queries, refs, noise, gt, score_norm=True, vcsl=False):
+    """Full matching pipeline → (candidate µAP, segment AP, counts)."""
     gt_pairs = CandidatePair.from_matches(gt)
+    if score_norm:
+        q, r = score_normalize(queries, refs, noise, beta=1.2)
+    else:
+        q, r = queries, refs
+    candidates = search(q, r)
+    uap = average_precision(gt_pairs, candidates).ap
+    matches = localize_and_verify(
+        q, r, candidates, score_normalization=score_norm, vcsl_faithful=vcsl
+    )
+    seg = match_metric(gt, matches).ap
+    return uap, seg, len(candidates), len(matches)
 
-    sn_q, sn_r = score_normalize(queries, refs, noise, beta=1.2)
-    candidates = search(sn_q, sn_r)
-    uap = average_precision(gt_pairs, candidates)
 
-    matches = localize_and_verify(sn_q, sn_r, candidates, score_normalization=True)
-    seg = match_metric(gt, matches)
+def main(args):
+    if args.sweep:
+        return run_sweep(args)
 
-    report = {
-        "candidate_uap": round(uap.ap, 4),
-        "segment_ap": round(seg.ap, 4),
-        "num_gt": len(gt),
-        "num_candidates": len(candidates),
-        "num_matches": len(matches),
-    }
+    queries, refs, noise, gt = build_benchmark(args)
+    report = {"num_gt": len(gt)}
+    modes = (
+        ["tuned", "vcsl"] if args.tn_mode == "both" else [args.tn_mode]
+    )
+    for mode in modes:
+        uap, seg, n_cand, n_match = run_pipeline(
+            queries, refs, noise, gt, vcsl=(mode == "vcsl")
+        )
+        tag = "" if len(modes) == 1 else f"_{mode}"
+        report[f"candidate_uap{tag}"] = round(uap, 4)
+        report[f"segment_ap{tag}"] = round(seg, 4)
+        report[f"num_candidates{tag}"] = n_cand
+        report[f"num_matches{tag}"] = n_match
+
+    if args.dino:
+        q768, r768, n768, gt768 = build_benchmark(args, dim=768)
+        for sn in (False, True):
+            uap, seg, _, _ = run_pipeline(
+                q768, r768, n768, gt768, score_norm=sn,
+                vcsl=(args.tn_mode == "vcsl"),
+            )
+            key = "dino_sn" if sn else "dino_raw"
+            report[f"{key}_uap"] = round(uap, 4)
+            report[f"{key}_segment_ap"] = round(seg, 4)
 
     if args.dns:
         report["dns_segment_ap"] = round(run_dns_variant(args), 4)
 
     print(json.dumps(report))
+
+
+def run_sweep(args):
+    """Corruption × TN-mode × descriptor grid, as a markdown table."""
+    rows = []
+    for hard in (False, True):
+        for dim, label in ((args.dim, "sscd-like"), (768, "dino-like")):
+            queries, refs, noise, gt = build_benchmark(
+                args, dim=dim, hard=hard
+            )
+            for mode in ("tuned", "vcsl"):
+                uap, seg, _, _ = run_pipeline(
+                    queries, refs, noise, gt, vcsl=(mode == "vcsl")
+                )
+                rows.append((
+                    "hard" if hard else "default", f"{label} ({dim}d)",
+                    mode, len(gt), round(uap, 4), round(seg, 4),
+                ))
+    print("| corruptions | descriptors | tn mode | gt | candidate µAP "
+          "| segment AP |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print("| " + " | ".join(str(x) for x in r) + " |")
+    return rows
 
 
 def run_dns_variant(args):

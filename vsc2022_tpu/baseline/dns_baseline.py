@@ -76,6 +76,12 @@ parser.add_argument(
 parser.add_argument(
     "--overwrite", help="Overwrite prediction files, if found.", action="store_true"
 )
+parser.add_argument(
+    "--vcsl_faithful_tn", action="store_true",
+    help="Align with the published VCSL TN configuration (absolute "
+    "min_sim gate, top-K=5, path-cell masking, max_iou dedup) instead "
+    "of the tuned adaptive gate.",
+)
 
 
 @functools.partial(jax.jit, static_argnames=("symmetric", "precision"))
@@ -208,6 +214,7 @@ def localize_and_verify(
     candidates: List[CandidatePair],
     localize_per_query: float = 5.0,
     fg_type: str = "att",
+    vcsl_faithful: bool = False,
 ) -> List[Match]:
     num_to_localize = int(len(queries_fine) * localize_per_query)
     candidates = candidates[:num_to_localize]
@@ -222,6 +229,7 @@ def localize_and_verify(
         tn_max_step=5,
         min_length=4,
         similarity_bias=0.5,
+        vcsl_faithful=vcsl_faithful,
     )
 
     return pipeline.align_candidates(alignment, candidates)
@@ -234,12 +242,13 @@ def match(
     refs_coarse: List[VideoFeature],
     output_path: str,
     fg_type: str = "att",
+    vcsl_faithful: bool = False,
 ) -> Tuple[str, str]:
     candidates = search(queries_coarse, refs_coarse)
     candidate_file, _ = pipeline.write_stage_artifacts(output_path, candidates)
     matches = localize_and_verify(
         queries_fine, refs_fine, queries_coarse, refs_coarse, candidates,
-        fg_type=fg_type,
+        fg_type=fg_type, vcsl_faithful=vcsl_faithful,
     )
     _, match_file = pipeline.write_stage_artifacts(
         output_path, candidates, matches
@@ -267,6 +276,7 @@ def main(args):
     candidate_file, match_file = match(
         queries_fine, refs_fine, queries_coarse, refs_coarse, args.output_path,
         fg_type=args.fg_type,
+        vcsl_faithful=getattr(args, "vcsl_faithful_tn", False),
     )
 
     if args.ground_truth:

@@ -66,6 +66,12 @@ parser.add_argument(
     "--profile_dir", help="Write a JAX profiler trace of the matching run.",
     type=str, default=None,
 )
+parser.add_argument(
+    "--vcsl_faithful_tn", action="store_true",
+    help="Align with the published VCSL TN configuration (absolute "
+    "min_sim gate, top-K=5, path-cell masking, max_iou dedup) instead "
+    "of the tuned adaptive gate.",
+)
 
 
 # Thin wrappers preserving the reference's module-level API
@@ -86,6 +92,7 @@ def build_alignment(
     queries: List[VideoFeature],
     refs: List[VideoFeature],
     score_normalization: bool,
+    vcsl_faithful: bool = False,
 ):
     """Alignment strategy selection (reference: sscd_baseline.py:117-135):
     score-normalized features use MaxSim scoring over positively biased
@@ -95,11 +102,13 @@ def build_alignment(
         return TNLocalizationMaxSim(
             queries, refs, model_type="TN",
             tn_max_step=5, min_length=4, similarity_bias=0.5,
+            vcsl_faithful=vcsl_faithful,
         )
     return TNLocalizationCandidateScore(
         transform_features(queries, l2_normalize_rows),
         transform_features(refs, l2_normalize_rows),
         model_type="TN", tn_max_step=5, min_length=4,
+        vcsl_faithful=vcsl_faithful,
     )
 
 
@@ -109,9 +118,12 @@ def localize_and_verify(
     candidates: List[CandidatePair],
     localize_per_query: float = pipeline.LOCALIZE_PER_QUERY,
     score_normalization: bool = False,
+    vcsl_faithful: bool = False,
 ) -> List[Match]:
     to_localize = candidates[: int(len(queries) * localize_per_query)]
-    alignment = build_alignment(queries, refs, score_normalization)
+    alignment = build_alignment(
+        queries, refs, score_normalization, vcsl_faithful
+    )
     return pipeline.align_candidates(alignment, to_localize)
 
 
@@ -120,11 +132,13 @@ def match(
     refs: List[VideoFeature],
     output_path: str,
     score_normalization: bool = False,
+    vcsl_faithful: bool = False,
 ) -> Tuple[str, str]:
     candidates = search(queries, refs)
     candidate_file, _ = pipeline.write_stage_artifacts(output_path, candidates)
     matches = localize_and_verify(
-        queries, refs, candidates, score_normalization=score_normalization
+        queries, refs, candidates, score_normalization=score_normalization,
+        vcsl_faithful=vcsl_faithful,
     )
     _, match_file = pipeline.write_stage_artifacts(
         output_path, candidates, matches
@@ -156,6 +170,7 @@ def main(args):
         candidate_file, match_file = match(
             queries, refs, args.output_path,
             score_normalization=score_normalization,
+            vcsl_faithful=getattr(args, "vcsl_faithful_tn", False),
         )
 
     if args.ground_truth:

@@ -115,6 +115,7 @@ class TNLocalization(LocalizationWithMetadata):
         top_k_per_row: int = 10,
         max_paths: int = 10,
         adaptive_sigma: float = 2.5,
+        vcsl_faithful: bool = False,
         **kwargs,
     ):
         super().__init__(queries, refs)
@@ -122,14 +123,24 @@ class TNLocalization(LocalizationWithMetadata):
             raise ValueError(f"Unsupported alignment model type: {model_type}")
         del concurrency, kwargs
         self.similarity_bias = similarity_bias
-        self.params = TNParams(
-            max_step=tn_max_step,
-            min_length=min_length,
-            max_paths=max_paths,
-            min_sim=min_sim,
-            top_k_per_row=top_k_per_row,
-            adaptive_sigma=adaptive_sigma,
-        )
+        if vcsl_faithful:
+            # Parity configuration: published VCSL TN gating/extraction
+            # (absolute min_sim, top-K=5, path-cell masking, max_iou
+            # dedup) instead of the tuned adaptive gate.
+            self.params = TNParams.vcsl_faithful(
+                max_step=tn_max_step,
+                min_length=min_length,
+                max_paths=max_paths,
+            )
+        else:
+            self.params = TNParams(
+                max_step=tn_max_step,
+                min_length=min_length,
+                max_paths=max_paths,
+                min_sim=min_sim,
+                top_k_per_row=top_k_per_row,
+                adaptive_sigma=adaptive_sigma,
+            )
 
     def similarity(self, candidate: CandidatePair) -> np.ndarray:
         """Biased similarity — some alignment methods do not tolerate

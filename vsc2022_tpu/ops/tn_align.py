@@ -61,6 +61,33 @@ class TNParams(NamedTuple):
     min_sim: float = 0.2
     top_k_per_row: int = 10
     adaptive_sigma: float = 2.5
+    # "box": after extracting a path, mask every node cell inside its
+    #   bounding box (fast: no traceback; enforces non-overlapping
+    #   boxes). "path": mask only the path's own cells, the published
+    #   VCSL behavior (the graph loses the path's nodes, later paths
+    #   may thread through the same region; vta.py removes
+    #   nx.dag_longest_path nodes from the graph each iteration).
+    mask_mode: str = "box"
+    # Reject (do not emit) a box whose IoU with an already-accepted box
+    # exceeds this; the rejected path's nodes are still consumed and the
+    # attempt still counts toward max_paths (VCSL TN's max_iou knob,
+    # default 0.3 there). 1.0 disables the check.
+    max_iou: float = 1.0
+
+    @classmethod
+    def vcsl_faithful(cls, max_step: int = 5, min_length: int = 4,
+                      max_paths: int = 10) -> "TNParams":
+        """The parity configuration: published VCSL TN gating and path
+        extraction — absolute min_sim=0.2 node threshold (no adaptive
+        sigma), per-row top-K=5 frame retrieval (VCSL tn_top_K default),
+        path-cell masking between iterations, and max_iou=0.3 box
+        dedup. max_step/min_length default to the reference's call site
+        values (vsc/baseline/sscd_baseline.py:118-126)."""
+        return cls(
+            max_step=max_step, min_length=min_length, max_paths=max_paths,
+            min_sim=0.2, top_k_per_row=5, adaptive_sigma=0.0,
+            mask_mode="path", max_iou=0.3,
+        )
 
 
 def _shift_down(x: jnp.ndarray, delta: int, fill) -> jnp.ndarray:
@@ -115,9 +142,11 @@ def node_mask(
     return valid & in_topk & (masked >= threshold)
 
 
-def _dp_scan(sims, nodes, params: TNParams):
+def _dp_scan(sims, nodes, params: TNParams, collect: bool = False):
     """One forward DP pass. Returns the best eligible path per batch
-    element: (found, end_i, end_j, start_i, start_j, length)."""
+    element: (found, end_i, end_j, start_i, start_j, length), plus —
+    when ``collect`` — the full per-cell (length, simsum) DP tables
+    needed for path traceback."""
     b, nq, nr = sims.shape
     w = params.max_step
 
@@ -197,7 +226,8 @@ def _dp_scan(sims, nodes, params: TNParams):
         win_sum = jnp.concatenate([win_sum[:, 1:], new_sum[:, None]], axis=1)
         win_si = jnp.concatenate([win_si[:, 1:], new_si[:, None]], axis=1)
         win_sj = jnp.concatenate([win_sj[:, 1:], new_sj[:, None]], axis=1)
-        return (win_ln, win_sum, win_si, win_sj, best), None
+        ys = (new_ln, new_sum) if collect else None
+        return (win_ln, win_sum, win_si, win_sj, best), ys
 
     init = (
         jnp.zeros((b, w, nr), dtype=jnp.int32),
@@ -221,10 +251,118 @@ def _dp_scan(sims, nodes, params: TNParams):
         jnp.moveaxis(nodes, 1, 0),
         jnp.arange(nq, dtype=jnp.int32),
     )
-    (_, _, _, _, best), _ = jax.lax.scan(row_step, init, xs)
+    (_, _, _, _, best), ys = jax.lax.scan(row_step, init, xs)
     b_ln, b_sum, b_i, b_j, b_si, b_sj = best
     found = b_ln >= params.min_length
-    return found, b_i, b_j, b_si, b_sj, b_ln
+    result = (found, b_i, b_j, b_si, b_sj, b_ln)
+    if not collect:
+        return result
+    ln_table = jnp.moveaxis(ys[0], 0, 1)  # [B, NQ, NR]
+    sum_table = jnp.moveaxis(ys[1], 0, 1)
+    return result, ln_table, sum_table
+
+
+def _trace_path(
+    ln_table: jnp.ndarray,  # [B, NQ, NR] int32 DP path lengths
+    sum_table: jnp.ndarray,  # [B, NQ, NR] f32 DP simsums
+    found: jnp.ndarray,  # [B] bool
+    end_i: jnp.ndarray,  # [B]
+    end_j: jnp.ndarray,  # [B]
+    max_step: int,
+) -> jnp.ndarray:
+    """Recover the winning path's cells as a [B, NQ, NR] bool mask.
+
+    Walks backward from the endpoint, at each step re-running the
+    forward pass's windowed predecessor selection (same lexicographic
+    (length, simsum) order and tie preferences: per column the earliest
+    buffered row wins, across columns the smallest shift wins) — so the
+    recovered chain is exactly the chain the forward extension chose.
+    """
+    b, nq, nr = ln_table.shape
+    w = max_step
+    # Pad top/left by w so the predecessor window at (i-w, j-w) is a
+    # plain dynamic_slice; padded cells carry ln=0 (never selected).
+    lnp = jnp.pad(ln_table, ((0, 0), (w, 0), (w, 0)))
+    sump = jnp.pad(
+        sum_table, ((0, 0), (w, 0), (w, 0)), constant_values=NEG_INF
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nq, nr), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nq, nr), 2)
+
+    def window(arr, i, j):  # [NQ+w, NR+w], scalars → [w, w]
+        # Rows i-w..i-1, cols j-w..j-1 live at padded (i, j)..(i+w-1, ...).
+        return jax.lax.dynamic_slice(arr, (i, j), (w, w))
+
+    def body(state):
+        ci, cj, cl, active, mask = state
+        here = (
+            (row_ids == ci[:, None, None]) & (col_ids == cj[:, None, None])
+        )
+        mask = mask | (here & active[:, None, None])
+
+        win_ln = jax.vmap(window)(lnp, ci, cj)  # [B, w, w]
+        win_sum = jax.vmap(window)(sump, ci, cj)
+        # Stage 1 (per column): earliest row wins ties.
+        best_ln = jnp.zeros((b, w), jnp.int32)
+        best_sum = jnp.full((b, w), NEG_INF, jnp.float32)
+        best_r = jnp.zeros((b, w), jnp.int32)
+        for r in range(w):
+            take = _better(win_ln[:, r], win_sum[:, r], best_ln, best_sum)
+            best_ln = jnp.where(take, win_ln[:, r], best_ln)
+            best_sum = jnp.where(take, win_sum[:, r], best_sum)
+            best_r = jnp.where(take, r, best_r)
+        # Stage 2 (across columns): smallest shift = largest column wins.
+        sel_ln = jnp.zeros((b,), jnp.int32)
+        sel_sum = jnp.full((b,), NEG_INF, jnp.float32)
+        sel_r = jnp.zeros((b,), jnp.int32)
+        sel_c = jnp.zeros((b,), jnp.int32)
+        for c in reversed(range(w)):
+            take = _better(best_ln[:, c], best_sum[:, c], sel_ln, sel_sum)
+            sel_ln = jnp.where(take, best_ln[:, c], sel_ln)
+            sel_sum = jnp.where(take, best_sum[:, c], sel_sum)
+            sel_r = jnp.where(take, best_r[:, c], sel_r)
+            sel_c = jnp.where(take, c, sel_c)
+
+        step = active & (cl > 1)
+        ci = jnp.where(step, ci - w + sel_r, ci)
+        cj = jnp.where(step, cj - w + sel_c, cj)
+        cl = jnp.where(step, cl - 1, cl)
+        active = step
+        return ci, cj, cl, active, mask
+
+    def cond(state):
+        return jnp.any(state[3])
+
+    # cl starts at the winning length; walk guards itself via cl.
+    length0 = jax.vmap(lambda t, i, j: t[i, j])(ln_table, end_i, end_j)
+    init = (
+        end_i.astype(jnp.int32),
+        end_j.astype(jnp.int32),
+        length0,
+        found,
+        jnp.zeros((b, nq, nr), dtype=bool),
+    )
+    _, _, _, _, mask = jax.lax.while_loop(cond, body, init)
+    return mask
+
+
+def _box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU of inclusive-index boxes (x1, y1, x2, y2): [..., 4] each."""
+    ix = jnp.maximum(
+        0,
+        jnp.minimum(a[..., 2], b[..., 2]) - jnp.maximum(a[..., 0], b[..., 0])
+        + 1,
+    )
+    iy = jnp.maximum(
+        0,
+        jnp.minimum(a[..., 3], b[..., 3]) - jnp.maximum(a[..., 1], b[..., 1])
+        + 1,
+    )
+    inter = (ix * iy).astype(jnp.float32)
+    area = lambda t: (  # noqa: E731
+        (t[..., 2] - t[..., 0] + 1) * (t[..., 3] - t[..., 1] + 1)
+    ).astype(jnp.float32)
+    return inter / jnp.maximum(area(a) + area(b) - inter, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -255,15 +393,26 @@ def tn_align(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nq, nr), 2)
 
     def extract(nodes, _):
-        found, ei, ej, si, sj, ln = _dp_scan(sims, nodes, params)
-        # Mask the box's node cells so later paths cannot reuse them.
+        if params.mask_mode == "path":
+            (found, ei, ej, si, sj, ln), ln_t, sum_t = _dp_scan(
+                sims, nodes, params, collect=True
+            )
+            consumed = _trace_path(ln_t, sum_t, found, ei, ej, params.max_step)
+        else:
+            found, ei, ej, si, sj, ln = _dp_scan(sims, nodes, params)
+            consumed = None
         in_box = (
             (row_ids >= si[:, None, None])
             & (row_ids <= ei[:, None, None])
             & (col_ids >= sj[:, None, None])
             & (col_ids <= ej[:, None, None])
         )
-        new_nodes = nodes & ~(in_box & found[:, None, None])
+        # Remove the consumed node cells so later paths cannot reuse
+        # them: the whole bounding box ("box", fast default) or just
+        # the path's own cells ("path", VCSL-faithful).
+        if consumed is None:
+            consumed = in_box
+        new_nodes = nodes & ~(consumed & found[:, None, None])
         # Score: max similarity inside the box.
         box_max = jnp.max(
             jnp.where(in_box, sims, NEG_INF), axis=(1, 2)
@@ -272,9 +421,21 @@ def tn_align(
         return new_nodes, (box, found, box_max)
 
     _, (boxes, valid, scores) = jax.lax.scan(extract, nodes0, None, length=p)
-    # [P, B, ...] → [B, P, ...]
-    return (
-        jnp.moveaxis(boxes, 0, 1),
-        jnp.moveaxis(valid, 0, 1),
-        jnp.moveaxis(scores, 0, 1),
-    )
+    boxes = jnp.moveaxis(boxes, 0, 1)  # [P, B, ...] → [B, P, ...]
+    valid = jnp.moveaxis(valid, 0, 1)
+    scores = jnp.moveaxis(scores, 0, 1)
+
+    if params.max_iou < 1.0:
+        # Sequential IoU dedup (VCSL max_iou): box p is emitted only if
+        # its overlap with every previously-emitted box is <= max_iou.
+        # Rejected paths stay consumed and still used an iteration.
+        kept = []
+        for i in range(p):
+            ok = valid[:, i]
+            for q_idx in range(i):
+                iou = _box_iou(boxes[:, i], boxes[:, q_idx])
+                ok = ok & ~(kept[q_idx] & (iou > params.max_iou))
+            kept.append(ok)
+        valid = jnp.stack(kept, axis=1)
+
+    return boxes, valid, scores
