@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -33,6 +34,22 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = float("-inf")
+
+
+def _use_pallas_kernels() -> bool:
+    """Opt-in Pallas kernel routing. VSC2022_TPU_USE_PALLAS=1 routes on
+    a TPU backend; =interpret routes through the Pallas interpreter on
+    any backend (tests). Checked at trace time — flipping the env var
+    after a shape has compiled will not retrace (see
+    ops/pallas_kernels.py header for the relay-environment caveat)."""
+    flag = os.environ.get("VSC2022_TPU_USE_PALLAS", "")
+    if flag == "1":
+        return jax.default_backend() == "tpu"
+    return flag == "interpret"
+
+
+def _pallas_interpret() -> bool:
+    return os.environ.get("VSC2022_TPU_USE_PALLAS") == "interpret"
 
 # Default tile sizes: MXU-aligned. row_block bounds the [row, col] f32
 # score intermediate (16384×8192 = 512 MB HBM); large rows-per-dispatch
@@ -76,6 +93,31 @@ def streaming_topk(
     n_pad = refs.shape[0]
     n_blocks = n_pad // col_block
     prec = jax.lax.Precision(precision)
+
+    if (
+        approx
+        and metric == "IP"
+        and not varying_axes
+        and _use_pallas_kernels()
+    ):
+        # Fused Pallas path: matmul + top-κ collection in VMEM, the
+        # [M, col_block] score blocks never reach HBM. Candidates are
+        # approximate (best 2 per 128-column segment per tile) exactly
+        # like the approx_max_k path; global_topk's count-verify pass
+        # restores exactness either way.
+        from vsc2022_tpu.ops.pallas_kernels import fused_topk
+
+        kp = min(kappa, n_pad)
+        top_s, top_i = fused_topk(
+            q, refs, n_valid, kp, interpret=_pallas_interpret()
+        )
+        if kp < kappa:  # keep the [M, κ] contract
+            pad_cols = kappa - kp
+            top_s = jnp.pad(
+                top_s, ((0, 0), (0, pad_cols)), constant_values=NEG_INF
+            )
+            top_i = jnp.pad(top_i, ((0, 0), (0, pad_cols)))
+        return top_s, top_i + base
 
     if metric == "L2":
         q32 = q.astype(jnp.float32)
