@@ -196,14 +196,39 @@ def bench_inference(results):
         np.asarray(embed(variables, frames))
         e2e_s = min(e2e_s, time.perf_counter() - t0)
 
-    # Device-resident: frames already in HBM; D2H is 32x512 floats.
+    # Device-resident: frames already in HBM; the np.asarray pull of the
+    # [32, 512] output (65 KB) is the sync point — block_until_ready
+    # does NOT block through this rig's relay, so completion must be
+    # forced by a D2H fetch.
     frames_dev = jax.device_put(frames)
-    jax.block_until_ready(frames_dev)
+    np.asarray(embed(variables, frames_dev))
     dev_s = float("inf")
     for _ in range(INF_BATCHES):
         t0 = time.perf_counter()
-        jax.block_until_ready(embed(variables, frames_dev))
+        np.asarray(embed(variables, frames_dev))
         dev_s = min(dev_s, time.perf_counter() - t0)
+
+    # bf16 variant: parameters + activations cast, MXU-native convs.
+    vars_bf16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        else a,
+        variables,
+    )
+
+    @jax.jit
+    def embed_bf16(vars_, frames_u8):
+        images = preprocess(frames_u8, InferenceTransforms.RESIZE_320_CENTER)
+        return model.apply(vars_, images.astype(jnp.bfloat16)).astype(
+            jnp.float32
+        )
+
+    np.asarray(embed_bf16(vars_bf16, frames_dev))  # warmup/compile
+    bf16_s = float("inf")
+    for _ in range(INF_BATCHES):
+        t0 = time.perf_counter()
+        np.asarray(embed_bf16(vars_bf16, frames_dev))
+        bf16_s = min(bf16_s, time.perf_counter() - t0)
 
     # Per-frame FLOPs from the compiled executable when XLA reports it;
     # else the analytic ResNet-50 estimate (~4.1 GMACs @224^2, scaled).
@@ -217,6 +242,7 @@ def bench_inference(results):
 
     results["inference_fps"] = round(INF_BATCH / e2e_s, 2)
     results["inference_fps_device"] = round(INF_BATCH / dev_s, 2)
+    results["inference_fps_device_bf16"] = round(INF_BATCH / bf16_s, 2)
     results["inference_tflops"] = round(
         gflop_per_frame * (INF_BATCH / dev_s) / 1e3, 3
     )

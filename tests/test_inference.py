@@ -134,6 +134,26 @@ class TestDescriptorExtractor:
                 outs[3][vid], outs[64][vid], rtol=1e-5, atol=1e-6
             )
 
+    def test_bf16_compute_close_to_f32(self):
+        rng = np.random.RandomState(4)
+        videos = self.make_videos(rng, n=2)
+        outs = {}
+        for dtype in ("float32", "bfloat16"):
+            extractor = DescriptorExtractor(
+                mean_color_model, {}, InferenceTransforms.RESIZE_224_SQUARE,
+                batch_size=4, compute_dtype=dtype,
+            )
+            outs[dtype] = {
+                vf.video_id: vf.feature
+                for vf in extractor.extract(FakeFrameDataset(videos))
+            }
+        for vid in outs["float32"]:
+            assert outs["bfloat16"][vid].dtype == np.float32
+            np.testing.assert_allclose(
+                outs["bfloat16"][vid], outs["float32"][vid],
+                rtol=2e-2, atol=2e-2,
+            )
+
     def test_store_fp16(self):
         rng = np.random.RandomState(2)
         ds = FakeFrameDataset(self.make_videos(rng, n=1))

@@ -70,6 +70,12 @@ inference_parser.add_argument(
     help="TorchScript weights; converted on the fly (requires torch)",
 )
 inference_parser.add_argument("--batch_size", type=int, default=32)
+inference_parser.add_argument(
+    "--compute_dtype", choices=["float32", "bfloat16"], default="float32",
+    help="bfloat16 runs the model forward MXU-native (~2-4x conv "
+    "throughput); descriptors are stored as float32 (or fp16 with "
+    "--store_fp16) either way, at bf16 resolution.",
+)
 inference_parser.add_argument("--distributed_rank", type=int, default=0)
 inference_parser.add_argument("--distributed_size", type=int, default=1)
 inference_parser.add_argument("--processes", type=int, default=1)
@@ -245,6 +251,7 @@ def worker_process(args, rank, world_size, output_filename):
         variables,
         transform=InferenceTransforms[args.transforms],
         batch_size=args.batch_size,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )
     from vsc2022_tpu.utils.profiling import maybe_profile
 
