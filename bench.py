@@ -240,13 +240,55 @@ def bench_inference(results):
     except Exception:
         gflop_per_frame = 2 * 4.1 * (INF_HW / 224.0) ** 2
 
+    # Large-batch variant: dispatch latency amortizes (the per-call RPC
+    # floor on this rig is ~35 ms — at batch 32 it is half the time).
+    big = 128
+    frames_big = jax.device_put(
+        rng.integers(0, 256, size=(big, INF_HW, INF_HW, 3), dtype=np.uint8)
+    )
+    np.asarray(embed(variables, frames_big))
+    big_s = float("inf")
+    for _ in range(INF_BATCHES):
+        t0 = time.perf_counter()
+        np.asarray(embed(variables, frames_big))
+        big_s = min(big_s, time.perf_counter() - t0)
+
     results["inference_fps"] = round(INF_BATCH / e2e_s, 2)
     results["inference_fps_device"] = round(INF_BATCH / dev_s, 2)
     results["inference_fps_device_bf16"] = round(INF_BATCH / bf16_s, 2)
+    results["inference_fps_device_b128"] = round(big / big_s, 2)
     results["inference_tflops"] = round(
         gflop_per_frame * (INF_BATCH / dev_s) / 1e3, 3
     )
     results["inference_gflop_per_frame"] = round(gflop_per_frame, 2)
+
+
+def bench_localization(results):
+    """TN alignment throughput: candidate pairs aligned per second
+    (the reference runs VCSL TN on a 16-process CPU pool —
+    vsc/baseline/sscd_baseline.py:118-126)."""
+    import jax
+
+    from vsc2022_tpu.ops.tn_align import TNParams, tn_align
+
+    rng = np.random.RandomState(7)
+    b, nq, nr = 64, 128, 128
+    sims = (0.1 * rng.rand(b, nq, nr)).astype(np.float32)
+    for i in range(b):  # plant a diagonal per pair
+        q0, r0 = rng.randint(0, 60, 2)
+        for t in range(30):
+            sims[i, q0 + t, r0 + t] = 0.9
+    lens = jax.device_put(np.full(b, 100, np.int32))
+    sims_dev = jax.device_put(sims)
+    params = TNParams()
+
+    np.asarray(tn_align(sims_dev, lens, lens, params)[0])  # warmup
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        np.asarray(tn_align(sims_dev, lens, lens, params)[0])
+        best = min(best, time.perf_counter() - t0)
+    results["localization_pairs_per_sec"] = round(b / best, 1)
 
 
 def run_measurement():
@@ -260,6 +302,7 @@ def run_measurement():
     }
     bench_retrieval(results)
     bench_inference(results)
+    bench_localization(results)
     results["value"] = results["retrieval_qps"]
     print(json.dumps(results))
 
