@@ -151,8 +151,13 @@ def bench_retrieval(results):
     bf16_e2e = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        bf16_searcher.global_topk(q, GLOBAL_K)
+        bqi, bri, _ = bf16_searcher.global_topk(q, GLOBAL_K)
         bf16_e2e = min(bf16_e2e, time.perf_counter() - t0)
+    bf16_agree = len(
+        set(zip(qi[:1000].tolist(), ri[:1000].tolist()))
+        & set(zip(bqi[:1000].tolist(), bri[:1000].tolist()))
+    ) / 1000.0
+    assert bf16_agree > 0.98, f"bf16/f32 search disagree: {bf16_agree:.3f}"
 
     cpu_time = float("inf")
     for _ in range(2):
@@ -228,7 +233,7 @@ def bench_inference(results):
     # bf16 variant: parameters + activations cast, MXU-native convs.
     vars_bf16 = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16)
-        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        if jnp.issubdtype(a.dtype, jnp.floating)
         else a,
         variables,
     )
@@ -335,7 +340,7 @@ def main():
         try:
             result = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_child"],
-                capture_output=True, text=True, timeout=540,
+                capture_output=True, text=True, timeout=840,
             )
         except subprocess.TimeoutExpired:
             print(

@@ -259,8 +259,11 @@ def oracle_tn(sim, params):
                 if not nodes[i, j]:
                     continue
                 best = (0, -np.inf, i, j)
-                for di in range(1, params.max_step + 1):
-                    for dj in range(1, params.max_step + 1):
+                # Tie convention matches the kernel: largest predecessor
+                # column first, then smallest row (ties are otherwise
+                # measure-zero on continuous sims).
+                for dj in range(1, params.max_step + 1):
+                    for di in range(1, params.max_step + 1):
                         pi, pj = i - di, j - dj
                         if pi < 0 or pj < 0 or ln[pi, pj] == 0:
                             continue
@@ -350,8 +353,12 @@ def oracle_tn_vcsl(sim, max_step=5, min_length=4, max_paths=10,
                 if not nodes[i, j]:
                     continue
                 best = None  # (ln, sum, cell)
-                for pi in range(max(0, i - max_step), i):
-                    for pj in range(max(0, j - max_step), j):
+                # Exact (length, simsum) ties between predecessors are
+                # implementation-defined in VCSL/networkx; this oracle
+                # pins the kernel's convention (largest predecessor
+                # column, then smallest row) by scan order.
+                for pj in range(j - 1, max(0, j - max_step) - 1, -1):
+                    for pi in range(max(0, i - max_step), i):
                         if ln[pi, pj] == 0:
                             continue
                         cand = (ln[pi, pj], sm[pi, pj], (pi, pj))
@@ -478,3 +485,33 @@ class TestVCSLFaithfulMode:
             if bool(valid2[0][p])
         }
         assert (2, 12, 11, 21) not in got_box
+
+
+class TestExactTies:
+    """Repeated identical similarities (stills, black frames) produce
+    exact (length, simsum) ties; kernel and oracle must pick the same
+    predecessor chains and boxes."""
+
+    def test_constant_block_ties_match_oracle(self):
+        params = TNParams.vcsl_faithful(max_step=3, min_length=3,
+                                        max_paths=4)
+        for nq, nr, fill in ((16, 16, 0.8), (20, 14, 0.5)):
+            sim = np.zeros((nq, nr), dtype=np.float32)
+            sim[2:10, 3:11] = fill  # constant block: everything ties
+            expect = oracle_tn_vcsl(
+                sim.astype(np.float64), max_step=3, min_length=3,
+                max_paths=4, min_sim=params.min_sim,
+                top_k=params.top_k_per_row, max_iou=params.max_iou,
+            )
+            boxes, valid, _ = tn_align(
+                jnp.asarray(sim[None]),
+                jnp.asarray([nq], jnp.int32),
+                jnp.asarray([nr], jnp.int32),
+                params,
+            )
+            got = [
+                tuple(map(int, np.asarray(boxes[0][p])))
+                for p in range(boxes.shape[1])
+                if bool(valid[0][p])
+            ]
+            assert got == [tuple(map(int, b)) for b in expect], (got, expect)

@@ -180,13 +180,21 @@ def build_benchmark(args, dim=None, hard=None):
                 q_start = int(rng.randint(0, n - copy_len))
             gt.append(plant(feat, qi, ref, q_start, copy_len, speed))
             if hard and qi % 4 == 0 and n - copy_len > 2 * copy_len + 8:
-                # The same ref copied a second time into this query.
-                second_start = int(
-                    rng.randint(copy_len + 4, n - copy_len)
-                )
-                gt.append(
-                    plant(feat, qi, ref, second_start, copy_len, 1.0)
-                )
+                # The same ref copied a second time into this query, in
+                # a span disjoint from the first (an overlap would
+                # overwrite the first plant's frames and invalidate its
+                # GT row).
+                for _ in range(20):
+                    second_start = int(rng.randint(0, n - copy_len))
+                    disjoint = (
+                        second_start + copy_len <= q_start
+                        or second_start >= q_start + copy_len
+                    )
+                    if disjoint:
+                        gt.append(
+                            plant(feat, qi, ref, second_start, copy_len, 1.0)
+                        )
+                        break
         queries.append(
             VideoFeature(
                 video_id=f"Q{qi:06d}",

@@ -285,6 +285,17 @@ def main(args):
             "--distributed_rank/--distributed_size; pick one distribution "
             "scheme"
         )
+    if n_hosts > 1:
+        if not getattr(args, "coordinator", None):
+            raise Exception(
+                "--num_processes > 1 requires --coordinator host:port "
+                "(the jax.distributed rendezvous address)"
+            )
+        if not 0 <= args.process_id < n_hosts:
+            raise Exception(
+                f"--process_id {args.process_id} out of range "
+                f"[0, {n_hosts})"
+            )
     if args.processes > 1 and Accelerator[args.accelerator.upper()] != Accelerator.CPU:
         raise Exception(
             "--processes > 1 is a CPU-decode fan-out; a TPU host runs one "

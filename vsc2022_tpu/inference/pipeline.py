@@ -138,9 +138,14 @@ class DescriptorExtractor:
         assert compute_dtype in ("float32", "bfloat16"), compute_dtype
         self.dtype = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
         if compute_dtype == "bfloat16":
+            # Inspect dtype via the attribute — np and jax arrays both
+            # carry it; jnp.asarray here would ship every f32 leaf to
+            # the device just to read its dtype.
             variables = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
-                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                if jnp.issubdtype(
+                    getattr(a, "dtype", np.asarray(a).dtype), jnp.floating
+                )
                 else a,
                 variables,
             )

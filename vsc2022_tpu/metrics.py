@@ -555,12 +555,17 @@ def average_precision(
     )
     hits_so_far = np.cumsum(hits)
     precision_at = hits_so_far / np.arange(1, hits.size + 1)
-    simple_ap = float(precision_at[hits].sum()) / len(positives)
+    # numpy division: empty GT yields nan (+RuntimeWarning), matching
+    # the reference rather than raising ZeroDivisionError
+    # (vsc/metrics.py:441-446).
+    with np.errstate(invalid="ignore", divide="ignore"):
+        simple_ap = float(
+            np.float64(precision_at[hits].sum()) / len(positives)
+        )
+        recall_at_hits = hits_so_far[hits] / max(len(positives), 1)
 
     scores = np.array([c.score for c in ranked])
-    curve = PrecisionRecallCurve(
-        precision_at[hits], hits_so_far[hits] / len(positives), scores[hits]
-    )
+    curve = PrecisionRecallCurve(precision_at[hits], recall_at_hits, scores[hits])
     return AveragePrecision(ap=canonical_ap, pr_curve=curve, simple_ap=simple_ap)
 
 

@@ -148,14 +148,25 @@ def streaming_topk(
         # Sort-free candidate collection: per block, keep the best two
         # entries of every 128-lane segment (cheap VPU max/argmax — XLA
         # top_k/approx_max_k lower to full sorts on this hardware,
-        # measured 14× slower than the matmul they follow); ONE exact
-        # top-κ over the collected pool at the end. Recall matches the
-        # approx_max_k contract; the caller's count-verify pass restores
-        # exactness either way.
+        # measured 14× slower than the matmul they follow). Segment
+        # winners accumulate into a bounded per-row pool (≤ ~4096 wide);
+        # one top_k merges each full pool into the running top-κ carry —
+        # sort work amortizes to a few passes per block, and memory
+        # stays O(M·pool) regardless of corpus size (a flat pool over
+        # all blocks would be O(M·N/64): ~5 GB at VSC scale). Recall
+        # matches the approx_max_k contract; the caller's count-verify
+        # pass restores exactness either way.
         seg_lanes = min(128, col_block)
         seg = col_block // seg_lanes
+        chunk_blocks = max(1, min(n_blocks, 4096 // (2 * seg)))
+        n_chunks = -(-n_blocks // chunk_blocks)
+        # Out-of-range block ids in the ragged last chunk are safe:
+        # their col_ids exceed n_valid, so every score masks to −inf.
+        block_ids = jnp.arange(n_chunks * chunk_blocks).reshape(
+            n_chunks, chunk_blocks
+        )
 
-        def collect(carry, block_idx):
+        def seg_best2(block_idx):
             s, col_ids = block_scores(block_idx)
             s3 = s.reshape(m, seg, seg_lanes)
             c3 = col_ids.reshape(m, seg, seg_lanes)
@@ -167,26 +178,50 @@ def streaming_topk(
             a2 = jnp.argmax(s3b, axis=2)
             m2 = jnp.take_along_axis(s3b, a2[:, :, None], axis=2)[:, :, 0]
             i2 = jnp.take_along_axis(c3, a2[:, :, None], axis=2)[:, :, 0]
-            return carry, (
+            return (
                 jnp.concatenate([m1, m2], axis=1),
                 jnp.concatenate([i1, i2], axis=1),
             )
 
-        init = jnp.zeros((), jnp.int32)
+        dummy = jnp.zeros((), jnp.int32)
         if varying_axes:
-            init = jax.lax.pcast(init, varying_axes, to="varying")
-        _, (pool_s, pool_i) = jax.lax.scan(
-            collect, init, jnp.arange(n_blocks)
+            dummy = jax.lax.pcast(dummy, varying_axes, to="varying")
+
+        def collect_pool(chunk):
+            def inner(c2, bi):
+                return c2, seg_best2(bi)
+
+            _, (pool_s, pool_i) = jax.lax.scan(inner, dummy, chunk)
+            return (
+                jnp.moveaxis(pool_s, 0, 1).reshape(m, -1),
+                jnp.moveaxis(pool_i, 0, 1).reshape(m, -1),
+            )
+
+        if n_chunks == 1:
+            # Whole corpus fits one pool: single top_k, no merge loop.
+            pool_s, pool_i = collect_pool(block_ids[0])
+            top_s, sel = jax.lax.top_k(pool_s, kappa)
+            return top_s, jnp.take_along_axis(pool_i, sel, axis=1)
+
+        def chunk_step(carry, chunk):
+            top_s, top_i = carry
+            pool_s, pool_i = collect_pool(chunk)
+            merged_s = jnp.concatenate([top_s, pool_s], axis=1)
+            merged_i = jnp.concatenate([top_i, pool_i], axis=1)
+            new_s, sel = jax.lax.top_k(merged_s, kappa)
+            new_i = jnp.take_along_axis(merged_i, sel, axis=1)
+            return (new_s, new_i), None
+
+        init = (
+            jnp.full((m, kappa), NEG_INF, dtype=jnp.float32),
+            jnp.zeros((m, kappa), dtype=jnp.int32),
         )
-        pool_s = jnp.moveaxis(pool_s, 0, 1).reshape(m, -1)
-        pool_i = jnp.moveaxis(pool_i, 0, 1).reshape(m, -1)
-        if pool_s.shape[1] < kappa:
-            pad = kappa - pool_s.shape[1]
-            pool_s = jnp.pad(pool_s, ((0, 0), (0, pad)),
-                             constant_values=NEG_INF)
-            pool_i = jnp.pad(pool_i, ((0, 0), (0, pad)))
-        top_s, sel = jax.lax.top_k(pool_s, kappa)
-        return top_s, jnp.take_along_axis(pool_i, sel, axis=1)
+        if varying_axes:
+            init = tuple(
+                jax.lax.pcast(x, varying_axes, to="varying") for x in init
+            )
+        (top_s, top_i), _ = jax.lax.scan(chunk_step, init, block_ids)
+        return top_s, top_i
 
     def body(carry, block_idx):
         top_s, top_i = carry
