@@ -105,3 +105,85 @@ class TestShardedFuzz:
             np.testing.assert_array_equal(hq, sq)
             np.testing.assert_array_equal(hr, sr)
             np.testing.assert_allclose(hs, ss, rtol=1e-5, atol=1e-5)
+
+
+class TestMeshShardedInference:
+    """Batch-sharded descriptor forward: a mesh's first axis splits the
+    frame batch across devices (parameters replicated, XLA SPMD)."""
+
+    def test_sharded_forward_matches_unsharded(self):
+        import jax.numpy as jnp
+
+        from vsc2022_tpu.inference.pipeline import DescriptorExtractor
+        from vsc2022_tpu.inference.transforms import InferenceTransforms
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        def model(variables, images):
+            return jnp.mean(images, axis=(1, 2))
+
+        rng = np.random.RandomState(11)
+        frames = (rng.rand(8, 13, 32, 48, 3) * 255).astype(np.uint8)
+
+        class DS:
+            def iter_decoded(self):
+                ts = np.stack(
+                    [np.arange(13.0), np.arange(13.0) + 1], axis=1
+                )
+                for i in range(frames.shape[0]):
+                    yield f"v{i:03d}", frames[i], ts
+
+            def num_videos(self):
+                return frames.shape[0]
+
+        base = DescriptorExtractor(
+            model, {}, InferenceTransforms.RESIZE_224_SQUARE, batch_size=8
+        )
+        sharded = DescriptorExtractor(
+            model, {}, InferenceTransforms.RESIZE_224_SQUARE, batch_size=8,
+            mesh=corpus_mesh(8),
+        )
+        ref = {vf.video_id: vf.feature for vf in base.extract(DS())}
+        got = {vf.video_id: vf.feature for vf in sharded.extract(DS())}
+        for vid in ref:
+            np.testing.assert_allclose(got[vid], ref[vid], rtol=1e-5,
+                                       atol=1e-6)
+
+
+class TestMeshShardedLocalization:
+    """Candidate-batch-sharded TN alignment over a mesh."""
+
+    def test_sharded_alignment_matches_unsharded(self):
+        from vsc2022_tpu.localization import TNLocalizationMaxSim
+        from vsc2022_tpu.metrics import CandidatePair
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+        from vsc2022_tpu.types import VideoFeature
+
+        rng = np.random.RandomState(12)
+        d = 32
+
+        def l2n(x):
+            return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+        refs = []
+        queries = []
+        candidates = []
+        for i in range(5):  # odd count: exercises batch padding
+            r = l2n(rng.normal(size=(40, d))).astype(np.float32)
+            q = l2n(rng.normal(size=(30, d))).astype(np.float32)
+            q[10:20] = r[5:15]  # plant
+            refs.append(VideoFeature(
+                video_id=100 + i, timestamps=np.arange(40.0), feature=r
+            ))
+            queries.append(VideoFeature(
+                video_id=i, timestamps=np.arange(30.0), feature=q
+            ))
+            candidates.append(CandidatePair(i, 100 + i, 1.0))
+
+        base = TNLocalizationMaxSim(queries, refs, "TN")
+        sharded = TNLocalizationMaxSim(
+            queries, refs, "TN", mesh=corpus_mesh(8)
+        )
+        expect = sorted(base.localize_all(candidates))
+        got = sorted(sharded.localize_all(candidates))
+        assert got == expect
+        assert len(got) >= 5  # every planted pair localized

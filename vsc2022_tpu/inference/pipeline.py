@@ -129,12 +129,18 @@ class DescriptorExtractor:
         transform: InferenceTransforms,
         batch_size: int = 32,
         compute_dtype: str = "float32",
+        mesh=None,
     ):
         """``compute_dtype="bfloat16"`` casts parameters and activations
         to bf16 (MXU-native: ~2-4× conv/matmul throughput, half the
         weight HBM traffic); descriptors are returned as float32.
         Descriptor values shift at bf16 resolution — use for throughput,
-        float32 for strict conversion parity."""
+        float32 for strict conversion parity.
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` whose FIRST axis
+        shards the frame batch across devices (data parallelism within
+        one host's chips; parameters are replicated, XLA inserts the
+        collectives). batch_size must divide by that axis size."""
         assert compute_dtype in ("float32", "bfloat16"), compute_dtype
         self.dtype = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
         if compute_dtype == "bfloat16":
@@ -153,13 +159,30 @@ class DescriptorExtractor:
         self.variables = variables
         self.transform = transform
         self.batch_size = batch_size
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            assert batch_size % mesh.shape[axis] == 0, (
+                f"batch_size {batch_size} must divide the '{axis}' mesh "
+                f"axis ({mesh.shape[axis]} devices)"
+            )
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec(axis))
 
     def _forward_batch(self, frames_u8: np.ndarray) -> np.ndarray:
         n = frames_u8.shape[0]
         if n < self.batch_size:  # pad to static batch shape
             pad = np.repeat(frames_u8[-1:], self.batch_size - n, axis=0)
             frames_u8 = np.concatenate([frames_u8, pad], axis=0)
-        images = preprocess(jnp.asarray(frames_u8), self.transform)
+        frames_dev = (
+            jnp.asarray(frames_u8)
+            if self._batch_sharding is None
+            # Batch rows placed shard-wise across the mesh; XLA SPMD
+            # partitions preprocess + forward along them.
+            else jax.device_put(frames_u8, self._batch_sharding)
+        )
+        images = preprocess(frames_dev, self.transform)
         out = self.apply_fn(self.variables, images.astype(self.dtype))
         return np.asarray(out, dtype=np.float32)[:n]
 

@@ -116,6 +116,7 @@ class TNLocalization(LocalizationWithMetadata):
         max_paths: int = 10,
         adaptive_sigma: float = 2.5,
         vcsl_faithful: bool = False,
+        mesh=None,
         **kwargs,
     ):
         super().__init__(queries, refs)
@@ -123,6 +124,18 @@ class TNLocalization(LocalizationWithMetadata):
             raise ValueError(f"Unsupported alignment model type: {model_type}")
         del concurrency, kwargs
         self.similarity_bias = similarity_bias
+        # Optional jax.sharding.Mesh: candidate batches shard across its
+        # first axis (each pair's DP is independent, so XLA partitions
+        # the batched alignment with zero collectives — the TPU analog
+        # of the reference's 16-process VCSL pool, but over chips).
+        self._align_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._mesh_devices = int(mesh.shape[mesh.axis_names[0]])
+            self._align_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0])
+            )
         if vcsl_faithful:
             # Parity configuration: published VCSL TN gating/extraction
             # (absolute min_sim, top-K=5, path-cell masking, max_iou
@@ -243,10 +256,22 @@ class TNLocalization(LocalizationWithMetadata):
         self, chunk: Sequence[CandidatePair], nq: int, nr: int
     ) -> List[Match]:
         sims, q_len, r_len = self._batch_sims(chunk, nq, nr)
+        if self._align_sharding is not None:
+            # Pad the pair batch to the mesh axis and place it
+            # shard-wise; the batched DP partitions along it.
+            b = sims.shape[0]
+            b_pad = -(-b // self._mesh_devices) * self._mesh_devices
+            if b_pad != b:
+                sims = jnp.pad(sims, ((0, b_pad - b), (0, 0), (0, 0)))
+                q_len = jnp.pad(q_len, (0, b_pad - b))
+                r_len = jnp.pad(r_len, (0, b_pad - b))
+            sims = jax.device_put(sims, self._align_sharding)
+            q_len = jax.device_put(q_len, self._align_sharding)
+            r_len = jax.device_put(r_len, self._align_sharding)
         boxes, valid, box_scores = tn_align(sims, q_len, r_len, self.params)
-        boxes = np.asarray(boxes)
-        valid = np.asarray(valid)
-        box_scores = np.asarray(box_scores)
+        boxes = np.asarray(boxes)[: len(chunk)]
+        valid = np.asarray(valid)[: len(chunk)]
+        box_scores = np.asarray(box_scores)[: len(chunk)]
 
         matches = []
         for bi, candidate in enumerate(chunk):
