@@ -31,6 +31,24 @@ logger = logging.getLogger("train")
 logger.setLevel(logging.INFO)
 
 parser = argparse.ArgumentParser()
+parser.add_argument(
+    "--objective", choices=["sscd", "dns_distill"], default="sscd",
+    help="sscd: self-supervised descriptor training on frames. "
+    "dns_distill: train a DnS student to match a teacher's video-pair "
+    "similarity (Distill-and-Select).",
+)
+parser.add_argument("--student", choices=["cg", "fg"], default="fg")
+parser.add_argument("--fg_type", choices=["att", "bin"], default="att")
+parser.add_argument(
+    "--distill_pairs", default=None,
+    help="npz with arrays q_regions [N,T,9,3840], r_regions, teacher_sim "
+    "[N] — the distillation dataset (teacher similarities precomputed "
+    "by any fine-grained model).",
+)
+parser.add_argument(
+    "--frames_per_video", type=int, default=4,
+    help="frames per synthetic distillation pair",
+)
 parser.add_argument("--dataset_path", help="Directory of videos", default=None)
 parser.add_argument(
     "--synthetic", type=int, default=0,
@@ -94,7 +112,92 @@ def frame_source(args):
                     yield batch
 
 
+def distill_batches(args):
+    """Yield distillation batches forever (npz file or synthetic)."""
+    import jax.numpy as jnp
+
+    from vsc2022_tpu.models.dns import L3_IMAC_DIM, NUM_REGIONS
+    from vsc2022_tpu.train.dns_distill import _frame_chamfer
+
+    rng = np.random.RandomState(args.seed)
+    if args.distill_pairs:
+        data = np.load(args.distill_pairs)
+        q, r, sim = data["q_regions"], data["r_regions"], data["teacher_sim"]
+    else:
+        n, t = max(args.synthetic, args.batch_size), args.frames_per_video
+
+        def regions(k):
+            x = rng.randn(k, t, NUM_REGIONS, L3_IMAC_DIM).astype(np.float32)
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        q, r = regions(n), regions(n)
+        for i in range(0, n, 2):  # half the pairs are noisy copies
+            r[i] = q[i] + 0.05 * rng.randn(*q[i].shape).astype(np.float32)
+            r[i] /= np.linalg.norm(r[i], axis=-1, keepdims=True)
+        sim = np.asarray(
+            [float(_frame_chamfer(jnp.asarray(q[i]), jnp.asarray(r[i])))
+             for i in range(n)],
+            dtype=np.float32,
+        )
+    while True:
+        idx = rng.randint(0, q.shape[0], size=args.batch_size)
+        yield {
+            "q_regions": q[idx],
+            "r_regions": r[idx],
+            "teacher_sim": sim[idx],
+        }
+
+
+def run_distillation(args):
+    import jax
+    import optax
+
+    from vsc2022_tpu.parallel.mesh import corpus_mesh
+    from vsc2022_tpu.train.dns_distill import (
+        build_student_module,
+        create_distill_state,
+        make_distill_step,
+    )
+    from vsc2022_tpu.utils.checkpoint import save_variables
+
+    module = build_student_module(args.student, args.fg_type)
+    tx = optax.adam(args.learning_rate)
+    state = create_distill_state(jax.random.PRNGKey(args.seed), module, tx)
+    n_dev = len(jax.devices())
+    # DP-shard the pair batch when it divides the device count.
+    mesh = corpus_mesh() if n_dev > 1 and args.batch_size % n_dev == 0 else None
+    qw = 0.1 if (args.student, args.fg_type) == ("fg", "bin") else 0.0
+    step_fn = make_distill_step(
+        module, tx, args.student, quantization_weight=qw, mesh=mesh
+    )
+    logger.info(
+        "Distilling %s student on %d device(s)",
+        args.student if args.student == "cg" else f"fg_{args.fg_type}",
+        n_dev,
+    )
+    source = distill_batches(args)
+    t_start = time.time()
+    for step in range(1, args.steps + 1):
+        state, loss = step_fn(state, next(source))
+        if step % args.log_every == 0 or step == args.steps:
+            rate = step * args.batch_size / (time.time() - t_start)
+            logger.info(
+                "step %d/%d loss %.4f (%.1f pairs/s)",
+                step, args.steps, float(loss), rate,
+            )
+        if step % args.checkpoint_every == 0 or step == args.steps:
+            os.makedirs(
+                os.path.dirname(args.checkpoint_out) or ".", exist_ok=True
+            )
+            save_variables(args.checkpoint_out, jax.device_get(state.params))
+            logger.info("Checkpoint written to %s", args.checkpoint_out)
+
+
 def main(args):
+    if args.objective == "dns_distill":
+        if not args.distill_pairs and not args.synthetic:
+            raise Exception("Provide --distill_pairs or --synthetic N")
+        return run_distillation(args)
     if not args.synthetic and not args.dataset_path:
         raise Exception("Provide --dataset_path or --synthetic N")
 
