@@ -388,3 +388,46 @@ class TestAdaptModelDnSEndToEnd:
         np.testing.assert_allclose(
             got.reshape(expect.shape), expect, rtol=1e-4, atol=1e-5
         )
+
+
+class TestAdaptModelSSCDEndToEnd:
+    def test_torchscript_to_checkpoint_with_verify(self, tmp_path):
+        import argparse
+
+        import jax as _jax
+
+        from vsc2022_tpu.baseline import adapt_model
+        from vsc2022_tpu.models import SSCDModel
+        from vsc2022_tpu.utils.checkpoint import load_variables
+
+        torch.manual_seed(7)
+        rng = np.random.RandomState(7)
+        model = TorchSSCD().eval()
+        randomize_bn_stats(model, rng)
+        ts_path = str(tmp_path / "sscd.torchscript")
+        ckpt_path = str(tmp_path / "sscd.npz")
+        # trace (not script): the trunk's getattr loop is trace-friendly
+        # and the real published artifacts are traced modules too.
+        example = torch.zeros(1, 3, 64, 64)
+        with torch.no_grad():
+            torch.jit.trace(model, example).save(ts_path)
+
+        # The CLI converts AND numerically verifies against the artifact.
+        adapt_model.main(argparse.Namespace(
+            input_torchscript=ts_path,
+            output_checkpoint=ckpt_path,
+            model="sscd",
+            strip_prefix="",
+            verify=True,
+        ))
+
+        # The written checkpoint reproduces torch outputs on fresh input.
+        variables = load_variables(ckpt_path)
+        x = rng.randn(2, 3, 96, 96).astype(np.float32)
+        with torch.no_grad():
+            expect = model(torch.from_numpy(x)).numpy()
+        got = np.asarray(SSCDModel().apply(
+            variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        ))
+        np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
+        del _jax
