@@ -105,3 +105,35 @@ class TestMatchingEvalCLI:
         )
         assert result.returncode == 0, result.stderr
         assert "Matching track segment AP: 1.0000" in result.stdout
+
+
+class TestShardedDescriptorEvalCLI:
+    def test_sharded_matches_unsharded(self, data_dir):
+        env = dict(
+            os.environ,
+            VSC2022_TPU_FORCE_CPU="1",
+            XLA_FLAGS=(
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip(),
+        )
+        out_csv = os.path.join(data_dir, "candidates_sharded.csv")
+        result = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "descriptor_eval.py"),
+                "--query_features", os.path.join(data_dir, "q.npz"),
+                "--ref_features", os.path.join(data_dir, "r.npz"),
+                "--ground_truth", os.path.join(data_dir, "gt.csv"),
+                "--candidates_output", out_csv, "--sharded",
+            ],
+            capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+        )
+        assert result.returncode == 0, result.stderr
+        assert "micro-AP (uAP): 1.0000" in result.stderr + result.stdout
+        import pandas as pd
+
+        df = pd.read_csv(out_csv)
+        ref = pd.read_csv(os.path.join(data_dir, "candidates.csv"))
+        # The corpus-sharded search must produce the identical candidate
+        # list (exactness is mesh-invariant).
+        pd.testing.assert_frame_equal(df, ref)
