@@ -117,6 +117,17 @@ class TestShardedDescriptorEvalCLI:
                 + " --xla_force_host_platform_device_count=8"
             ).strip(),
         )
+        # Produce the unsharded baseline here (no dependence on a
+        # sibling test's side effects / run order).
+        base_csv = os.path.join(data_dir, "candidates_base.csv")
+        base = run_cli(
+            "descriptor_eval.py",
+            "--query_features", os.path.join(data_dir, "q.npz"),
+            "--ref_features", os.path.join(data_dir, "r.npz"),
+            "--ground_truth", os.path.join(data_dir, "gt.csv"),
+            "--candidates_output", base_csv,
+        )
+        assert base.returncode == 0, base.stderr
         out_csv = os.path.join(data_dir, "candidates_sharded.csv")
         result = subprocess.run(
             [
@@ -133,7 +144,7 @@ class TestShardedDescriptorEvalCLI:
         import pandas as pd
 
         df = pd.read_csv(out_csv)
-        ref = pd.read_csv(os.path.join(data_dir, "candidates.csv"))
+        ref = pd.read_csv(base_csv)
         # The corpus-sharded search must produce the identical candidate
         # list (exactness is mesh-invariant).
         pd.testing.assert_frame_equal(df, ref)

@@ -24,7 +24,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 if os.path.isdir(os.path.join(REFERENCE, "vsc")):
-    sys.path.insert(0, REFERENCE)
+    # APPEND (not insert-at-0): the reference tree carries colliding
+    # top-level names (descriptor_eval, matching_eval, tests, docs);
+    # repo paths must keep winning resolution.
+    sys.path.append(REFERENCE)
     # vsc.index imports faiss (+ faiss.contrib.exhaustive_search) at
     # module top solely for VideoIndex; the data model and storage need
     # only the module objects to exist.

@@ -161,14 +161,17 @@ class DescriptorExtractor:
         self.batch_size = batch_size
         self._batch_sharding = None
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            axis = mesh.axis_names[0]
-            assert batch_size % mesh.shape[axis] == 0, (
-                f"batch_size {batch_size} must divide the '{axis}' mesh "
-                f"axis ({mesh.shape[axis]} devices)"
+            from vsc2022_tpu.parallel.mesh import (
+                first_axis_sharding,
+                first_axis_size,
             )
-            self._batch_sharding = NamedSharding(mesh, PartitionSpec(axis))
+
+            n_dev = first_axis_size(mesh)
+            assert batch_size % n_dev == 0, (
+                f"batch_size {batch_size} must divide the first mesh "
+                f"axis ({n_dev} devices)"
+            )
+            self._batch_sharding = first_axis_sharding(mesh)
 
     def _forward_batch(self, frames_u8: np.ndarray) -> np.ndarray:
         n = frames_u8.shape[0]

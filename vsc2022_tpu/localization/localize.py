@@ -130,12 +130,13 @@ class TNLocalization(LocalizationWithMetadata):
         # of the reference's 16-process VCSL pool, but over chips).
         self._align_sharding = None
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            self._mesh_devices = int(mesh.shape[mesh.axis_names[0]])
-            self._align_sharding = NamedSharding(
-                mesh, PartitionSpec(mesh.axis_names[0])
+            from vsc2022_tpu.parallel.mesh import (
+                first_axis_sharding,
+                first_axis_size,
             )
+
+            self._mesh_devices = first_axis_size(mesh)
+            self._align_sharding = first_axis_sharding(mesh)
         if vcsl_faithful:
             # Parity configuration: published VCSL TN gating/extraction
             # (absolute min_sim, top-K=5, path-cell masking, max_iou

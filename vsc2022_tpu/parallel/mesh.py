@@ -62,3 +62,15 @@ def initialize_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def first_axis_sharding(mesh: Mesh):
+    """NamedSharding that splits an array's leading dim over the mesh's
+    first axis — the framework's convention for batch/pair DP sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
+
+def first_axis_size(mesh: Mesh) -> int:
+    return int(mesh.shape[mesh.axis_names[0]])

@@ -160,9 +160,14 @@ def run_distillation(args):
     )
     from vsc2022_tpu.utils.checkpoint import save_variables
 
+    from vsc2022_tpu.utils.checkpoint import load_variables
+
     module = build_student_module(args.student, args.fg_type)
     tx = optax.adam(args.learning_rate)
     state = create_distill_state(jax.random.PRNGKey(args.seed), module, tx)
+    if args.init_checkpoint:
+        state = state._replace(params=load_variables(args.init_checkpoint))
+        logger.info("Initialized student from %s", args.init_checkpoint)
     n_dev = len(jax.devices())
     # DP-shard the pair batch when it divides the device count.
     mesh = corpus_mesh() if n_dev > 1 and args.batch_size % n_dev == 0 else None

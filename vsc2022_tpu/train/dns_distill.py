@@ -77,6 +77,26 @@ def _frame_chamfer(q_regions, r_regions):
     return jnp.mean(jnp.max(frame_sim, axis=-1))
 
 
+def _encode_batch(module, params, regions):
+    """[B, T, R, 3840] → student encodings [B, T, ...]."""
+    return jax.vmap(lambda x: module.apply(params, x))(regions)
+
+
+def _encoded_pair_similarity(enc_q, enc_r, student_type: str):
+    """[B] video-pair similarities from student encodings."""
+
+    def one_pair(eq, er):
+        if student_type == "cg":
+            pq = jnp.mean(eq, axis=0)  # [1024]
+            pr = jnp.mean(er, axis=0)
+            pq = pq / jnp.clip(jnp.linalg.norm(pq), 1e-12)
+            pr = pr / jnp.clip(jnp.linalg.norm(pr), 1e-12)
+            return jnp.dot(pq, pr)
+        return _frame_chamfer(eq, er)  # [T, R, 512] each
+
+    return jax.vmap(one_pair)(enc_q, enc_r)
+
+
 def student_pair_similarity(
     module, params, q_regions, r_regions, student_type: str
 ):
@@ -85,21 +105,9 @@ def student_pair_similarity(
     q_regions/r_regions: [B, T, R, 3840] (fixed T per batch).
     Returns [B] similarities in the student's embedding space.
     """
-
-    def one_pair(q, r):
-        if student_type == "cg":
-            dq = module.apply(params, q)  # [T, 1024]
-            dr = module.apply(params, r)
-            pq = jnp.mean(dq, axis=0)
-            pr = jnp.mean(dr, axis=0)
-            pq = pq / jnp.clip(jnp.linalg.norm(pq), 1e-12)
-            pr = pr / jnp.clip(jnp.linalg.norm(pr), 1e-12)
-            return jnp.dot(pq, pr)
-        eq = module.apply(params, q)  # [T, R, 512]
-        er = module.apply(params, r)
-        return _frame_chamfer(eq, er)
-
-    return jax.vmap(one_pair)(q_regions, r_regions)
+    enc_q = _encode_batch(module, params, q_regions)
+    enc_r = _encode_batch(module, params, r_regions)
+    return _encoded_pair_similarity(enc_q, enc_r, student_type)
 
 
 def make_distill_step(
@@ -117,19 +125,18 @@ def make_distill_step(
     """
 
     def loss_fn(params, batch):
-        sims = student_pair_similarity(
-            module, params, batch["q_regions"], batch["r_regions"],
-            student_type,
-        )
-        distill = jnp.mean(jnp.abs(sims - batch["teacher_sim"]))
-        loss = distill
+        # Encode each side once; similarity and the quantization term
+        # share the encodings.
+        enc_q = _encode_batch(module, params, batch["q_regions"])
+        enc_r = _encode_batch(module, params, batch["r_regions"])
+        sims = _encoded_pair_similarity(enc_q, enc_r, student_type)
+        loss = jnp.mean(jnp.abs(sims - batch["teacher_sim"]))
         if quantization_weight > 0.0:
-            codes = jax.vmap(lambda q: module.apply(params, q))(
-                batch["q_regions"]
+            quant = 0.5 * (
+                jnp.mean(jnp.abs(jnp.abs(enc_q) - 1.0))
+                + jnp.mean(jnp.abs(jnp.abs(enc_r) - 1.0))
             )
-            loss = loss + quantization_weight * jnp.mean(
-                jnp.abs(jnp.abs(codes) - 1.0)
-            )
+            loss = loss + quantization_weight * quant
         return loss
 
     def step_fn(state: DistillState, batch):
