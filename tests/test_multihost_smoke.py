@@ -1,0 +1,131 @@
+"""Multi-host (DCN) smoke test: two real inference CLI processes
+rendezvous through ``jax.distributed`` on localhost and shard one video
+corpus between them, exercising the --coordinator/--num_processes/
+--process_id path end-to-end (reference analog: the multi-machine mode
+of vsc/baseline/inference.py:95-99,140-158, documented there as "not
+tested"). Decode uses stub ffmpeg/ffprobe executables emitting
+deterministic frames derived from each video file's content, so the
+merged shards must reproduce a single-process run bit-for-bit."""
+
+import os
+import socket
+import stat
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+W, H, FRAMES_PER_VIDEO = 32, 24, 3
+
+
+def _write_executable(path, content):
+    path.write_text(content)
+    os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
+
+
+@pytest.fixture()
+def stub_tools(tmp_path):
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    _write_executable(
+        tools / "ffprobe",
+        "#!/bin/bash\n"
+        f'echo \'{{"streams": [{{"width": {W}, "height": {H}}}]}}\'\n',
+    )
+    # Frame j of a video is filled with (seed + j) where seed is the
+    # video file's first byte — per-video distinct, fully deterministic.
+    _write_executable(
+        tools / "ffmpeg",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "path = sys.argv[sys.argv.index('-i') + 1]\n"
+        "seed = open(path, 'rb').read(1)[0]\n"
+        f"for j in range({FRAMES_PER_VIDEO}):\n"
+        f"    sys.stdout.buffer.write(bytes([(seed + j) % 256]) * {W * H * 3})\n",
+    )
+    return str(tools / "ffmpeg")
+
+
+@pytest.fixture()
+def video_dir(tmp_path):
+    d = tmp_path / "videos"
+    d.mkdir()
+    for i in range(4):
+        (d / f"vid{i}.mp4").write_bytes(bytes([40 * i + 7]))
+    return str(d)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _cli_cmd(video_dir, ffmpeg, out, extra):
+    return [
+        sys.executable, "-m", "vsc2022_tpu.inference.cli",
+        "--baseline", "sscd", "--accelerator", "cpu",
+        "--transforms", "RESIZE_224_SQUARE", "--batch_size", "8",
+        "--dataset_path", video_dir, "--ffmpeg_path", ffmpeg,
+        "--output_file", out, *extra,
+    ]
+
+
+def _load_as_dict(path):
+    from vsc2022_tpu.storage import load_features
+
+    return {vf.video_id: vf for vf in load_features(path)}
+
+
+def test_two_process_dcn_matches_single_process(
+    stub_tools, video_dir, tmp_path
+):
+    port = _free_port()
+    env = {**os.environ}
+    shards = [str(tmp_path / f"shard{i}.npz") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            _cli_cmd(
+                video_dir, stub_tools, shards[i],
+                [
+                    "--coordinator", f"localhost:{port}",
+                    "--num_processes", "2", "--process_id", str(i),
+                ],
+            ),
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        assert "Inference succeeded" in out
+
+    single_out = str(tmp_path / "single.npz")
+    result = subprocess.run(
+        _cli_cmd(video_dir, stub_tools, single_out, []),
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+
+    from vsc2022_tpu.inference.pipeline import merge_feature_files
+
+    merged = str(tmp_path / "merged.npz")
+    assert merge_feature_files(shards, merged) == 4
+
+    got, want = _load_as_dict(merged), _load_as_dict(single_out)
+    assert set(got) == set(want) == {f"vid{i}" for i in range(4)}
+    # Round-robin shard: rank 0 owns videos 0,2; rank 1 owns 1,3.
+    shard0 = set(_load_as_dict(shards[0]))
+    assert shard0 == {"vid0", "vid2"}
+    for vid in want:
+        np.testing.assert_array_equal(got[vid].feature, want[vid].feature)
+        np.testing.assert_array_equal(
+            got[vid].timestamps, want[vid].timestamps
+        )

@@ -272,6 +272,14 @@ def worker_process(args, rank, world_size, output_filename):
 
 
 def main(args):
+    if Accelerator[args.accelerator.upper()] == Accelerator.CPU:
+        # Select the platform before anything (jax.distributed included)
+        # can initialize a backend: a CPU run must never grab an
+        # accelerator, and multi-host CPU jobs would otherwise race for
+        # the same chip.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     n_hosts = getattr(args, "num_processes", 1) or 1
     if args.processes > 1 and args.distributed_size > 1:
         raise Exception(
