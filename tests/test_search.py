@@ -187,6 +187,49 @@ class TestScoreNormalizedSearcher:
         np.testing.assert_array_equal(fri, uri)
         np.testing.assert_allclose(fs, us, rtol=1e-6)
 
+    def test_fused_saturation_recompute(self):
+        """Duplicate reference rows force more ≥τ entries than κ can
+        hold; the single-dispatch path's count-verify must recompute
+        those rows exactly — including the device-side row gather (the
+        bias-augmented queries only exist on device)."""
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(11)
+        q = rng.randint(-3, 4, size=(10, 12)).astype(np.float32)
+        base = rng.randint(-3, 4, size=(20, 12)).astype(np.float32)
+        r = np.concatenate([base] * 10, axis=0)  # massive tie groups
+        noise = rng.randint(-3, 4, size=(48, 12)).astype(np.float32)
+
+        fused = ScoreNormalizedSearcher(r, noise, beta=1.2)
+        fqi, fri, fs = fused.global_topk(q, 600, kappa=8)
+
+        bias = -1.2 * SimilaritySearcher(noise).row_nn(q)
+        q_sn = np.concatenate([q, bias[:, None]], axis=1)
+        r_sn = np.concatenate([r, np.ones((200, 1), np.float32)], axis=1)
+        uqi, uri, us = SimilaritySearcher(r_sn).global_topk(
+            q_sn, 600, kappa=8
+        )
+        np.testing.assert_array_equal(fqi, uqi)
+        np.testing.assert_array_equal(fri, uri)
+        np.testing.assert_allclose(fs, us, rtol=1e-6)
+
+    def test_fused_bf16_exact_on_small_ints(self):
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(13)
+        q = rng.randint(-2, 3, size=(9, 8)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(70, 8)).astype(np.float32)
+        noise = rng.randint(-2, 3, size=(32, 8)).astype(np.float32)
+        # β=1.25 keeps the bias dimension exactly representable in bf16
+        # (small-int NN sims × 1.25 need only 2 extra mantissa bits).
+        f32 = ScoreNormalizedSearcher(r, noise, beta=1.25)
+        bf16 = ScoreNormalizedSearcher(r, noise, beta=1.25, dtype="bfloat16")
+        fqi, fri, fs = f32.global_topk(q, 40)
+        bqi, bri, bs = bf16.global_topk(q, 40)
+        np.testing.assert_array_equal(bqi, fqi)
+        np.testing.assert_array_equal(bri, fri)
+        np.testing.assert_allclose(bs, fs, rtol=1e-6)
+
 
 class TestBf16Mode:
     def test_bf16_search_plausible(self):

@@ -126,7 +126,13 @@ def streaming_topk(
         q_sq = None
 
     def block_scores(block_idx):
-        """Masked goodness scores + global column ids for one block."""
+        """Masked goodness scores for one block + its start column.
+
+        Column ids are never materialized as an [m, col_block] tensor:
+        they are consecutive (start..start+col_block), so every
+        consumer reconstructs them arithmetically from local offsets —
+        a take_along_axis gather over a tensor this wide measured ~5×
+        the cost of everything else in the collection combined."""
         start = block_idx * col_block
         r_blk = jax.lax.dynamic_slice_in_dim(refs, start, col_block, axis=0)
         s = jnp.dot(q, r_blk.T, precision=prec, preferred_element_type=jnp.float32)
@@ -134,9 +140,11 @@ def streaming_topk(
             rs = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
             # goodness = -||q - r||² = 2 q·r − ||r||² − ||q||²
             s = 2.0 * s - rs[None, :] - q_sq[:, None]
-        col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1)
-        s = jnp.where(col_ids < n_valid, s, NEG_INF)
-        return s, col_ids + base
+        in_range = jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1) < (
+            n_valid - start
+        )
+        s = jnp.where(in_range, s, NEG_INF)
+        return s, start
 
     seg_pool = 2 * n_blocks * (col_block // min(128, col_block))
     if (
@@ -167,20 +175,25 @@ def streaming_topk(
         )
 
         def seg_best2(block_idx):
-            s, col_ids = block_scores(block_idx)
+            # Gather-free: values via max, ids via argmax + segment-base
+            # arithmetic (ids within a block are consecutive). The
+            # take_along_axis formulation of the same reduction measured
+            # ~5× slower on TPU (gather over [m, seg, lanes]).
+            s, start = block_scores(block_idx)
             s3 = s.reshape(m, seg, seg_lanes)
-            c3 = col_ids.reshape(m, seg, seg_lanes)
-            a1 = jnp.argmax(s3, axis=2)
-            m1 = jnp.take_along_axis(s3, a1[:, :, None], axis=2)[:, :, 0]
-            i1 = jnp.take_along_axis(c3, a1[:, :, None], axis=2)[:, :, 0]
+            m1 = jnp.max(s3, axis=2)
+            a1 = jnp.argmax(s3, axis=2).astype(jnp.int32)
             lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
             s3b = jnp.where(lane == a1[:, :, None], NEG_INF, s3)
-            a2 = jnp.argmax(s3b, axis=2)
-            m2 = jnp.take_along_axis(s3b, a2[:, :, None], axis=2)[:, :, 0]
-            i2 = jnp.take_along_axis(c3, a2[:, :, None], axis=2)[:, :, 0]
+            m2 = jnp.max(s3b, axis=2)
+            a2 = jnp.argmax(s3b, axis=2).astype(jnp.int32)
+            seg_base = (
+                base + start
+                + jnp.arange(seg, dtype=jnp.int32)[None, :] * seg_lanes
+            )
             return (
                 jnp.concatenate([m1, m2], axis=1),
-                jnp.concatenate([i1, i2], axis=1),
+                jnp.concatenate([seg_base + a1, seg_base + a2], axis=1),
             )
 
         dummy = jnp.zeros((), jnp.int32)
@@ -225,7 +238,7 @@ def streaming_topk(
 
     def body(carry, block_idx):
         top_s, top_i = carry
-        s, col_ids = block_scores(block_idx)
+        s, start = block_scores(block_idx)
 
         k_blk = min(kappa, col_block)
         if k_blk == 1:
@@ -234,7 +247,8 @@ def streaming_topk(
             blk_j = jnp.argmax(s, axis=1)[:, None]
         else:
             blk_s, blk_j = jax.lax.top_k(s, k_blk)
-        blk_i = jnp.take_along_axis(col_ids, blk_j, axis=1)
+        # Block-local → global ids arithmetically (consecutive columns).
+        blk_i = blk_j.astype(jnp.int32) + (base + start)
 
         merged_s = jnp.concatenate([top_s, blk_s], axis=1)
         merged_i = jnp.concatenate([top_i, blk_i], axis=1)
@@ -293,8 +307,10 @@ def streaming_count_above(
         if metric == "L2":
             rs = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
             s = 2.0 * s - rs[None, :] - q_sq[:, None]
-        col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1)
-        above = (s >= tau) & (col_ids < n_valid)
+        in_range = jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1) < (
+            n_valid - start
+        )
+        above = (s >= tau) & in_range
         return counts + jnp.sum(above, axis=1, dtype=jnp.int32), None
 
     init = jnp.zeros((m,), dtype=jnp.int32)
@@ -310,15 +326,10 @@ _count_above = jax.jit(
 )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("kappa", "col_block", "metric", "precision", "approx",
-                     "k_eff"),
-)
-def _fused_candidates(
+def _candidates_core(
     q: jax.Array,  # [M_pad, D]
     refs: jax.Array,
-    n_rows: jax.Array,  # scalar int32: valid query rows (≤ M_pad)
+    n_rows: int,  # valid query rows (≤ M_pad)
     n_valid: jax.Array,
     ref_sq: jax.Array,
     kappa: int,
@@ -328,10 +339,10 @@ def _fused_candidates(
     approx: bool,
     k_eff: int,
 ):
-    """Whole candidate phase in ONE dispatch: per-row top-κ, the global
-    k-th threshold τ over valid rows, and the exact ≥τ counts for the
-    verification — host↔device round-trips cost ~50 ms each on thin
-    links, so everything that can fuse, fuses."""
+    """Whole candidate phase as one traceable graph: per-row top-κ, the
+    global k-th threshold τ over valid rows, and the exact ≥τ counts
+    for the verification — host↔device round-trips cost ~50 ms each on
+    thin links, so everything that can fuse, fuses."""
     top_s, top_i = streaming_topk(
         q, refs, n_valid, ref_sq, kappa=kappa, col_block=col_block,
         metric=metric, precision=precision, approx=approx,
@@ -351,6 +362,82 @@ def _fused_candidates(
         precision=precision,
     )
     return top_s, top_i, counts, tau
+
+
+def _pack_candidates(top_s, top_i, counts, tau, nq: int) -> jax.Array:
+    """Pack the candidate-phase outputs into ONE int32 vector so the
+    host pays a single D2H round trip (each separate pull costs a
+    dispatch + link latency). Layout:
+    [bitcast(τ), counts[nq], bitcast(top_s)[nq·κ], top_i[nq·κ]]."""
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(
+            jnp.reshape(tau, (1,)).astype(jnp.float32), jnp.int32
+        ),
+        counts[:nq].astype(jnp.int32),
+        jax.lax.bitcast_convert_type(
+            top_s[:nq].astype(jnp.float32), jnp.int32
+        ).reshape(-1),
+        top_i[:nq].astype(jnp.int32).reshape(-1),
+    ])
+
+
+def _unpack_candidates(buf: np.ndarray, nq: int, kappa: int):
+    """Host-side inverse of _pack_candidates."""
+    tau = float(buf[:1].view(np.float32)[0])
+    counts = buf[1 : 1 + nq].astype(np.int64)
+    off = 1 + nq
+    top_s = buf[off : off + nq * kappa].view(np.float32).reshape(nq, kappa)
+    off += nq * kappa
+    top_i = buf[off : off + nq * kappa].astype(np.int64).reshape(nq, kappa)
+    return top_s, top_i, counts, tau
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kappa", "col_block", "metric", "precision", "approx",
+                     "k_eff", "nq"),
+)
+def _fused_candidates_packed(
+    q, refs, n_valid, ref_sq, kappa, col_block, metric, precision, approx,
+    k_eff, nq,
+):
+    """Candidate phase in ONE dispatch, packed for ONE D2H pull."""
+    top_s, top_i, counts, tau = _candidates_core(
+        q, refs, nq, n_valid, ref_sq, kappa, col_block, metric, precision,
+        approx, k_eff,
+    )
+    return _pack_candidates(top_s, top_i, counts, tau, nq)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beta", "kappa", "noise_col_block", "col_block",
+                     "precision", "approx", "k_eff", "nq"),
+)
+def _fused_sn_candidates_packed(
+    q,  # [M_pad, D] (padding rows beyond nq allowed)
+    noise_refs, noise_n_valid, noise_sq,  # noise corpus (for the bias)
+    refs, n_valid, ref_sq,  # score-norm refs (D+1: trailing ones dim)
+    beta, kappa, noise_col_block, col_block, precision, approx, k_eff, nq,
+):
+    """The ENTIRE score-normalized query pipeline in one dispatch:
+    noise-NN bias (k=1 row max), CSLS bias-dimension append, global
+    top-κ candidates, τ, and verification counts — packed into a single
+    D2H buffer. Also returns the bias-augmented queries (device-
+    resident; the saturated-row recompute gathers from them without
+    pulling the full matrix)."""
+    bias, _ = streaming_topk(
+        q, noise_refs, noise_n_valid, noise_sq, kappa=1,
+        col_block=noise_col_block, metric="IP", precision=precision,
+    )
+    q_sn = jnp.concatenate(
+        [q, (-beta * bias[:, :1]).astype(q.dtype)], axis=1
+    )
+    top_s, top_i, counts, tau = _candidates_core(
+        q_sn, refs, nq, n_valid, ref_sq, kappa, col_block, "IP", precision,
+        approx, k_eff,
+    )
+    return _pack_candidates(top_s, top_i, counts, tau, nq), q_sn
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "precision"))
@@ -465,15 +552,15 @@ class SimilaritySearcher:
     def _fused_kernel(self, q_dev, nq: int, kappa: int, approx: bool,
                       k_eff: int):
         """Single-dispatch candidate phase, when the query set fits one
-        row block. Returns None to fall back to the loop path (the
-        sharded searcher overrides with None: its merge already spans
-        dispatch boundaries)."""
+        row block; returns the packed int32 buffer (one D2H pull).
+        Returns None to fall back to the loop path (the sharded
+        searcher overrides with None: its merge already spans dispatch
+        boundaries)."""
         if q_dev.shape[0] > self.row_block:
             return None
-        return _fused_candidates(
+        return _fused_candidates_packed(
             q_dev.astype(self._refs.dtype),
             self._refs,
-            jnp.asarray(nq, dtype=jnp.int32),
             self._n_valid,
             self._ref_sq,
             kappa=kappa,
@@ -482,6 +569,7 @@ class SimilaritySearcher:
             precision=self.precision,
             approx=approx,
             k_eff=k_eff,
+            nq=nq,
         )
 
     def _full_kernel(self, rows: np.ndarray):
@@ -597,29 +685,18 @@ class SimilaritySearcher:
                 np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.float32),
             )
-        if kappa is None:
-            # ~2× the average per-row need: device→host candidate
-            # traffic is proportional to κ, and the count-verify pass
-            # repairs any under-collection exactly.
-            kappa = max(32, 2 * math.ceil(k / max(nq, 1)))
-            kappa = 1 << (kappa - 1).bit_length()  # next power of two
-        kappa = min(kappa, self.n_refs)
+        kappa, k_eff = self._plan(nq, k, kappa)
 
         block_rows = min(self.row_block, _ceil_to(nq, 8))
         q_dev = self._stage_queries(queries, block_rows)
-        k_eff = min(k, total)
 
         fused = self._fused_kernel(q_dev, nq, kappa, approx_candidates, k_eff)
         if fused is not None:
-            # Single-dispatch path: candidates + τ + counts together.
-            # Slice padding rows off ON DEVICE before the D2H pull — the
-            # host link is the bottleneck (row padding can near-double
-            # the transfer for small row counts).
-            top_s, top_i, counts, tau_dev = fused
-            all_s = np.asarray(top_s[:nq])
-            all_i = np.asarray(top_i[:nq]).astype(np.int64)
-            true_counts = np.asarray(counts[:nq]).astype(np.int64)
-            tau = float(np.asarray(tau_dev))
+            # Single-dispatch path: candidates + τ + counts in one
+            # packed buffer, padding rows already sliced off on device.
+            all_s, all_i, true_counts, tau = _unpack_candidates(
+                np.asarray(fused), nq, kappa
+            )
         else:
             all_s = np.empty((nq, kappa), dtype=np.float32)
             all_i = np.empty((nq, kappa), dtype=np.int64)
@@ -632,6 +709,42 @@ class SimilaritySearcher:
             true_counts = None
             tau = None
 
+        return self._finalize_global_topk(
+            all_s, all_i, true_counts, tau, queries, q_dev, nq, kappa,
+            k_eff, approx_candidates, block_rows,
+        )
+
+    def _plan(self, nq: int, k: int, kappa: Optional[int] = None):
+        """Per-row candidate budget κ and the effective k."""
+        if kappa is None:
+            # ~2× the average per-row need: device→host candidate
+            # traffic is proportional to κ, and the count-verify pass
+            # repairs any under-collection exactly.
+            kappa = max(32, 2 * math.ceil(k / max(nq, 1)))
+            kappa = 1 << (kappa - 1).bit_length()  # next power of two
+        return min(kappa, self.n_refs), min(k, nq * self.n_refs)
+
+    def _saturated_rows(self, queries, q_dev, rows: np.ndarray, n_pad: int):
+        """Descriptors of the saturated rows, padded to n_pad. Host
+        numpy when the caller holds the queries; otherwise a device
+        gather — the rows never cross the host link in either direction
+        (pulling the full matrix, or even just these rows, through a
+        thin link would dominate the recompute)."""
+        if isinstance(queries, np.ndarray):
+            return _pad_axis0(
+                np.ascontiguousarray(queries[rows], dtype=np.float32), n_pad
+            )
+        idx = np.zeros(n_pad, dtype=np.int32)
+        idx[: rows.size] = rows
+        return jnp.take(q_dev, jnp.asarray(idx), axis=0)
+
+    def _finalize_global_topk(
+        self, all_s, all_i, true_counts, tau, queries, q_dev, nq: int,
+        kappa: int, k_eff: int, approx_candidates: bool, block_rows: int,
+    ):
+        """Host finalization of the candidate phase: count-verify (exact
+        recompute of any row whose candidates can't cover its ≥τ
+        count), then the exact global sort/truncate."""
         flat_s = all_s.ravel()
         flat_q = np.repeat(np.arange(nq, dtype=np.int64), kappa)
         flat_r = all_i.ravel()
@@ -675,10 +788,11 @@ class SimilaritySearcher:
                 parts_q = [flat_q[keep_mask]]
                 parts_r = [flat_r[keep_mask]]
                 fix_rows = min(self.row_block, _ceil_to(saturated.size, 8))
-                q_host = np.ascontiguousarray(queries, dtype=np.float32)
                 for start in range(0, saturated.size, fix_rows):
                     rows = saturated[start : start + fix_rows]
-                    block = _pad_axis0(q_host[rows], fix_rows)
+                    block = self._saturated_rows(
+                        queries, q_dev, rows, fix_rows
+                    )
                     s, i = self._topk_kernel(block, kappa2, approx=False)
                     s = np.asarray(s)[: rows.size]
                     i = np.asarray(i)[: rows.size]

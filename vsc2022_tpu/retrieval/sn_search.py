@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vsc2022_tpu.ops.similarity import SimilaritySearcher
+from vsc2022_tpu.ops.similarity import (
+    SimilaritySearcher,
+    _ceil_to,
+    _fused_sn_candidates_packed,
+    _unpack_candidates,
+)
 
 
 class ScoreNormalizedSearcher:
@@ -65,9 +70,10 @@ class ScoreNormalizedSearcher:
         """Stage queries and append the −β·NN-similarity bias dimension,
         entirely on device."""
         nq = queries.shape[0]
-        q_dev = self.noise_searcher._stage_queries(
-            queries, self.noise_searcher.row_block
+        block = min(
+            self.noise_searcher.row_block, _ceil_to(max(nq, 1), 8)
         )
+        q_dev = self.noise_searcher._stage_queries(queries, block)
         bias = self.noise_searcher.row_nn_device(q_dev)
         q_sn = jnp.concatenate(
             [q_dev, (-self.beta * bias)[:, None]], axis=1
@@ -77,6 +83,42 @@ class ScoreNormalizedSearcher:
     def global_topk(
         self, queries: np.ndarray, k: int, kappa: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        return self.searcher.global_topk(
+        s = self.searcher
+        nq = queries.shape[0]
+        if (
+            type(s) is SimilaritySearcher
+            and s.metric == "IP"
+            and 0 < nq <= s.row_block
+            and k > 0
+            and s.n_refs > 0
+            and self.noise_searcher.n_refs > 0
+        ):
+            # Whole pipeline — noise-NN bias, bias append, candidate
+            # top-κ, τ, verify counts — in ONE device dispatch and ONE
+            # packed D2H pull.
+            kappa_eff, k_eff = s._plan(nq, k, kappa)
+            ns = self.noise_searcher
+            q_dev = ns._stage_queries(queries, _ceil_to(nq, 8))
+            packed, q_sn = _fused_sn_candidates_packed(
+                q_dev,
+                ns._refs, ns._n_valid, ns._ref_sq,
+                s._refs, s._n_valid, s._ref_sq,
+                beta=float(self.beta),
+                kappa=kappa_eff,
+                noise_col_block=ns.col_block,
+                col_block=s.col_block,
+                precision=s.precision,
+                approx=True,
+                k_eff=k_eff,
+                nq=nq,
+            )
+            all_s, all_i, counts, tau = _unpack_candidates(
+                np.asarray(packed), nq, kappa_eff
+            )
+            return s._finalize_global_topk(
+                all_s, all_i, counts, tau, q_sn, q_sn, nq, kappa_eff,
+                k_eff, True, min(s.row_block, _ceil_to(nq, 8)),
+            )
+        return s.global_topk(
             self.normalize_queries(queries), k, kappa=kappa
         )
