@@ -275,10 +275,23 @@ def bench_inference(results):
         np.asarray(embed(variables, frames_big))
         big_s = min(big_s, time.perf_counter() - t0)
 
+    # Production configuration: bf16 weights + large batch (dispatch
+    # floor amortized, MXU-native convs).
+    frames_256 = jax.device_put(
+        rng.integers(0, 256, size=(256, INF_HW, INF_HW, 3), dtype=np.uint8)
+    )
+    np.asarray(embed_bf16(vars_bf16, frames_256))
+    b256_s = float("inf")
+    for _ in range(INF_BATCHES):
+        t0 = time.perf_counter()
+        np.asarray(embed_bf16(vars_bf16, frames_256))
+        b256_s = min(b256_s, time.perf_counter() - t0)
+
     results["inference_fps"] = round(INF_BATCH / e2e_s, 2)
     results["inference_fps_device"] = round(INF_BATCH / dev_s, 2)
     results["inference_fps_device_bf16"] = round(INF_BATCH / bf16_s, 2)
     results["inference_fps_device_b128"] = round(big / big_s, 2)
+    results["inference_fps_device_b256_bf16"] = round(256 / b256_s, 2)
     results["inference_tflops"] = round(
         gflop_per_frame * (INF_BATCH / dev_s) / 1e3, 3
     )

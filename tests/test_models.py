@@ -314,3 +314,41 @@ class TestTransforms:
         frames = np.zeros((1, 480, 640, 3), dtype=np.uint8)
         out = preprocess(jnp.asarray(frames), InferenceTransforms.RESIZE_320_CENTER)
         assert out.shape == (1, 320, 320, 3)
+
+
+class TestConversionDiagnostics:
+    """The conversion seam's failure mode with real artifacts is key-name
+    drift — the errors must diagnose it, not just KeyError."""
+
+    def test_missing_key_suggests_near_misses(self):
+        from vsc2022_tpu.models.convert import (
+            ConversionKeyError,
+            dns_student_from_torch,
+        )
+
+        state = {
+            "reduction_layer.weight": np.zeros((512, 3840), np.float32),
+            "reduction_layer.bias": np.zeros((512,), np.float32),
+        }
+        with pytest.raises(ConversionKeyError, match="reduction_layer.weight"):
+            dns_student_from_torch(state, "fg")
+
+    def test_uniform_wrapper_prefixes_stripped(self):
+        from vsc2022_tpu.models.convert import normalize_state_keys
+
+        state = {
+            "module.student.reduction.weight": 1,
+            "module.student.attention.context_vector.weight": 2,
+        }
+        out = normalize_state_keys(state)
+        assert set(out) == {
+            "reduction.weight", "attention.context_vector.weight",
+        }
+
+    def test_architecture_prefixes_untouched(self):
+        from vsc2022_tpu.models.convert import normalize_state_keys
+
+        # 'backbone.' is not a wrapper prefix and 'project.*' breaks
+        # uniformity anyway — nothing may be stripped.
+        state = {"backbone.conv1.weight": 1, "project.weight": 2}
+        assert normalize_state_keys(dict(state)) == state

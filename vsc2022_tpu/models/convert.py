@@ -16,15 +16,58 @@ Layout conventions converted:
 
 from __future__ import annotations
 
+import difflib
 from typing import Dict, Tuple
 
 import numpy as np
 
 StateDict = Dict[str, np.ndarray]
 
+# Wrapper prefixes that carry no architecture information: stripped
+# automatically when EVERY key shares one (DataParallel, generic
+# containers, torch.compile, DnS's student attribute).
+_WRAPPER_PREFIXES = ("module.", "model.", "net.", "student.", "_orig_mod.")
+
+
+class ConversionKeyError(KeyError):
+    """A converter needed a parameter name the artifact doesn't have."""
+
+
+def _require(state: StateDict, name: str) -> np.ndarray:
+    """state[name], or a diagnosis: real artifacts sometimes serialize
+    under different names — the fix is a key-mapping tweak, so the
+    error points at the closest actual keys."""
+    if name in state:
+        return state[name]
+    near = difflib.get_close_matches(name, state.keys(), n=5, cutoff=0.4)
+    raise ConversionKeyError(
+        f"Parameter {name!r} not found in the checkpoint. "
+        f"Closest serialized names: {near or sorted(state)[:5]}. "
+        "If the artifact nests its modules differently, adjust the key "
+        "mapping in models/convert.py (or strip_prefix in "
+        "load_torchscript_state)."
+    )
+
+
+def normalize_state_keys(state: StateDict) -> StateDict:
+    """Strip uniform wrapper prefixes (module./model./student./...)
+    until none applies. Only prefixes shared by EVERY key are removed,
+    so architecture-bearing names like 'backbone.*' (not uniform next
+    to 'project.*') are never touched."""
+    while state:
+        for prefix in _WRAPPER_PREFIXES:
+            if all(k.startswith(prefix) for k in state):
+                state = {k[len(prefix):]: v for k, v in state.items()}
+                break
+        else:
+            return state
+    return state
+
 
 def load_torchscript_state(path: str, strip_prefix: str = "") -> StateDict:
-    """Extract a numpy state dict from a TorchScript file (torch needed)."""
+    """Extract a numpy state dict from a TorchScript file (torch needed).
+    Uniform wrapper prefixes are stripped automatically; pass
+    ``strip_prefix`` for artifact-specific nesting beyond those."""
     import torch
 
     module = torch.jit.load(path, map_location="cpu")
@@ -33,7 +76,7 @@ def load_torchscript_state(path: str, strip_prefix: str = "") -> StateDict:
         if strip_prefix and name.startswith(strip_prefix):
             name = name[len(strip_prefix):]
         state[name] = tensor.detach().cpu().numpy()
-    return state
+    return normalize_state_keys(state)
 
 
 def _conv(w: np.ndarray) -> np.ndarray:
@@ -46,12 +89,12 @@ def _linear(w: np.ndarray) -> np.ndarray:
 
 def _bn(state: StateDict, torch_name: str) -> Tuple[dict, dict]:
     params = {
-        "scale": state[f"{torch_name}.weight"],
-        "bias": state[f"{torch_name}.bias"],
+        "scale": _require(state, f"{torch_name}.weight"),
+        "bias": _require(state, f"{torch_name}.bias"),
     }
     stats = {
-        "mean": state[f"{torch_name}.running_mean"],
-        "var": state[f"{torch_name}.running_var"],
+        "mean": _require(state, f"{torch_name}.running_mean"),
+        "var": _require(state, f"{torch_name}.running_var"),
     }
     return params, stats
 
@@ -65,7 +108,7 @@ def resnet50_from_torch(
     def key(name):
         return f"{prefix}{name}"
 
-    params: dict = {"conv1": {"kernel": _conv(state[key("conv1.weight")])}}
+    params: dict = {"conv1": {"kernel": _conv(_require(state, key("conv1.weight")))}}
     stats: dict = {}
     params["bn1"], stats["bn1"] = _bn(state, key("bn1"))
 
@@ -78,12 +121,12 @@ def resnet50_from_torch(
             s: dict = {}
             for conv_i in (1, 2, 3):
                 p[f"conv{conv_i}"] = {
-                    "kernel": _conv(state[f"{t}.conv{conv_i}.weight"])
+                    "kernel": _conv(_require(state, f"{t}.conv{conv_i}.weight"))
                 }
                 p[f"bn{conv_i}"], s[f"bn{conv_i}"] = _bn(state, f"{t}.bn{conv_i}")
             if f"{t}.downsample.0.weight" in state:
                 p["downsample_conv"] = {
-                    "kernel": _conv(state[f"{t}.downsample.0.weight"])
+                    "kernel": _conv(_require(state, f"{t}.downsample.0.weight"))
                 }
                 p["downsample_bn"], s["downsample_bn"] = _bn(
                     state, f"{t}.downsample.1"
@@ -103,11 +146,11 @@ def sscd_from_torch(state: StateDict) -> dict:
         if "project.weight" in state:
             proj_w, proj_b = state["project.weight"], state["project.bias"]
         else:  # unadapted torchvision layout: embeddings = pool/linear/l2
-            proj_w = state["embeddings.1.weight"]
-            proj_b = state["embeddings.1.bias"]
+            proj_w = _require(state, "embeddings.1.weight")
+            proj_b = _require(state, "embeddings.1.bias")
     else:
         backbone_prefix = ""
-        proj_w, proj_b = state["fc.weight"], state["fc.bias"]
+        proj_w, proj_b = _require(state, "fc.weight"), _require(state, "fc.bias")
     b_params, b_stats = resnet50_from_torch(state, prefix=backbone_prefix)
     return {
         "params": {
@@ -135,30 +178,30 @@ def dino_vit_from_torch(state: StateDict, dim: int = 384, heads: int = 6) -> dic
 
     params: dict = {
         "patch_embed": {
-            "kernel": _conv(state["patch_embed.proj.weight"]),
-            "bias": state["patch_embed.proj.bias"],
+            "kernel": _conv(_require(state, "patch_embed.proj.weight")),
+            "bias": _require(state, "patch_embed.proj.bias"),
         },
-        "cls_token": state["cls_token"],
-        "pos_embed": state["pos_embed"],
+        "cls_token": _require(state, "cls_token"),
+        "pos_embed": _require(state, "pos_embed"),
         "norm": {
-            "scale": state["norm.weight"],
-            "bias": state["norm.bias"],
+            "scale": _require(state, "norm.weight"),
+            "bias": _require(state, "norm.bias"),
         },
     }
     i = 0
     while f"blocks.{i}.norm1.weight" in state:
         t = f"blocks.{i}"
         q, k, v = qkv_split(
-            state[f"{t}.attn.qkv.weight"], state[f"{t}.attn.qkv.bias"]
+            _require(state, f"{t}.attn.qkv.weight"), _require(state, f"{t}.attn.qkv.bias")
         )
         out_kernel = (
-            np.transpose(state[f"{t}.attn.proj.weight"], (1, 0))
+            np.transpose(_require(state, f"{t}.attn.proj.weight"), (1, 0))
             .reshape(heads, head_dim, dim)
         )
         params[f"block{i}"] = {
             "norm1": {
-                "scale": state[f"{t}.norm1.weight"],
-                "bias": state[f"{t}.norm1.bias"],
+                "scale": _require(state, f"{t}.norm1.weight"),
+                "bias": _require(state, f"{t}.norm1.bias"),
             },
             "attn": {
                 "query": q,
@@ -166,21 +209,21 @@ def dino_vit_from_torch(state: StateDict, dim: int = 384, heads: int = 6) -> dic
                 "value": v,
                 "out": {
                     "kernel": out_kernel,
-                    "bias": state[f"{t}.attn.proj.bias"],
+                    "bias": _require(state, f"{t}.attn.proj.bias"),
                 },
             },
             "norm2": {
-                "scale": state[f"{t}.norm2.weight"],
-                "bias": state[f"{t}.norm2.bias"],
+                "scale": _require(state, f"{t}.norm2.weight"),
+                "bias": _require(state, f"{t}.norm2.bias"),
             },
             "mlp": {
                 "fc1": {
-                    "kernel": _linear(state[f"{t}.mlp.fc1.weight"]),
-                    "bias": state[f"{t}.mlp.fc1.bias"],
+                    "kernel": _linear(_require(state, f"{t}.mlp.fc1.weight")),
+                    "bias": _require(state, f"{t}.mlp.fc1.bias"),
                 },
                 "fc2": {
-                    "kernel": _linear(state[f"{t}.mlp.fc2.weight"]),
-                    "bias": state[f"{t}.mlp.fc2.bias"],
+                    "kernel": _linear(_require(state, f"{t}.mlp.fc2.weight")),
+                    "bias": _require(state, f"{t}.mlp.fc2.bias"),
                 },
             },
         }
@@ -213,18 +256,18 @@ def dns_student_from_torch(
         raise ValueError(f"student_type must be cg|fg, got {student_type!r}")
     params: dict = {
         "reduction": {
-            "kernel": _linear(state["reduction.weight"]),
-            "bias": state["reduction.bias"],
+            "kernel": _linear(_require(state, "reduction.weight")),
+            "bias": _require(state, "reduction.bias"),
         },
         "attention": {
-            "context": _linear(state["attention.context_vector.weight"])
+            "context": _linear(_require(state, "attention.context_vector.weight"))
         },
     }
     if student_type == "cg":
         params["project"] = {
-            "kernel": _linear(state["project.weight"]),
-            "bias": state["project.bias"],
+            "kernel": _linear(_require(state, "project.weight")),
+            "bias": _require(state, "project.bias"),
         }
     elif fg_type == "bin":
-        params["rotation"] = state["binarization.W"]
+        params["rotation"] = _require(state, "binarization.W")
     return {"params": params}

@@ -47,6 +47,55 @@ def l2_normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / norms
 
 
+def _check_independent(refs, score_norm_refs) -> None:
+    overlap = {f.video_id for f in refs} & {f.video_id for f in score_norm_refs}
+    if overlap:
+        raise Exception(
+            f"Noise corpus shares {len(overlap)} video(s) with the eval "
+            "refs; VSC rules require score normalization against an "
+            "independent dataset."
+        )
+
+
+def _drop_min_variance_dim(feature_sets):
+    """Free up one dimension for the bias by deleting the least
+    informative one, chosen on the noise corpus (feature_sets[-1];
+    reference: vsc/baseline/score_normalization.py:68-79)."""
+    noise_rows = np.concatenate([f.feature for f in feature_sets[-1]], axis=0)
+    victim = int(noise_rows.var(axis=0).argmin())
+    logger.info(f"Dropping min-variance dimension {victim}")
+    drop = lambda f: np.delete(f, victim, axis=1)  # noqa: E731
+    return [transform_features(fs, drop) for fs in feature_sets]
+
+
+def _append_bias_dim(queries, all_similarity, beta):
+    """Per-video split of the batched noise-NN result, appended as the
+    −β·sim CSLS dimension."""
+    out = []
+    offset = 0
+    for query in queries:
+        sim = all_similarity[offset : offset + len(query)]
+        offset += len(query)
+        bias_col = (-beta * sim)[:, None].astype(query.feature.dtype)
+        out.append(
+            dataclasses.replace(
+                query,
+                feature=np.concatenate([query.feature, bias_col], axis=1),
+            )
+        )
+    return out
+
+
+def _append_ones_dim(refs):
+    out = []
+    for ref in refs:
+        with_ones = np.concatenate(
+            [ref.feature, np.ones_like(ref.feature[:, :1])], axis=1
+        )
+        out.append(dataclasses.replace(ref, feature=with_ones))
+    return out
+
+
 def score_normalize(
     queries: List[VideoFeature],
     refs: List[VideoFeature],
@@ -55,24 +104,11 @@ def score_normalize(
     replace_dim: bool = True,
     beta: float = 1.0,
 ) -> Tuple[List[VideoFeature], List[VideoFeature]]:
-    overlap = {f.video_id for f in refs} & {f.video_id for f in score_norm_refs}
-    if overlap:
-        raise Exception(
-            f"Noise corpus shares {len(overlap)} video(s) with the eval "
-            "refs; VSC rules require score normalization against an "
-            "independent dataset."
-        )
+    _check_independent(refs, score_norm_refs)
     if score_norm_refs is not None and replace_dim:
-        # Make space for the additional score-normalization dimension by
-        # dropping the minimum-variance dimension of the noise corpus
-        # (reference: vsc/baseline/score_normalization.py:68-79).
-        sn_features = np.concatenate([ref.feature for ref in score_norm_refs], axis=0)
-        low_var_dim = int(sn_features.var(axis=0).argmin())
-        logger.info(f"Dropping min-variance dimension {low_var_dim}")
-        queries, refs, score_norm_refs = [
-            transform_features(x, lambda f: np.delete(f, low_var_dim, axis=1))
-            for x in [queries, refs, score_norm_refs]
-        ]
+        queries, refs, score_norm_refs = _drop_min_variance_dim(
+            [queries, refs, score_norm_refs]
+        )
     if l2_normalize:
         logger.info("L2-normalizing descriptor rows")
         queries, refs, score_norm_refs = [
@@ -93,19 +129,7 @@ def score_normalize(
     ).astype(np.float32)
     all_similarity = searcher.row_nn(all_query_frames)
 
-    adapted_queries = []
-    offset = 0
-    for query in queries:
-        n = len(query)
-        similarity = all_similarity[offset : offset + n]
-        offset += n
-        norm_term = (-beta * similarity)[:, None].astype(query.feature.dtype)
-        feature = np.concatenate([query.feature, norm_term], axis=1)
-        adapted_queries.append(dataclasses.replace(query, feature=feature))
-
-    adapted_refs = []
-    for ref in refs:
-        ones = np.ones_like(ref.feature[:, :1])
-        feature = np.concatenate([ref.feature, ones], axis=1)
-        adapted_refs.append(dataclasses.replace(ref, feature=feature))
-    return adapted_queries, adapted_refs
+    return (
+        _append_bias_dim(queries, all_similarity, beta),
+        _append_ones_dim(refs),
+    )
