@@ -325,6 +325,20 @@ def bench_localization(results):
         best = min(best, time.perf_counter() - t0)
     results["localization_pairs_per_sec"] = round(b / best, 1)
 
+    # Production batch: per-dispatch overhead amortizes ~5x (the batch
+    # the localizer actually forms under its HBM element budget).
+    big_b = 1024
+    sims_big = np.tile(sims, (big_b // b, 1, 1, 1)).reshape(big_b, nq, nr)
+    lens_big = jax.device_put(np.full(big_b, 100, np.int32))
+    sims_big_dev = jax.device_put(sims_big)
+    np.asarray(tn_align(sims_big_dev, lens_big, lens_big, params)[0])
+    best_big = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(tn_align(sims_big_dev, lens_big, lens_big, params)[0])
+        best_big = min(best_big, time.perf_counter() - t0)
+    results["localization_pairs_per_sec_b1024"] = round(big_b / best_big, 1)
+
 
 def run_measurement():
     from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
