@@ -173,7 +173,11 @@ class DescriptorExtractor:
             )
             self._batch_sharding = first_axis_sharding(mesh)
 
-    def _forward_batch(self, frames_u8: np.ndarray) -> np.ndarray:
+    def _dispatch_batch(self, frames_u8: np.ndarray):
+        """Issue one batch asynchronously: H2D + preprocess + forward
+        are dispatched, NOT awaited — the result is pulled later so the
+        device computes this batch while the host readies the next.
+        Returns (device_out, n_valid_rows)."""
         n = frames_u8.shape[0]
         if n < self.batch_size:  # pad to static batch shape
             pad = np.repeat(frames_u8[-1:], self.batch_size - n, axis=0)
@@ -186,7 +190,10 @@ class DescriptorExtractor:
             else jax.device_put(frames_u8, self._batch_sharding)
         )
         images = preprocess(frames_dev, self.transform)
-        out = self.apply_fn(self.variables, images.astype(self.dtype))
+        return self.apply_fn(self.variables, images.astype(self.dtype)), n
+
+    def _forward_batch(self, frames_u8: np.ndarray) -> np.ndarray:
+        out, n = self._dispatch_batch(frames_u8)
         return np.asarray(out, dtype=np.float32)[:n]
 
     def extract(
@@ -195,19 +202,52 @@ class DescriptorExtractor:
         store_fp16: bool = False,
         progress: Optional[Callable[[], None]] = None,
     ) -> Iterable[VideoFeature]:
-        for name, frames, timestamps in _prefetch(dataset.iter_decoded()):
-            embeddings = []
-            for start in range(0, frames.shape[0], self.batch_size):
-                batch = frames[start : start + self.batch_size]
-                embeddings.append(self._forward_batch(batch))
-            feature = np.concatenate(embeddings, axis=0)
+        """Streamed extraction with lag-1 pipelining: batch i+1 is
+        dispatched before batch i's descriptors are pulled, so decode,
+        H2D, device compute, and D2H overlap (the reference serializes
+        decode and inference per worker; vsc/baseline/inference_impl.py
+        :210-239). Per-video batching is kept — a batch never spans
+        videos, like the reference's VideoDataset contract."""
+        bs = self.batch_size
+
+        def batches():
+            for name, frames, timestamps in _prefetch(dataset.iter_decoded()):
+                n_batches = max(1, -(-frames.shape[0] // bs))
+                for j in range(n_batches):
+                    yield (
+                        name, timestamps, frames[j * bs : (j + 1) * bs],
+                        j == n_batches - 1,
+                    )
+
+        parts: List[np.ndarray] = []
+
+        def settle(entry) -> Optional[VideoFeature]:
+            name, timestamps, dev_out, n, last = entry
+            parts.append(np.asarray(dev_out, dtype=np.float32)[:n])
+            if not last:
+                return None
+            feature = np.concatenate(parts, axis=0)
+            parts.clear()
             if store_fp16:
                 feature = feature.astype(np.float16)
-            yield VideoFeature(
-                video_id=name, timestamps=timestamps, feature=feature
-            )
             if progress is not None:
                 progress()
+            return VideoFeature(
+                video_id=name, timestamps=timestamps, feature=feature
+            )
+
+        pending = None
+        for name, timestamps, chunk, last in batches():
+            dev_out, n = self._dispatch_batch(chunk)
+            if pending is not None:
+                done = settle(pending)
+                if done is not None:
+                    yield done
+            pending = (name, timestamps, dev_out, n, last)
+        if pending is not None:
+            done = settle(pending)
+            if done is not None:
+                yield done
 
 
 def merge_feature_files(filenames: List[str], output_filename: str) -> int:
