@@ -56,3 +56,29 @@ class TestUmbrellaCLI:
             capture_output=True, text=True, timeout=120,
         )
         assert result.returncode == 2
+
+
+class TestScaleBench:
+    def test_tiny_run(self):
+        """tools/scale_bench.py on a toy workload prints valid JSON."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        result = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "tools", "scale_bench.py"),
+                "--corpus", "600", "--queries", "64", "--query_videos", "4",
+                "--noise", "100", "--dim", "16", "--k_per_query", "10",
+                "--repeats", "1",
+            ],
+            capture_output=True, text=True, timeout=300, cwd=repo,
+            env={**os.environ, "VSC2022_TPU_FORCE_CPU": "1"},
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        line = [ln for ln in result.stdout.splitlines() if ln.startswith("{")][-1]
+        out = json.loads(line)
+        assert out["corpus_frames"] == 600
+        assert out["query_videos_per_sec"] > 0

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Corpus-scale retrieval benchmark (beyond bench.py's fixed workload).
+
+bench.py tracks a fixed 60k-frame-corpus workload round-over-round;
+this tool measures how the score-normalized search scales with the
+reference corpus (HBM-resident, streamed in col_block tiles), e.g.:
+
+    python tools/scale_bench.py --corpus 1000000
+    python tools/scale_bench.py --corpus 4000000 --dtype bfloat16
+
+At VSC production scale (~40M ref frames at fps=1) a v5e-8 holds the
+corpus in bf16 across its 8 chips via parallel.sharded_search; one chip
+covers ~4M bf16 frames. Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vsc2022_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--corpus", type=int, default=1_000_000)
+parser.add_argument("--queries", type=int, default=9000, help="query frames")
+parser.add_argument("--query_videos", type=int, default=150)
+parser.add_argument("--noise", type=int, default=30_000)
+parser.add_argument("--dim", type=int, default=512)
+parser.add_argument("--k_per_query", type=int, default=1200)
+parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32")
+parser.add_argument("--repeats", type=int, default=3)
+
+
+def l2n(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def main(args):
+    enable_compilation_cache()
+    import jax
+
+    from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+    rng = np.random.default_rng(0)
+    q = l2n(rng.standard_normal((args.queries, args.dim), dtype=np.float32))
+    r = l2n(rng.standard_normal((args.corpus, args.dim), dtype=np.float32))
+    noise = l2n(rng.standard_normal((args.noise, args.dim), dtype=np.float32))
+    q[: args.queries // 15] = r[5000 : 5000 + args.queries // 15]
+
+    t0 = time.perf_counter()
+    searcher = ScoreNormalizedSearcher(
+        r, noise, beta=1.2, precision="default", dtype=args.dtype
+    )
+    stage_s = time.perf_counter() - t0
+
+    k = args.k_per_query * args.query_videos
+    t0 = time.perf_counter()
+    searcher.global_topk(q, k)
+    warmup_s = time.perf_counter() - t0
+
+    q_dev = jax.device_put(q)
+    searcher.global_topk(q_dev, k)
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        searcher.global_topk(q_dev, k)
+        best = min(best, time.perf_counter() - t0)
+
+    flops = 2.0 * args.queries * (
+        args.noise * args.dim + args.corpus * (args.dim + 1)
+    )
+    print(json.dumps({
+        "corpus_frames": args.corpus,
+        "dtype": args.dtype,
+        "stage_s": round(stage_s, 1),
+        "warmup_s": round(warmup_s, 1),
+        "search_s": round(best, 3),
+        "query_videos_per_sec": round(args.query_videos / best, 1),
+        "tflops": round(flops / best / 1e12, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())
