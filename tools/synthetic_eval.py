@@ -252,7 +252,7 @@ def main(args):
             report[f"{key}_segment_ap"] = round(seg, 4)
 
     if args.dns:
-        report["dns_segment_ap"] = round(run_dns_variant(args), 4)
+        report["dns_segment_ap"] = round(run_dns_variant(args)[0], 4)
 
     print(json.dumps(report))
 
@@ -273,6 +273,12 @@ def run_sweep(args):
                     "hard" if hard else "default", f"{label} ({dim}d)",
                     mode, len(gt), round(uap, 4), round(seg, 4),
                 ))
+    for hard in (False, True):
+        seg, n_gt = run_dns_variant(args, hard=hard)
+        rows.append((
+            "hard" if hard else "default", "dns regions (9×64d)",
+            "tuned", n_gt, "—", round(seg, 4),
+        ))
     print("| corruptions | descriptors | tn mode | gt | candidate µAP "
           "| segment AP |")
     print("|---|---|---|---|---|---|")
@@ -281,16 +287,17 @@ def run_sweep(args):
     return rows
 
 
-def run_dns_variant(args):
+def run_dns_variant(args, hard=False):
     """DnS-style pipeline on synthetic region features: coarse retrieval
     (score-normed mean-pooled regions) + fused fine+coarse chamfer
-    localization (baseline/dns_baseline.DnSLocalization)."""
+    localization (baseline/dns_baseline.DnSLocalization). Returns
+    (segment AP, num GT rows)."""
     import dataclasses
 
     from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
     from vsc2022_tpu.models.dns import NUM_REGIONS
 
-    queries, refs, noise, gt = build_benchmark(args)
+    queries, refs, noise, gt = build_benchmark(args, hard=hard)
     rng = np.random.RandomState(args.seed + 99)
     d_region = 64
 
@@ -347,7 +354,7 @@ def run_dns_variant(args):
         similarity_bias=0.5,
     )
     matches = loc.localize_all(candidates)
-    return match_metric(gt, matches).ap
+    return match_metric(gt, matches).ap, len(gt)
 
 
 if __name__ == "__main__":
