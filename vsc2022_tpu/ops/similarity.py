@@ -411,6 +411,32 @@ def _fused_candidates_packed(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("kappa2", "col_block", "metric", "precision"),
+)
+def _repair_rows_packed(
+    q_dev,  # [M, D] device-resident queries (any dtype)
+    rows,  # [R_pad] int32 row indices (padding repeats a valid row)
+    refs, n_valid, ref_sq,
+    kappa2, col_block, metric, precision,
+):
+    """Exact top-κ₂ recompute for count-verify-flagged rows, in one
+    dispatch: device gather of the deficient rows + exact streaming
+    top-k + one packed D2H buffer ([bitcast(s), i] int32)."""
+    block = jnp.take(q_dev, rows, axis=0).astype(refs.dtype)
+    top_s, top_i = streaming_topk(
+        block, refs, n_valid, ref_sq, kappa=kappa2, col_block=col_block,
+        metric=metric, precision=precision,
+    )
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(
+            top_s.astype(jnp.float32), jnp.int32
+        ).reshape(-1),
+        top_i.astype(jnp.int32).reshape(-1),
+    ])
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("beta", "kappa", "noise_col_block", "col_block",
                      "precision", "approx", "k_eff", "nq"),
 )
@@ -738,6 +764,25 @@ class SimilaritySearcher:
         idx[: rows.size] = rows
         return jnp.take(q_dev, jnp.asarray(idx), axis=0)
 
+    def _repair_kernel(
+        self, queries, q_dev, rows: np.ndarray, n_pad: int, kappa2: int
+    ):
+        """Exact top-κ₂ for the flagged rows: one dispatch (device
+        gather fused in), one packed D2H pull. The sharded searcher
+        overrides this (its refs live sharded; the gather must stay
+        outside the shard_map)."""
+        idx = np.zeros(n_pad, dtype=np.int32)
+        idx[: rows.size] = rows
+        buf = np.asarray(_repair_rows_packed(
+            q_dev, jnp.asarray(idx), self._refs, self._n_valid,
+            self._ref_sq, kappa2=kappa2, col_block=self.col_block,
+            metric=self.metric, precision=self.precision,
+        ))
+        half = n_pad * kappa2
+        s = buf[:half].view(np.float32).reshape(n_pad, kappa2)
+        i = buf[half:].astype(np.int64).reshape(n_pad, kappa2)
+        return s, i
+
     def _finalize_global_topk(
         self, all_s, all_i, true_counts, tau, queries, q_dev, nq: int,
         kappa: int, k_eff: int, approx_candidates: bool, block_rows: int,
@@ -790,10 +835,9 @@ class SimilaritySearcher:
                 fix_rows = min(self.row_block, _ceil_to(saturated.size, 8))
                 for start in range(0, saturated.size, fix_rows):
                     rows = saturated[start : start + fix_rows]
-                    block = self._saturated_rows(
-                        queries, q_dev, rows, fix_rows
+                    s, i = self._repair_kernel(
+                        queries, q_dev, rows, fix_rows, kappa2
                     )
-                    s, i = self._topk_kernel(block, kappa2, approx=False)
                     s = np.asarray(s)[: rows.size]
                     i = np.asarray(i)[: rows.size]
                     sq, sr = np.nonzero(s >= tau)

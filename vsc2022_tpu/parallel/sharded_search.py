@@ -244,6 +244,14 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             jnp.asarray(rows), self._refs, self._ref_sq, self._n_valid
         )
 
+    def _repair_kernel(self, queries, q_dev, rows, n_pad, kappa2):
+        """Count-verify recompute over the mesh: gather the flagged rows
+        (host or device, outside the shard_map), then the exact sharded
+        top-κ₂ kernel."""
+        block = self._saturated_rows(queries, q_dev, rows, n_pad)
+        s, i = self._topk_kernel(block, kappa2, approx=False)
+        return np.asarray(s), np.asarray(i)
+
     def _fused_kernel(self, q_dev, nq, kappa, approx, k_eff):
         if q_dev.shape[0] > self.row_block:
             return None
