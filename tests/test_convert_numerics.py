@@ -431,3 +431,68 @@ class TestAdaptModelSSCDEndToEnd:
         ))
         np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
         del _jax
+
+
+class TestDnSIndexTorchscriptDropIn:
+    def test_index_cli_accepts_torchscript(self, tmp_path):
+        """The reference's invocation style — dns_index.py pointed at a
+        published student TorchScript — works directly: the student
+        type comes from the module metadata and weights convert on the
+        fly, producing outputs matching the torch module."""
+        import argparse
+        import os
+
+        from vsc2022_tpu.baseline import dns_index
+        from vsc2022_tpu.metrics import Dataset
+        from vsc2022_tpu.storage import load_features, store_features
+        from vsc2022_tpu.types import VideoFeature
+
+        torch.manual_seed(7)
+        scripted = torch.jit.script(ScriptableFineStudent("att").eval())
+        ts_path = str(tmp_path / "fg_att_student.torchscript")
+        scripted.save(ts_path)
+
+        rng = np.random.RandomState(8)
+
+        def vids(n):
+            out = []
+            for i in range(n):
+                t = int(rng.randint(2, 5))
+                f = rng.randn(t, 9, 3840).astype(np.float32)
+                f /= np.linalg.norm(f, axis=-1, keepdims=True)
+                out.append(VideoFeature(
+                    video_id=i, timestamps=np.arange(t, dtype=np.float64),
+                    feature=f.reshape(t, -1),
+                ))
+            return out
+
+        queries, refs = vids(2), vids(3)
+        q_path, r_path = str(tmp_path / "q.npz"), str(tmp_path / "r.npz")
+        store_features(q_path, queries, Dataset.QUERIES)
+        store_features(r_path, refs, Dataset.REFS)
+
+        out_dir = str(tmp_path / "out")
+        dns_index.main(argparse.Namespace(
+            query_features=q_path, ref_features=r_path,
+            score_norm_features=None, output_path=out_dir,
+            student=None, fg_type="bin",  # must be overridden to "att"
+            checkpoint_path=None, torchscript_path=ts_path,
+            accelerator="cpu",
+        ))
+
+        got = load_features(
+            os.path.join(out_dir, "queries_fg_att_student.npz"),
+            Dataset.QUERIES,
+        )
+        assert len(got) == 2
+        for vf, src in zip(got, queries):
+            with torch.no_grad():
+                expect = scripted.index_video(
+                    torch.from_numpy(src.feature)
+                ).numpy()
+            # fg att outputs are stored fp16 (reference behavior).
+            assert vf.feature.dtype == np.float16
+            np.testing.assert_allclose(
+                vf.feature.astype(np.float32).reshape(expect.shape),
+                expect, rtol=1e-2, atol=2e-3,
+            )

@@ -82,6 +82,17 @@ parser.add_argument(
     "min_sim gate, top-K=5, path-cell masking, max_iou dedup) instead "
     "of the tuned adaptive gate.",
 )
+parser.add_argument(
+    "--torchscript_path", type=str, default=None,
+    help="Accepted for reference-invocation compatibility "
+    "(vsc/baseline/dns_baseline.py uses the fg student TorchScript to "
+    "compute fine similarity; here the tested native chamfer formula "
+    "computes it from the indexed fine features). When given, the "
+    "module's student_type is validated and fg_type inferred.",
+)
+parser.add_argument(
+    "--accelerator", choices=["cpu", "tpu"], default="tpu",
+)
 
 
 @functools.partial(jax.jit, static_argnames=("symmetric", "precision"))
@@ -260,11 +271,24 @@ create_pr_plot = pipeline.create_pr_plot
 
 
 def main(args):
+    if getattr(args, "accelerator", "tpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     if os.path.exists(args.output_path) and not args.overwrite:
         raise Exception(
             f"Output path already exists: {args.output_path}. "
             "Do you want to --overwrite?"
         )
+    if getattr(args, "torchscript_path", None):
+        import torch
+
+        module = torch.jit.load(args.torchscript_path, map_location="cpu")
+        student_type = getattr(module, "student_type", "fg")
+        if student_type != "fg":
+            raise Exception(
+                "Only fine-grained students are accepted for similarity "
+                "calculation."
+            )
+        args.fg_type = getattr(module, "fg_type", args.fg_type)
 
     queries_fine = convert_to_dict(
         load_features(args.query_fine_features, Dataset.QUERIES)

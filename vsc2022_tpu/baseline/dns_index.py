@@ -9,9 +9,11 @@ students as fp16; coarse features optionally get β=1.2 score
 normalization (without dim replacement). Output files are
 ``{queries,refs}_{network_name}[_sn].npz``.
 
-Model loading differs from the reference (TorchScript) — students are
-native Flax modules with weights from an npz checkpoint
-(``--checkpoint_path``), selected by ``--student`` + ``--fg_type``.
+Students are native Flax modules. Weights come from an npz checkpoint
+(``--checkpoint_path``, selected by ``--student`` + ``--fg_type``) or —
+the reference's invocation style — directly from a published student
+TorchScript (``--torchscript_path``; converted on the fly, with
+student_type/fg_type read from the module's metadata).
 """
 
 import argparse
@@ -56,8 +58,9 @@ parser.add_argument(
     required=True,
 )
 parser.add_argument(
-    "--student", choices=["cg", "fg"], required=True,
-    help="Student type used for indexing.",
+    "--student", choices=["cg", "fg"], default=None,
+    help="Student type used for indexing (inferred from "
+    "--torchscript_path metadata when omitted).",
 )
 parser.add_argument(
     "--fg_type", choices=["att", "bin"], default="att",
@@ -66,6 +69,16 @@ parser.add_argument(
 parser.add_argument(
     "--checkpoint_path", type=str, default=None,
     help="npz variable tree for the student (random init if omitted).",
+)
+parser.add_argument(
+    "--torchscript_path", type=str, default=None,
+    help="Published DnS student TorchScript; converted on the fly "
+    "(requires torch; the reference's invocation style — "
+    "vsc/baseline/dns_index.py). student_type/fg_type are read from "
+    "the module's metadata when present.",
+)
+parser.add_argument(
+    "--accelerator", choices=["cpu", "tpu"], default="tpu",
 )
 
 
@@ -89,7 +102,32 @@ def index_videos(
 
 def _build_student(args) -> DnSStudent:
     params = None
-    if args.checkpoint_path:
+    if getattr(args, "torchscript_path", None):
+        import torch
+
+        from vsc2022_tpu.models.convert import dns_student_from_torch
+
+        module = torch.jit.load(args.torchscript_path, map_location="cpu")
+        # The published artifacts carry their own type metadata (the
+        # reference reads it: vsc/baseline/dns_index.py:121-127); CLI
+        # flags fill in when absent.
+        args.student = getattr(module, "student_type", args.student)
+        args.fg_type = getattr(module, "fg_type", args.fg_type)
+        if args.student is None:
+            raise Exception(
+                "--student is required when the TorchScript module "
+                "carries no student_type attribute"
+            )
+        from vsc2022_tpu.models.convert import normalize_state_keys
+
+        state = normalize_state_keys({
+            k: v.detach().cpu().numpy()
+            for k, v in module.state_dict().items()
+        })
+        params = dns_student_from_torch(state, args.student, args.fg_type)
+    elif args.student is None:
+        raise Exception("Provide --student (or --torchscript_path)")
+    elif args.checkpoint_path:
         from vsc2022_tpu.utils.checkpoint import load_variables
 
         params = load_variables(args.checkpoint_path)
@@ -107,12 +145,16 @@ def _load_and_reencode(
 
 
 def main(args):
-    if args.student == "fg" and args.score_norm_features:
+    if getattr(args, "accelerator", "tpu") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    model = _build_student(args)
+    if model.student_type == "fg" and args.score_norm_features:
         raise Exception(
             "Fine-grained student output feeds the localizer directly; "
             "score normalization only applies to the coarse (cg) student."
         )
-    model = _build_student(args)
 
     out_queries = _load_and_reencode(
         model, args.query_features, Dataset.QUERIES, "queries"
