@@ -38,11 +38,14 @@ def retrieve_candidates(
     retrieve_per_query: float = RETRIEVE_PER_QUERY,
     candidates_per_query: float = CANDIDATES_PER_QUERY,
     mesh=None,
+    dtype: str = "float32",
 ) -> List[CandidatePair]:
     """Global-k frame search + per-pair aggregation, truncated to the
     candidate budget."""
     logger.info("Searching")
-    generator = CandidateGeneration(refs, MaxScoreAggregation(), mesh=mesh)
+    generator = CandidateGeneration(
+        refs, MaxScoreAggregation(), mesh=mesh, dtype=dtype
+    )
     candidates = generator.query(
         queries, global_k=int(retrieve_per_query * len(queries))
     )

@@ -67,6 +67,11 @@ parser.add_argument(
     type=str, default=None,
 )
 parser.add_argument(
+    "--bf16", action="store_true",
+    help="Retrieval in bfloat16 (half HBM/transfer, MXU-native; scores "
+    "at bf16 resolution).",
+)
+parser.add_argument(
     "--vcsl_faithful_tn", action="store_true",
     help="Align with the published VCSL TN configuration (absolute "
     "min_sim gate, top-K=5, path-cell masking, max_iou dedup) instead "
@@ -82,9 +87,11 @@ def search(
     refs: List[VideoFeature],
     retrieve_per_query: float = pipeline.RETRIEVE_PER_QUERY,
     candidates_per_query: float = pipeline.CANDIDATES_PER_QUERY,
+    dtype: str = "float32",
 ) -> List[CandidatePair]:
     return pipeline.retrieve_candidates(
-        queries, refs, retrieve_per_query, candidates_per_query
+        queries, refs, retrieve_per_query, candidates_per_query,
+        dtype=dtype,
     )
 
 
@@ -133,8 +140,9 @@ def match(
     output_path: str,
     score_normalization: bool = False,
     vcsl_faithful: bool = False,
+    dtype: str = "float32",
 ) -> Tuple[str, str]:
-    candidates = search(queries, refs)
+    candidates = search(queries, refs, dtype=dtype)
     candidate_file, _ = pipeline.write_stage_artifacts(output_path, candidates)
     matches = localize_and_verify(
         queries, refs, candidates, score_normalization=score_normalization,
@@ -171,6 +179,7 @@ def main(args):
             queries, refs, args.output_path,
             score_normalization=score_normalization,
             vcsl_faithful=getattr(args, "vcsl_faithful_tn", False),
+            dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
         )
 
     if args.ground_truth:

@@ -40,13 +40,15 @@ class DescriptorEvalProtocol:
     retrieval_per_query: int = RETRIEVAL_CANDIDATES_PER_QUERY
     pairs_per_query: int = AGGREGATED_CANDIDATES_PER_QUERY
     mesh: object = None
+    dtype: str = "float32"
 
     def retrieve(self, query_features, ref_features) -> List[CandidatePair]:
         n_queries = len(query_features)
         budget = int(self.retrieval_per_query * n_queries)
         logger.info(f"Performing search for {budget} nearest vectors")
         generator = CandidateGeneration(
-            ref_features, MaxScoreAggregation(), mesh=self.mesh
+            ref_features, MaxScoreAggregation(), mesh=self.mesh,
+            dtype=self.dtype,
         )
         candidates = generator.query(query_features, global_k=budget)
         logger.info(f"Got {len(candidates)} unique video pairs.")

@@ -87,9 +87,12 @@ class CandidateGeneration:
         references: List[VideoFeature],
         aggregation: ScoreAggregation,
         mesh=None,
+        dtype: str = "float32",
     ):
         self.aggregation = aggregation
-        self.index = VideoIndex(references[0].dimensions(), mesh=mesh)
+        self.index = VideoIndex(
+            references[0].dimensions(), mesh=mesh, dtype=dtype
+        )
         self.index.add(references)
 
     def query(

@@ -39,11 +39,14 @@ class VideoIndex:
         metric: str = "IP",
         precision: str = "highest",
         mesh=None,
+        dtype: str = "float32",
     ):
         """``codec_str`` mirrors the reference's FAISS factory argument
         (reference: vsc/index.py:78); only exact ("Flat") search exists
         here. ``mesh``: an optional 1-D jax.sharding.Mesh to shard the
-        reference corpus across devices (parallel/sharded_search.py)."""
+        reference corpus across devices (parallel/sharded_search.py).
+        ``dtype="bfloat16"`` stores/search the corpus in bf16 (half the
+        HBM and transfer, MXU-native; scores at bf16 resolution)."""
         if codec_str != "Flat":
             raise ValueError(
                 f"Unsupported codec '{codec_str}': the TPU searcher is "
@@ -53,6 +56,7 @@ class VideoIndex:
         self.metric = metric
         self.precision = precision
         self.mesh = mesh
+        self.dtype = dtype
         self.video_clip_idx: List[int] = []
         self.video_clip_to_video_ids: List[str] = []
         self.video_metadata = {}
@@ -82,11 +86,12 @@ class VideoIndex:
 
                 self._searcher = ShardedSimilaritySearcher(
                     corpus, self.mesh, metric=self.metric,
-                    precision=self.precision,
+                    precision=self.precision, dtype=self.dtype,
                 )
             else:
                 self._searcher = SimilaritySearcher(
-                    corpus, metric=self.metric, precision=self.precision
+                    corpus, metric=self.metric, precision=self.precision,
+                    dtype=self.dtype,
                 )
         return self._searcher
 
