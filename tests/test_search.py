@@ -231,6 +231,31 @@ class TestScoreNormalizedSearcher:
         np.testing.assert_allclose(bs, fs, rtol=1e-6)
 
 
+    def test_fused_multi_row_block(self):
+        """Query sets larger than one row block stream through the
+        in-dispatch row scan — results must match the single-block
+        unfused reference exactly."""
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(21)
+        q = rng.randint(-3, 4, size=(53, 12)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(150, 12)).astype(np.float32)
+        noise = rng.randint(-3, 4, size=(64, 12)).astype(np.float32)
+
+        fused = ScoreNormalizedSearcher(r, noise, beta=1.2)
+        fused.searcher.row_block = 16  # force ~4 row blocks
+        fused.noise_searcher.row_block = 16
+        fqi, fri, fs = fused.global_topk(q, 300)
+
+        bias = -1.2 * SimilaritySearcher(noise).row_nn(q)
+        q_sn = np.concatenate([q, bias[:, None]], axis=1)
+        r_sn = np.concatenate([r, np.ones((150, 1), np.float32)], axis=1)
+        uqi, uri, us = SimilaritySearcher(r_sn).global_topk(q_sn, 300)
+        np.testing.assert_array_equal(fqi, uqi)
+        np.testing.assert_array_equal(fri, uri)
+        np.testing.assert_allclose(fs, us, rtol=1e-6)
+
+
 class TestBf16Mode:
     def test_bf16_search_plausible(self):
         rng = np.random.RandomState(4)

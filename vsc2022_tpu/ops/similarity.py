@@ -326,6 +326,27 @@ _count_above = jax.jit(
 )
 
 
+def _scan_row_blocks(fn, q: jax.Array, row_block: int):
+    """Apply ``fn(q_block) -> pytree of [rb, ...]`` over row blocks of q
+    via lax.scan, concatenating results along axis 0. Bounds the [rb,
+    col_block] score intermediates for arbitrarily many query rows
+    while staying inside ONE compiled dispatch. q rows must divide
+    evenly into row_block (callers stage/pad accordingly)."""
+    m = q.shape[0]
+    if m <= row_block:
+        return fn(q)
+    assert m % row_block == 0, (m, row_block)
+    q3 = q.reshape(m // row_block, row_block, *q.shape[1:])
+
+    def body(carry, q_blk):
+        return carry, fn(q_blk)
+
+    _, out = jax.lax.scan(body, jnp.int32(0), q3)
+    return jax.tree.map(
+        lambda a: a.reshape(m, *a.shape[2:]), out
+    )
+
+
 def _candidates_core(
     q: jax.Array,  # [M_pad, D]
     refs: jax.Array,
@@ -338,14 +359,20 @@ def _candidates_core(
     precision: str,
     approx: bool,
     k_eff: int,
+    row_block: int = DEFAULT_ROW_BLOCK,
 ):
     """Whole candidate phase as one traceable graph: per-row top-κ, the
     global k-th threshold τ over valid rows, and the exact ≥τ counts
     for the verification — host↔device round-trips cost ~50 ms each on
-    thin links, so everything that can fuse, fuses."""
-    top_s, top_i = streaming_topk(
-        q, refs, n_valid, ref_sq, kappa=kappa, col_block=col_block,
-        metric=metric, precision=precision, approx=approx,
+    thin links, so everything that can fuse, fuses. Query sets larger
+    than one row block stream through an outer scan (still one
+    dispatch)."""
+    top_s, top_i = _scan_row_blocks(
+        lambda qb: streaming_topk(
+            qb, refs, n_valid, ref_sq, kappa=kappa, col_block=col_block,
+            metric=metric, precision=precision, approx=approx,
+        ),
+        q, row_block,
     )
     row_ids = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0)
     masked = jnp.where(row_ids < n_rows, top_s, NEG_INF)
@@ -357,9 +384,12 @@ def _candidates_core(
     tau = jnp.where(
         k_eff > n_rows * kappa, NEG_INF, flat[k_idx]
     )
-    counts = streaming_count_above(
-        q, refs, n_valid, ref_sq, tau, col_block=col_block, metric=metric,
-        precision=precision,
+    counts = _scan_row_blocks(
+        lambda qb: streaming_count_above(
+            qb, refs, n_valid, ref_sq, tau, col_block=col_block,
+            metric=metric, precision=precision,
+        ),
+        q, row_block,
     )
     return top_s, top_i, counts, tau
 
@@ -395,18 +425,42 @@ def _unpack_candidates(buf: np.ndarray, nq: int, kappa: int):
 @functools.partial(
     jax.jit,
     static_argnames=("kappa", "col_block", "metric", "precision", "approx",
-                     "k_eff", "nq"),
+                     "k_eff", "nq", "row_block"),
 )
 def _fused_candidates_packed(
     q, refs, n_valid, ref_sq, kappa, col_block, metric, precision, approx,
-    k_eff, nq,
+    k_eff, nq, row_block=DEFAULT_ROW_BLOCK,
 ):
     """Candidate phase in ONE dispatch, packed for ONE D2H pull."""
     top_s, top_i, counts, tau = _candidates_core(
         q, refs, nq, n_valid, ref_sq, kappa, col_block, metric, precision,
-        approx, k_eff,
+        approx, k_eff, row_block=row_block,
     )
     return _pack_candidates(top_s, top_i, counts, tau, nq)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "col_block", "metric", "precision", "row_block"),
+)
+def _row_topk_packed(
+    q, refs, n_valid, ref_sq, k, col_block, metric, precision, row_block,
+):
+    """Exact per-row top-k for ANY query-set size in ONE dispatch +
+    one packed pull (row blocks stream via the in-dispatch scan)."""
+    top_s, top_i = _scan_row_blocks(
+        lambda qb: streaming_topk(
+            qb, refs, n_valid, ref_sq, kappa=k, col_block=col_block,
+            metric=metric, precision=precision,
+        ),
+        q, row_block,
+    )
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(
+            top_s.astype(jnp.float32), jnp.int32
+        ).reshape(-1),
+        top_i.astype(jnp.int32).reshape(-1),
+    ])
 
 
 @functools.partial(
@@ -438,30 +492,35 @@ def _repair_rows_packed(
 @functools.partial(
     jax.jit,
     static_argnames=("beta", "kappa", "noise_col_block", "col_block",
-                     "precision", "approx", "k_eff", "nq"),
+                     "precision", "approx", "k_eff", "nq", "row_block"),
 )
 def _fused_sn_candidates_packed(
     q,  # [M_pad, D] (padding rows beyond nq allowed)
     noise_refs, noise_n_valid, noise_sq,  # noise corpus (for the bias)
     refs, n_valid, ref_sq,  # score-norm refs (D+1: trailing ones dim)
     beta, kappa, noise_col_block, col_block, precision, approx, k_eff, nq,
+    row_block=DEFAULT_ROW_BLOCK,
 ):
     """The ENTIRE score-normalized query pipeline in one dispatch:
     noise-NN bias (k=1 row max), CSLS bias-dimension append, global
     top-κ candidates, τ, and verification counts — packed into a single
     D2H buffer. Also returns the bias-augmented queries (device-
     resident; the saturated-row recompute gathers from them without
-    pulling the full matrix)."""
-    bias, _ = streaming_topk(
-        q, noise_refs, noise_n_valid, noise_sq, kappa=1,
-        col_block=noise_col_block, metric="IP", precision=precision,
-    )
-    q_sn = jnp.concatenate(
-        [q, (-beta * bias[:, :1]).astype(q.dtype)], axis=1
-    )
+    pulling the full matrix). Large query sets stream through row-block
+    scans (still one dispatch)."""
+    def bias_append(qb):
+        bias, _ = streaming_topk(
+            qb, noise_refs, noise_n_valid, noise_sq, kappa=1,
+            col_block=noise_col_block, metric="IP", precision=precision,
+        )
+        return jnp.concatenate(
+            [qb, (-beta * bias[:, :1]).astype(qb.dtype)], axis=1
+        )
+
+    q_sn = _scan_row_blocks(bias_append, q, row_block)
     top_s, top_i, counts, tau = _candidates_core(
         q_sn, refs, nq, n_valid, ref_sq, kappa, col_block, "IP", precision,
-        approx, k_eff,
+        approx, k_eff, row_block=row_block,
     )
     return _pack_candidates(top_s, top_i, counts, tau, nq), q_sn
 
@@ -577,13 +636,20 @@ class SimilaritySearcher:
 
     def _fused_kernel(self, q_dev, nq: int, kappa: int, approx: bool,
                       k_eff: int):
-        """Single-dispatch candidate phase, when the query set fits one
-        row block; returns the packed int32 buffer (one D2H pull).
-        Returns None to fall back to the loop path (the sharded
-        searcher overrides with None: its merge already spans dispatch
-        boundaries)."""
-        if q_dev.shape[0] > self.row_block:
-            return None
+        """Single-dispatch candidate phase for ANY query-set size (row
+        blocks stream via an in-dispatch scan); returns the packed
+        int32 buffer (one D2H pull). The sharded searcher overrides
+        with a mesh version (single-block only there)."""
+        m = q_dev.shape[0]
+        n_rb = max(1, -(-m // self.row_block))
+        if m % n_rb:
+            # Unexpected staging (not a whole number of near-even
+            # blocks): single-block if it fits, else the loop path.
+            if m > self.row_block:
+                return None
+            rb = m
+        else:
+            rb = m // n_rb
         return _fused_candidates_packed(
             q_dev.astype(self._refs.dtype),
             self._refs,
@@ -596,6 +662,7 @@ class SimilaritySearcher:
             approx=approx,
             k_eff=k_eff,
             nq=nq,
+            row_block=rb,
         )
 
     def _full_kernel(self, rows: np.ndarray):
@@ -620,8 +687,22 @@ class SimilaritySearcher:
         """
         k = min(k, self.n_refs)
         nq = queries.shape[0]
-        block_rows = min(self.row_block, _ceil_to(nq, 8))
+        block_rows = self._plan_row_block(nq)
         q_dev = self._stage_queries(queries, block_rows)
+        if type(self) is SimilaritySearcher and nq > 0 and k > 0:
+            # One dispatch + one packed pull for any size.
+            buf = np.asarray(_row_topk_packed(
+                q_dev.astype(self._refs.dtype), self._refs, self._n_valid,
+                self._ref_sq, k=k, col_block=self.col_block,
+                metric=self.metric, precision=self.precision,
+                row_block=block_rows,
+            ))
+            m = q_dev.shape[0]
+            out_s = buf[: m * k].view(np.float32).reshape(m, k)[:nq]
+            out_i = buf[m * k :].astype(np.int64).reshape(m, k)[:nq]
+            if self.metric == "L2":
+                out_s = -out_s
+            return out_s, out_i
         out_s = np.empty((nq, k), dtype=np.float32)
         out_i = np.empty((nq, k), dtype=np.int64)
         for start in range(0, nq, block_rows):
@@ -713,7 +794,7 @@ class SimilaritySearcher:
             )
         kappa, k_eff = self._plan(nq, k, kappa)
 
-        block_rows = min(self.row_block, _ceil_to(nq, 8))
+        block_rows = self._plan_row_block(nq)
         q_dev = self._stage_queries(queries, block_rows)
 
         fused = self._fused_kernel(q_dev, nq, kappa, approx_candidates, k_eff)
@@ -749,6 +830,15 @@ class SimilaritySearcher:
             kappa = max(32, 2 * math.ceil(k / max(nq, 1)))
             kappa = 1 << (kappa - 1).bit_length()  # next power of two
         return min(kappa, self.n_refs), min(k, nq * self.n_refs)
+
+    def _plan_row_block(self, nq: int) -> int:
+        """Row-block size for nq query rows: one near-even block layout
+        (minimal padding) whose blocks stay within the row_block memory
+        budget."""
+        if nq <= self.row_block:
+            return _ceil_to(max(nq, 1), 8)
+        n_blocks = -(-nq // self.row_block)
+        return _ceil_to(-(-nq // n_blocks), 8)
 
     def _saturated_rows(self, queries, q_dev, rows: np.ndarray, n_pad: int):
         """Descriptors of the saturated rows, padded to n_pad. Host

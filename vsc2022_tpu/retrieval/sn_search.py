@@ -88,17 +88,18 @@ class ScoreNormalizedSearcher:
         if (
             type(s) is SimilaritySearcher
             and s.metric == "IP"
-            and 0 < nq <= s.row_block
+            and nq > 0
             and k > 0
             and s.n_refs > 0
             and self.noise_searcher.n_refs > 0
         ):
             # Whole pipeline — noise-NN bias, bias append, candidate
             # top-κ, τ, verify counts — in ONE device dispatch and ONE
-            # packed D2H pull.
+            # packed D2H pull (row blocks stream inside the dispatch).
             kappa_eff, k_eff = s._plan(nq, k, kappa)
+            rb = s._plan_row_block(nq)
             ns = self.noise_searcher
-            q_dev = ns._stage_queries(queries, _ceil_to(nq, 8))
+            q_dev = ns._stage_queries(queries, rb)
             packed, q_sn = _fused_sn_candidates_packed(
                 q_dev,
                 ns._refs, ns._n_valid, ns._ref_sq,
@@ -111,13 +112,14 @@ class ScoreNormalizedSearcher:
                 approx=True,
                 k_eff=k_eff,
                 nq=nq,
+                row_block=rb,
             )
             all_s, all_i, counts, tau = _unpack_candidates(
                 np.asarray(packed), nq, kappa_eff
             )
             return s._finalize_global_topk(
                 all_s, all_i, counts, tau, q_sn, q_sn, nq, kappa_eff,
-                k_eff, True, min(s.row_block, _ceil_to(nq, 8)),
+                k_eff, True, rb,
             )
         return s.global_topk(
             self.normalize_queries(queries), k, kappa=kappa
