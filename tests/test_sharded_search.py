@@ -187,3 +187,21 @@ class TestMeshShardedLocalization:
         got = sorted(sharded.localize_all(candidates))
         assert got == expect
         assert len(got) >= 5  # every planted pair localized
+
+
+class TestShardedMultiRowBlock:
+    def test_row_blocked_fused_matches_single(self, mesh):
+        """Sharded query sets beyond one row block stream through the
+        in-dispatch row scan; results must stay bit-identical to the
+        single-device searcher."""
+        rng = np.random.RandomState(31)
+        q = rng.randint(-3, 4, size=(50, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(300, 16)).astype(np.float32)
+        single = SimilaritySearcher(r)
+        sharded = ShardedSimilaritySearcher(r, mesh, row_block=16)
+        for k in [9, 400]:
+            sq, sr, ss = single.global_topk(q, k)
+            hq, hr, hs = sharded.global_topk(q, k)
+            np.testing.assert_array_equal(hq, sq)
+            np.testing.assert_array_equal(hr, sr)
+            np.testing.assert_allclose(hs, ss, rtol=1e-6)

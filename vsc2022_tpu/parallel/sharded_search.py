@@ -29,6 +29,7 @@ from vsc2022_tpu.ops.similarity import (
     _ceil_to,
     _pack_candidates,
     _pad_axis0,
+    _scan_row_blocks,
     streaming_count_above,
     streaming_topk,
 )
@@ -165,11 +166,14 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         )
         return jax.jit(fn)
 
-    def _build_fused(self, kappa: int, approx: bool, k_eff: int, nq: int):
+    def _build_fused(
+        self, kappa: int, approx: bool, k_eff: int, nq: int, rb: int
+    ):
         """Whole candidate phase in ONE dispatch across the mesh:
         per-shard top-κ, ICI all-gather merge, the global k-th
         threshold τ, psum'd exact ≥τ counts, packed for a single D2H
-        pull — the sharded twin of _fused_candidates_packed."""
+        pull — the sharded twin of _fused_candidates_packed. Query sets
+        larger than one row block stream through the in-dispatch scan."""
         axis, shard_rows = self.axis, self.shard_rows
         col_block, metric, precision = (
             self.col_block, self.metric, self.precision,
@@ -179,34 +183,42 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         def local_fn(q, refs_local, ref_sq_local, n_valid):
             base = jax.lax.axis_index(axis) * shard_rows
             local_valid = jnp.clip(n_valid - base, 0, shard_rows)
-            top_s, top_i = streaming_topk(
-                q, refs_local, local_valid, ref_sq_local,
-                kappa=local_kappa, col_block=col_block, metric=metric,
-                precision=precision, base=base, varying_axes=(axis,),
-                approx=approx,
-            )
-            all_s = jax.lax.all_gather(top_s, axis)
-            all_i = jax.lax.all_gather(top_i, axis)
-            m = q.shape[0]
-            all_s = jnp.moveaxis(all_s, 0, 1).reshape(m, -1)
-            all_i = jnp.moveaxis(all_i, 0, 1).reshape(m, -1)
-            km = min(kappa, all_s.shape[1])
-            merged_s, sel = jax.lax.top_k(all_s, km)
-            merged_i = jnp.take_along_axis(all_i, sel, axis=1)
+
+            def collect(qb):
+                top_s, top_i = streaming_topk(
+                    qb, refs_local, local_valid, ref_sq_local,
+                    kappa=local_kappa, col_block=col_block, metric=metric,
+                    precision=precision, base=base, varying_axes=(axis,),
+                    approx=approx,
+                )
+                all_s = jax.lax.all_gather(top_s, axis)
+                all_i = jax.lax.all_gather(top_i, axis)
+                mb = qb.shape[0]
+                all_s = jnp.moveaxis(all_s, 0, 1).reshape(mb, -1)
+                all_i = jnp.moveaxis(all_i, 0, 1).reshape(mb, -1)
+                km = min(kappa, all_s.shape[1])
+                blk_s, sel = jax.lax.top_k(all_s, km)
+                return blk_s, jnp.take_along_axis(all_i, sel, axis=1)
+
+            merged_s, merged_i = _scan_row_blocks(collect, q, rb)
 
             row_ids = jax.lax.broadcasted_iota(jnp.int32, merged_s.shape, 0)
             masked = jnp.where(row_ids < nq, merged_s, NEG_INF)
             flat = jnp.sort(masked.reshape(-1))[::-1]
+            km = merged_s.shape[1]
             tau = jnp.where(
                 k_eff > nq * km, NEG_INF, flat[min(k_eff, flat.shape[0]) - 1]
             )
-            counts = jax.lax.psum(
-                streaming_count_above(
-                    q, refs_local, local_valid, ref_sq_local, tau,
-                    col_block=col_block, metric=metric, precision=precision,
-                    varying_axes=(axis,),
+            counts = _scan_row_blocks(
+                lambda qb: jax.lax.psum(
+                    streaming_count_above(
+                        qb, refs_local, local_valid, ref_sq_local, tau,
+                        col_block=col_block, metric=metric,
+                        precision=precision, varying_axes=(axis,),
+                    ),
+                    axis,
                 ),
-                axis,
+                q, rb,
             )
             return _pack_candidates(merged_s, merged_i, counts, tau, nq)
 
@@ -253,11 +265,19 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         return np.asarray(s), np.asarray(i)
 
     def _fused_kernel(self, q_dev, nq, kappa, approx, k_eff):
-        if q_dev.shape[0] > self.row_block:
-            return None
-        key = ("fused", kappa, approx, k_eff, nq, q_dev.shape[0])
+        m = q_dev.shape[0]
+        n_rb = max(1, -(-m // self.row_block))
+        if m % n_rb:
+            if m > self.row_block:
+                return None  # unexpected staging: loop path
+            rb = m
+        else:
+            rb = m // n_rb
+        key = ("fused", kappa, approx, k_eff, nq, m, rb)
         if key not in self._topk_fns:
-            self._topk_fns[key] = self._build_fused(kappa, approx, k_eff, nq)
+            self._topk_fns[key] = self._build_fused(
+                kappa, approx, k_eff, nq, rb
+            )
         return self._topk_fns[key](
             q_dev.astype(self._refs.dtype), self._refs, self._ref_sq,
             self._n_valid,
