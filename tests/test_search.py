@@ -286,7 +286,7 @@ class TestBf16Mode:
 
 class TestMultiBlockPath:
     def test_loop_path_matches_oracle(self):
-        # Tiny row_block forces the multi-dispatch loop path (used for
+        # Tiny row_block forces the in-dispatch row scan (used for
         # query sets larger than one row block).
         rng = np.random.RandomState(8)
         q = rng.randint(-3, 4, size=(37, 16)).astype(np.float32)
@@ -298,6 +298,18 @@ class TestMultiBlockPath:
             np.testing.assert_array_equal(qi, oqi)
             np.testing.assert_array_equal(ri, ori)
             np.testing.assert_allclose(s, os_, rtol=1e-6)
+
+    def test_row_topk_multi_block_matches_oracle(self):
+        rng = np.random.RandomState(18)
+        q = rng.randint(-3, 4, size=(37, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(180, 16)).astype(np.float32)
+        searcher = SimilaritySearcher(r, row_block=16)
+        s, i = searcher.row_topk(q, 5)
+        dense = q.astype(np.float64) @ r.astype(np.float64).T
+        for row in range(q.shape[0]):
+            expect = np.sort(dense[row])[::-1][:5]
+            np.testing.assert_allclose(s[row], expect, rtol=1e-6)
+            np.testing.assert_allclose(dense[row, i[row]], expect, rtol=1e-6)
 
 
 class TestGlobalTopKFuzz:
