@@ -79,6 +79,55 @@ def _load_as_dict(path):
     return {vf.video_id: vf for vf in load_features(path)}
 
 
+SEARCH_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, sys.argv[2])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(sys.argv[3], 2, int(sys.argv[1]))
+import numpy as np
+from vsc2022_tpu.parallel.mesh import corpus_mesh
+from vsc2022_tpu.parallel.sharded_search import ShardedSimilaritySearcher
+from vsc2022_tpu.ops.similarity import SimilaritySearcher
+
+assert jax.device_count() == 8, jax.device_count()
+rng = np.random.RandomState(3)
+q = rng.randint(-3, 4, size=(21, 16)).astype(np.float32)
+r = rng.randint(-3, 4, size=(300, 16)).astype(np.float32)
+sharded = ShardedSimilaritySearcher(r, corpus_mesh(), row_block=16)
+hq, hr, hs = sharded.global_topk(q, 50)
+sq, sr, ss = SimilaritySearcher(r).global_topk(q, 50)
+assert np.array_equal(hq, sq) and np.array_equal(hr, sr)
+assert np.allclose(hs, ss, rtol=1e-6)
+print("SEARCH RANK", jax.process_index(), "OK", flush=True)
+"""
+
+
+def test_two_process_sharded_search_matches_single_device():
+    """Corpus-sharded retrieval over a REAL 2-process jax.distributed
+    mesh (4 virtual devices per process, corpus split across all 8):
+    every rank's global top-k must be bit-identical to a single-device
+    searcher — the DCN scale-out story for the search index
+    (reference analog: FAISS index_cpu_to_all_gpus, vsc/index.py:169)."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-c", SEARCH_WORKER, str(i), REPO,
+                f"localhost:{port}",
+            ],
+            env={**os.environ},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        assert f"SEARCH RANK {i} OK" in out
+
+
 def test_two_process_dcn_matches_single_process(
     stub_tools, video_dir, tmp_path
 ):
