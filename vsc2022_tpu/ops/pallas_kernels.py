@@ -27,11 +27,16 @@ Routing: the searcher uses these only when VSC2022_TPU_USE_PALLAS=1
 (or =interpret for the Pallas interpreter on any backend, used in
 tests). Validated on TPU hardware (round 2, v5e via relay): fused_topk
 exact-entry check + 0.992 recall at κ=32, first compile ~101 s through
-the remote-compile relay, warm calls ~35 ms for [1024×16384×512] —
-the earlier per-invocation re-lowering pathology no longer reproduces,
-but first-compile cost keeps this opt-in on relay rigs; on directly
-attached hosts the kernels remove the O(M·N) HBM score traffic
-entirely.
+the remote-compile relay, warm calls ~35 ms for [1024×16384×512].
+Honest measurement vs the gather-free XLA collection
+(ops/similarity.py): the XLA path is FASTER at production shapes —
+64 vs 128 ms at [9216×65536×512] and 395 vs 1507 ms at
+[9216×1M×512], both in-process on the chip — because fused_topk's
+sort-free min-replacement folds candidates one at a time (2·seg scans
+per tile) while the XLA path amortizes selection into a few wide
+max/argmax passes + one narrow top-k. The kernels stay opt-in as the
+HBM-traffic-free variant; treat them as the starting point if a future
+kernel batches the κ-set folding.
 """
 
 from __future__ import annotations
