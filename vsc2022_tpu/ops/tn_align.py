@@ -207,10 +207,17 @@ def _dp_scan(sims, nodes, params: TNParams, collect: bool = False):
             (elig_ln == max_ln) & (elig_ln > 0), elig_sum, NEG_INF
         )
         j_star = jnp.argmax(tie_sum, axis=1)
-        r_ln = jnp.take_along_axis(elig_ln, j_star[:, None], 1)[:, 0]
-        r_sum = jnp.take_along_axis(elig_sum, j_star[:, None], 1)[:, 0]
-        r_si = jnp.take_along_axis(new_si, j_star[:, None], 1)[:, 0]
-        r_sj = jnp.take_along_axis(new_sj, j_star[:, None], 1)[:, 0]
+        # Gather-free per-row picks (take_along_axis lowers to gathers
+        # with layout penalties; see ops/similarity.py): the winning
+        # length IS max_ln (j_star maximizes among max-length cells, or
+        # everything is 0/−inf), the winning sum IS the row max of
+        # tie_sum, and the start coordinates come from a one-hot masked
+        # max (indices are non-negative; exactly one lane matches).
+        at_star = col_iota == j_star[:, None]
+        r_ln = max_ln[:, 0]
+        r_sum = jnp.max(tie_sum, axis=1)
+        r_si = jnp.max(jnp.where(at_star, new_si, -1), axis=1)
+        r_sj = jnp.max(jnp.where(at_star, new_sj, -1), axis=1)
         take = _better(r_ln, r_sum, b_ln, b_sum)
         best = (
             jnp.where(take, r_ln, b_ln),
