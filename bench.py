@@ -173,6 +173,9 @@ def bench_retrieval(results):
     assert agreement > 0.99, f"TPU/CPU search disagree: {agreement:.3f}"
 
     results["retrieval_qps"] = round(N_QUERY_VIDEOS / e2e_s, 2)
+    # Device-resident rate: excludes the query H2D, so it tracks the
+    # search itself rather than this rig's variable relay link speed.
+    results["retrieval_qps_device"] = round(N_QUERY_VIDEOS / compute_s, 2)
     results["retrieval_qps_bf16"] = round(N_QUERY_VIDEOS / bf16_e2e, 2)
     results["retrieval_tflops"] = round(tflops, 3)
     results["link_s"] = round(link_s, 3)

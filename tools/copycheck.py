@@ -50,11 +50,16 @@ def main():
         text = open(path, errors="replace").read()
         best, best_ref = 0.0, None
         for ref, rtext in ref_texts.items():
-            # Cheap length prefilter: ratio <= 2*min/(a+b)
+            # Cheap prefilters (both upper-bound the true ratio): length
+            # ratio, then char-multiset quick_ratio — the quadratic
+            # SequenceMatcher only runs on plausible pairs.
             upper = 2 * min(len(text), len(rtext)) / max(1, len(text) + len(rtext))
             if upper <= best:
                 continue
-            r = difflib.SequenceMatcher(a=text, b=rtext, autojunk=False).ratio()
+            sm = difflib.SequenceMatcher(a=text, b=rtext, autojunk=False)
+            if sm.quick_ratio() <= best:
+                continue
+            r = sm.ratio()
             if r > best:
                 best, best_ref = r, ref
         rel = os.path.relpath(path, REPO)
