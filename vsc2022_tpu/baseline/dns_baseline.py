@@ -95,22 +95,12 @@ parser.add_argument(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("symmetric", "precision"))
-def _fused_fine_coarse_sims(
-    qf: jax.Array,  # [B, NQ, R, D] fine
-    rf: jax.Array,  # [B, NR, R, D]
-    qc: jax.Array,  # [B, NQ, DC] coarse
-    rc: jax.Array,  # [B, NR, DC]
-    bias: jax.Array,
-    symmetric: bool = True,
-    precision: str = "highest",
-) -> jax.Array:
+def _chamfer_fuse(qf, rf, qc, rc, bias, symmetric, prec):
     """Batched chamfer similarity, symmetrized, rescaled, geo-fused.
 
     Chamfer both ways from the same 81 region products: fg = mean over
     query regions of max over ref regions; the symmetrized term swaps
     the roles (== sim(ref, query)ᵀ)."""
-    prec = jax.lax.Precision(precision)
     r = qf.shape[2]
     m2 = [None] * r  # per-ref-region running max over query regions
     fg_sum = 0.0
@@ -136,6 +126,50 @@ def _fused_fine_coarse_sims(
         + bias
     )
     return jnp.sqrt(jnp.clip(fg, 1e-7) * jnp.clip(cg, 1e-7))
+
+
+@functools.partial(jax.jit, static_argnames=("symmetric", "precision"))
+def _fused_fine_coarse_sims(
+    qf: jax.Array,  # [B, NQ, R, D] fine
+    rf: jax.Array,  # [B, NR, R, D]
+    qc: jax.Array,  # [B, NQ, DC] coarse
+    rc: jax.Array,  # [B, NR, DC]
+    bias: jax.Array,
+    symmetric: bool = True,
+    precision: str = "highest",
+) -> jax.Array:
+    """Chamfer+coarse fusion over explicit feature batches."""
+    return _chamfer_fuse(
+        qf, rf, qc, rc, bias, symmetric, jax.lax.Precision(precision)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("symmetric", "precision", "regions")
+)
+def _gathered_dns_sims(
+    coarse_table: jax.Array,  # [1+T_total, DC] (row 0 = zero pad)
+    fine_table: jax.Array,  # [1+T_total, R*D] (row 0 = zero pad)
+    qc_idx: jax.Array, rc_idx: jax.Array,  # [B, N*] int32 rows
+    qf_idx: jax.Array, rf_idx: jax.Array,
+    bias: jax.Array,
+    symmetric: bool = True,
+    precision: str = "highest",
+    regions: int = NUM_REGIONS,
+) -> jax.Array:
+    """Chamfer+coarse fusion from device-resident feature tables: the
+    per-batch inputs are tiny index matrices instead of re-shipped
+    feature tensors (the host-assembled variant moved ~90 MB per
+    512-pair batch through the host link)."""
+    qc = jnp.take(coarse_table, qc_idx, axis=0)
+    rc = jnp.take(coarse_table, rc_idx, axis=0)
+    qf = jnp.take(fine_table, qf_idx, axis=0)
+    rf = jnp.take(fine_table, rf_idx, axis=0)
+    qf = qf.reshape(*qf.shape[:2], regions, -1)
+    rf = rf.reshape(*rf.shape[:2], regions, -1)
+    return _chamfer_fuse(
+        qf, rf, qc, rc, bias, symmetric, jax.lax.Precision(precision)
+    )
 
 
 class DnSLocalization(TNLocalizationMaxSim):
@@ -169,38 +203,69 @@ class DnSLocalization(TNLocalizationMaxSim):
             f = 2.0 * f - 1.0  # {0,1} → {-1,+1} (dns_baseline.py:133-136)
         return f.reshape(f.shape[0], NUM_REGIONS, -1)
 
+    def _fine_table(self):
+        """Device-resident table of ALL fine region features (row 0 is
+        a zero pad row for masked gathers), staged once — the DnS twin
+        of the base class's coarse feature table."""
+        if getattr(self, "_fine_tab", None) is None:
+            offsets = {}
+            rows = []
+            cursor = 1
+            for source in (self.queries_fine, self.refs_fine):
+                for vid, vf in source.items():
+                    feat = self._fine(vf)
+                    flat = feat.reshape(feat.shape[0], -1)
+                    offsets[(id(source), vid)] = (cursor, flat.shape[0])
+                    rows.append(flat)
+                    cursor += flat.shape[0]
+            d = rows[0].shape[1]
+            table = np.concatenate(
+                [np.zeros((1, d), np.float32)] + rows, axis=0
+            )
+            self._fine_tab = jnp.asarray(table)
+            self._fine_offsets = offsets
+        return self._fine_tab
+
+    def _fine_gather_indices(self, source, video_ids, n_pad: int):
+        table = self._fine_table()
+        del table  # built for self._fine_offsets
+        idx = np.zeros((len(video_ids), n_pad), dtype=np.int32)
+        lengths = np.empty(len(video_ids), dtype=np.int32)
+        for i, vid in enumerate(video_ids):
+            start, n = self._fine_offsets[(id(source), vid)]
+            n = min(n, n_pad)
+            idx[i, :n] = np.arange(start, start + n, dtype=np.int32)
+            lengths[i] = n
+        return idx, lengths
+
     def _batch_sims(
         self, candidates: Sequence[CandidatePair], nq: int, nr: int
     ):
-        b = len(candidates)
-        fine_pairs = [
-            (
-                self._fine(self.queries_fine[c.query_id]),
-                self._fine(self.refs_fine[c.ref_id]),
-            )
-            for c in candidates
-        ]
-        d_fine = fine_pairs[0][0].shape[-1]
-        d_coarse = self.queries[candidates[0].query_id].feature.shape[1]
-        qf = np.zeros((b, nq, NUM_REGIONS, d_fine), dtype=np.float32)
-        rf = np.zeros((b, nr, NUM_REGIONS, d_fine), dtype=np.float32)
-        qc = np.zeros((b, nq, d_coarse), dtype=np.float32)
-        rc = np.zeros((b, nr, d_coarse), dtype=np.float32)
-        q_len = np.empty(b, dtype=np.int32)
-        r_len = np.empty(b, dtype=np.int32)
-        for i, (c, (f_q, f_r)) in enumerate(zip(candidates, fine_pairs)):
-            cq = self.queries[c.query_id].feature
-            cr = self.refs[c.ref_id].feature
-            n_q = min(f_q.shape[0], cq.shape[0])
-            n_r = min(f_r.shape[0], cr.shape[0])
-            qf[i, :n_q] = f_q[:n_q]
-            rf[i, :n_r] = f_r[:n_r]
-            qc[i, :n_q] = cq[:n_q]
-            rc[i, :n_r] = cr[:n_r]
-            q_len[i] = n_q
-            r_len[i] = n_r
-        sims = _fused_fine_coarse_sims(
-            jnp.asarray(qf), jnp.asarray(rf), jnp.asarray(qc), jnp.asarray(rc),
+        coarse_table, _ = self._feature_table()
+        fine_table = self._fine_table()
+        q_ids = [c.query_id for c in candidates]
+        r_ids = [c.ref_id for c in candidates]
+        qc_idx, q_len_c = self._gather_indices(self.queries, q_ids, nq)
+        rc_idx, r_len_c = self._gather_indices(self.refs, r_ids, nr)
+        qf_idx, q_len_f = self._fine_gather_indices(
+            self.queries_fine, q_ids, nq
+        )
+        rf_idx, r_len_f = self._fine_gather_indices(self.refs_fine, r_ids, nr)
+        # A pair contributes min(fine, coarse) frames (they should
+        # match; be robust to ragged inputs) — frames beyond that
+        # gather the zero pad row on BOTH tables.
+        q_len = np.minimum(q_len_c, q_len_f)
+        r_len = np.minimum(r_len_c, r_len_f)
+        qcol = np.arange(nq, dtype=np.int32)[None, :]
+        rcol = np.arange(nr, dtype=np.int32)[None, :]
+        q_mask = qcol < q_len[:, None]
+        r_mask = rcol < r_len[:, None]
+        sims = _gathered_dns_sims(
+            coarse_table, fine_table,
+            jnp.asarray(np.where(q_mask, qc_idx, 0)),
+            jnp.asarray(np.where(r_mask, rc_idx, 0)),
+            jnp.asarray(np.where(q_mask, qf_idx, 0)),
+            jnp.asarray(np.where(r_mask, rf_idx, 0)),
             jnp.float32(self.similarity_bias), symmetric=self.symmetric,
         )
         return sims, jnp.asarray(q_len), jnp.asarray(r_len)
