@@ -337,3 +337,73 @@ class TestGlobalTopKFuzz:
             np.testing.assert_allclose(s, dense[qi, ri], rtol=1e-4, atol=1e-4)
             # Scores are sorted descending.
             assert (np.diff(s) <= 1e-6).all()
+
+
+class TestPooledCollection:
+    """The pool-resident candidate phase (ops/similarity.py
+    pooled_candidates): exactness under its specific failure modes —
+    clustered hits hiding rank-(keep+1) entries inside one lane
+    segment, extraction misses caught by the pool counts, and the
+    budget fallback to the streaming collection."""
+
+    def test_clustered_hits_in_one_segment(self):
+        # Put nearly the whole top-k into a consecutive corpus run so
+        # >POOL_SEG_KEEP entries ≥ τ share lane segments: the pool
+        # cannot hold them, the multiplicity/count rules must flag the
+        # row, and repair must restore exactness.
+        rng = np.random.RandomState(7)
+        q = rng.randint(-2, 3, size=(9, 16)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(2048, 16)).astype(np.float32)
+        hot = rng.randint(-2, 3, size=16).astype(np.float32)
+        q[4] = hot * 8
+        r[300:360] += hot  # 60 consecutive strong matches: ~2 segments
+        searcher = SimilaritySearcher(r)
+        for k in [40, 200]:
+            qi, ri, s = searcher.global_topk(q, k, kappa=32)
+            oqi, ori, os_ = brute_force_global_topk(q, r, k)
+            np.testing.assert_array_equal(qi, oqi)
+            np.testing.assert_array_equal(ri, ori)
+            np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-4)
+
+    def test_budget_fallback_streams(self, monkeypatch):
+        # A zero pool budget forces the chunked streaming collection;
+        # results must stay oracle-exact through the legacy path.
+        import vsc2022_tpu.ops.similarity as S
+
+        monkeypatch.setattr(S, "POOL_BYTES_BUDGET", 0)
+        rng = np.random.RandomState(11)
+        q = rng.randint(-3, 4, size=(21, 24)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(700, 24)).astype(np.float32)
+        searcher = SimilaritySearcher(r)
+        assert searcher._collection_mode(24, True) is True
+        qi, ri, s = searcher.global_topk(q, 333)
+        oqi, ori, os_ = brute_force_global_topk(q, r, 333)
+        np.testing.assert_array_equal(qi, oqi)
+        np.testing.assert_array_equal(ri, ori)
+
+    def test_pooled_l2_multi_block(self):
+        # L2 goodness scale through the pooled path, with several
+        # column blocks so pool levels interleave block-major slices.
+        rng = np.random.RandomState(5)
+        q = rng.randint(-3, 4, size=(16, 12)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(1500, 12)).astype(np.float32)
+        searcher = SimilaritySearcher(r, metric="L2", col_block=256)
+        qi, ri, s = searcher.global_topk(q, 900)
+        oqi, ori, os_ = brute_force_global_topk(q, r, 900, "L2")
+        np.testing.assert_array_equal(qi, oqi)
+        np.testing.assert_array_equal(ri, ori)
+        np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-4)
+
+    def test_sort_key_monotone(self):
+        from vsc2022_tpu.ops.similarity import _f32_sort_key, _key_to_f32
+        import jax.numpy as jnp
+
+        vals = np.array(
+            [-np.inf, -1e30, -2.0, -1.0, -1e-30, 0.0, 1e-30, 1.0, 2.0,
+             1e30, np.inf],
+            dtype=np.float32,
+        )
+        keys = np.asarray(_f32_sort_key(jnp.asarray(vals)))
+        assert (np.diff(keys.astype(np.int64)) > 0).all()
+        back = np.asarray(_key_to_f32(jnp.asarray(keys)))
+        np.testing.assert_array_equal(back, vals)

@@ -51,7 +51,6 @@ def main(args):
     q = l2n(rng.standard_normal((args.queries, args.dim), dtype=np.float32))
     r = l2n(rng.standard_normal((args.corpus, args.dim), dtype=np.float32))
     noise = l2n(rng.standard_normal((args.noise, args.dim), dtype=np.float32))
-    n_plant = min(args.queries // 15, max(args.corpus - 5000, 0))
     start = 5000 if args.corpus > 5000 else 0
     n_plant = min(args.queries // 15, args.corpus - start)
     q[:n_plant] = r[start : start + n_plant]

@@ -98,26 +98,27 @@ parser.add_argument(
 def _chamfer_fuse(qf, rf, qc, rc, bias, symmetric, prec):
     """Batched chamfer similarity, symmetrized, rescaled, geo-fused.
 
-    Chamfer both ways from the same 81 region products: fg = mean over
-    query regions of max over ref regions; the symmetrized term swaps
-    the roles (== sim(ref, query)ᵀ)."""
-    r = qf.shape[2]
-    m2 = [None] * r  # per-ref-region running max over query regions
-    fg_sum = 0.0
-    for a in range(r):
-        m1 = None
-        for c in range(r):
-            p = jnp.einsum(
-                "bqd,bnd->bqn", qf[:, :, a], rf[:, :, c],
-                precision=prec, preferred_element_type=jnp.float32,
-            )
-            m1 = p if m1 is None else jnp.maximum(m1, p)
-            m2[c] = p if m2[c] is None else jnp.maximum(m2[c], p)
-        fg_sum = fg_sum + m1
-    fg = fg_sum / r
+    All R·R region pair products come from ONE batched matmul: query
+    frames flatten region-minor ([B, NQ·R, D]) and ref frames flatten
+    region-MAJOR ([B, R·NR, D]), so the [B, NQ·R, R·NR] product
+    reshapes to [B, NQ, R(a), R(c), NR] with the frame axes in the
+    lane dimension — both chamfer reductions (max over one region
+    axis, mean over the other) then run over sublane axes at full lane
+    width. One MXU contraction replaces the 9×9 separate einsums with
+    VPU running-max chains this path used through round 2 (~10x fewer
+    HBM round trips at the production bucket)."""
+    b, nq, r, d = qf.shape
+    nr = rf.shape[1]
+    p = jnp.einsum(
+        "bmd,bnd->bmn",
+        qf.reshape(b, nq * r, d),
+        jnp.moveaxis(rf, 2, 1).reshape(b, r * nr, d),
+        precision=prec, preferred_element_type=jnp.float32,
+    ).reshape(b, nq, r, r, nr)  # [B, NQ, a, c, NR]
+    fg = jnp.mean(jnp.max(p, axis=3), axis=2)  # mean_a max_c
     if symmetric:
-        fg_t = sum(m2) / r  # mean over ref regions of max over query regions
-        fg = (fg + fg_t) / 2.0
+        # sim(ref, query)ᵀ: mean over ref regions of max over query regions.
+        fg = (fg + jnp.mean(jnp.max(p, axis=2), axis=2)) / 2.0
     fg = fg / 2.0 + 0.5  # rescale [-1,1] → [0,1]
 
     cg = (

@@ -11,10 +11,21 @@ natively:
     per-row running top-κ is maintained — the full matrix is never
     materialized in HBM.
   * Global-k semantics are recovered by flattening per-row survivors,
-    taking the global k-th score τ, and exactly recomputing any row
-    whose κ-th kept score ≥ τ (such a row may have had >κ entries above
-    τ). This yields the exact global top-k set, like FAISS's adaptive
-    radius iteration, in at most one extra pass over few rows.
+    taking the global k-th candidate score τ, and exactly recomputing
+    any row that could be missing an entry ≥ τ. Which rows those are
+    is decided from the collection's own structural guarantees — no
+    extra pass over the corpus:
+      - a row whose κ-th kept score ≥ τ may have been truncated (every
+        candidate dropped from its running top-κ was ≤ that score);
+      - under approximate collection (best-2 per lane segment), an
+        uncollected entry is ≤ its segment's second-best, so a row can
+        hide entries ≥ τ only where two kept candidates ≥ τ share a
+        segment.
+    Flagged rows get an exact recompute (a small matmul over just
+    those rows). This yields the exact global top-k set, like FAISS's
+    adaptive radius iteration, at ~half the device work of the
+    count-every-row verification used through round 2 (the count pass
+    re-ran the full corpus matmul).
 
 Metrics: inner product (the production path) and squared L2 (FAISS
 ``METRIC_L2`` parity, used in reference tests; tests/test_index.py:44).
@@ -56,6 +67,23 @@ def _pallas_interpret() -> bool:
 # matters because every kernel dispatch pays host→device latency.
 DEFAULT_ROW_BLOCK = 16384
 DEFAULT_COL_BLOCK = 8192
+
+# Pool-resident candidate collection (single-device approx path): the
+# best POOL_SEG_KEEP entries of every POOL_SEG_LANES-lane segment are
+# kept HBM-resident for the whole query set; selection then runs on the
+# pool (a bit-level binary search for the exact global k-th, plus a
+# cheap hierarchical extraction) instead of per-chunk lax.top_k merges
+# — on this hardware top_k lowers to a full sort, measured ~14× the
+# matmul it follows, and the merge sorts dominated collection time
+# (~320 of 568 ms at [9000×1M×512]). Keeping THREE entries per segment
+# (not two) makes "≥3 τ-exceeders share a segment" the only repair
+# trigger, which for scattered score distributions is ~never (the
+# best-2 birthday-collision rate flagged ~2.4% of rows).
+POOL_SEG_LANES = 128
+POOL_SEG_KEEP = 3
+# Pool HBM budget (values + ids, bytes). Above it the searcher falls
+# back to the chunked-merge streaming collection.
+POOL_BYTES_BUDGET = 3 << 30
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -326,6 +354,199 @@ _count_above = jax.jit(
 )
 
 
+def _f32_sort_key(x: jax.Array) -> jax.Array:
+    """Monotone f32 → uint32 key (IEEE total order over non-NaN):
+    positives get the sign bit set, negatives bit-flip — standard radix
+    trick. Key 0 is unreachable for real scores (only a negative NaN
+    maps there), so 0 is free as the invalid-slot sentinel."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jnp.where(u >> 31, ~u, u | jnp.uint32(0x80000000))
+
+
+def _key_to_f32(key: jax.Array) -> jax.Array:
+    u = jnp.where(key >> 31, key & jnp.uint32(0x7FFFFFFF), ~key)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def pooled_candidates(
+    q: jax.Array,  # [M, D] (row-padded; padding rows yield junk, sliced off)
+    refs: jax.Array,  # [N_pad, D]
+    n_valid: jax.Array,  # scalar int32
+    ref_sq: jax.Array,  # [N_pad] (L2 only)
+    n_rows: jax.Array,  # scalar int32: valid query rows
+    k_eff: jax.Array,  # scalar int32: the global k
+    kappa: int,
+    col_block: int,
+    metric: str,
+    precision: str,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    seg_lanes: int = POOL_SEG_LANES,
+    seg_keep: int = POOL_SEG_KEEP,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort-free global candidate phase over an HBM-resident winner
+    pool. Replaces the chunked lax.top_k merges of the streaming
+    collection (each merge is a full sort — measured the dominant cost
+    at corpus scale, ~320 of 568 ms at [9000×1M×512] vs an 82 ms
+    matmul floor):
+
+      1. One streamed pass computes the scores and keeps the best
+         ``seg_keep`` entries of every ``seg_lanes``-lane segment —
+         cheap VPU max/argmax with arithmetic (gather-free) ids — and
+         writes them to an HBM pool [M, P], P = seg_keep·N_pad/seg_lanes
+         (level-major: a segment's 1st/2nd/3rd-best land P/seg_keep
+         apart, so clustered τ-exceeders don't collide in step 3).
+      2. The exact global k-th pool score τ comes from a 32-step
+         binary search on the monotone uint32 key image — 32 cheap
+         masked count passes over the pool, no sort. Exact per-row
+         ≥τ pool counts fall out of one more pass.
+      3. Extraction: the pool reduces best-2-per-128-positions, then
+         one narrow exact top-κ. Any extraction miss is caught by the
+         per-row pool counts (host: kept ≠ count → exact row repair),
+         so extraction needs no structural guarantee of its own.
+
+    Returns (top_s [M, κ], top_i [M, κ], pool_counts [M], τ). Exactness
+    contract for the host verify: a corpus entry ≥ τ missing from the
+    pool implies all ``seg_keep`` pool entries of its segment are ≥ τ
+    (flagged by the host's segment-multiplicity rule); a pool entry
+    ≥ τ missing from the extraction implies kept < pool_count.
+    """
+    m = q.shape[0]
+    n_pad = refs.shape[0]
+    n_blocks = n_pad // col_block
+    seg = col_block // seg_lanes
+    levels = n_blocks * seg  # pool positions per keep-level
+    p_total = seg_keep * levels
+    prec = jax.lax.Precision(precision)
+
+    def pool_block(qb):
+        mb = qb.shape[0]
+        if metric == "L2":
+            qb32 = qb.astype(jnp.float32)
+            q_sq_b = jnp.sum(qb32 * qb32, axis=1)
+
+        def col_body(carry, block_idx):
+            start = block_idx * col_block
+            r_blk = jax.lax.dynamic_slice_in_dim(
+                refs, start, col_block, axis=0
+            )
+            s = jnp.dot(qb, r_blk.T, precision=prec,
+                        preferred_element_type=jnp.float32)
+            if metric == "L2":
+                rs = jax.lax.dynamic_slice_in_dim(
+                    ref_sq, start, col_block, axis=0
+                )
+                s = 2.0 * s - rs[None, :] - q_sq_b[:, None]
+            in_range = jax.lax.broadcasted_iota(
+                jnp.int32, (mb, col_block), 1
+            ) < (n_valid - start)
+            s = jnp.where(in_range, s, NEG_INF)
+            s3 = s.reshape(mb, seg, seg_lanes)
+            lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+            seg_base = (
+                start
+                + jnp.arange(seg, dtype=jnp.int32)[None, :] * seg_lanes
+            )
+            vals, ids = [], []
+            cur = s3
+            for t in range(seg_keep):
+                mt = jnp.max(cur, axis=2)
+                at = jnp.argmax(cur, axis=2).astype(jnp.int32)
+                vals.append(mt)
+                ids.append(seg_base + at)
+                if t + 1 < seg_keep:
+                    cur = jnp.where(lane == at[:, :, None], NEG_INF, cur)
+            # [seg_keep, mb, seg] stacks so the outer reshape lands
+            # level-major.
+            return carry, (jnp.stack(vals), jnp.stack(ids))
+
+        _, (lv, li) = jax.lax.scan(
+            col_body, jnp.int32(0), jnp.arange(n_blocks)
+        )
+        # [n_blocks, seg_keep, mb, seg] → [mb, seg_keep·n_blocks·seg]
+        pv = jnp.moveaxis(lv, 2, 0).reshape(mb, p_total)
+        pi = jnp.moveaxis(li, 2, 0).reshape(mb, p_total)
+        return pv, pi
+
+    pv, pi = _scan_row_blocks(pool_block, q, row_block)
+
+    # --- exact global k-th over the pool (bit-level binary search) ----
+    row_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) < n_rows
+    )
+
+    def valid_mask():
+        return (pv > NEG_INF) & row_valid
+
+    total_valid = jnp.sum(valid_mask(), dtype=jnp.int32)
+
+    def search_body(_, carry):
+        # uint32 bounds; hi starts at +inf's key so hi−lo+1 never wraps.
+        lo, hi = carry
+        mid = lo + (hi - lo + jnp.uint32(1)) // jnp.uint32(2)
+        cnt = jnp.sum(
+            (_f32_sort_key(pv) >= mid) & valid_mask(), dtype=jnp.int32
+        )
+        take = cnt >= k_eff
+        return (
+            jnp.where(take, mid, lo),
+            jnp.where(take, hi, mid - jnp.uint32(1)),
+        )
+
+    tau_key, _ = jax.lax.fori_loop(
+        0, 32, search_body,
+        (jnp.uint32(0), _f32_sort_key(jnp.float32(jnp.inf))),
+    )
+    tau = jnp.where(
+        total_valid < k_eff, NEG_INF, _key_to_f32(tau_key)
+    )
+    counts = jnp.sum(
+        (_f32_sort_key(pv) >= tau_key) & valid_mask(),
+        axis=1, dtype=jnp.int32,
+    )
+
+    # --- extraction: hierarchical reduce + one narrow exact top-k -----
+    # Reduction width adapts so the reduced pool stays ≥ ~4κ wide
+    # (best-2 per red_lanes positions): extraction misses cost a row
+    # repair, so keep recall high; only the final narrow top-k sorts.
+    red_lanes = 128
+    while red_lanes > 2 and p_total < 2 * kappa * red_lanes:
+        red_lanes //= 2
+    p_pad = _ceil_to(p_total, red_lanes)
+    if red_lanes <= 2 or p_pad <= max(2 * kappa, 512):
+        # Tiny pool: sort it directly.
+        kx = min(kappa, p_total)
+        top_s, sel = jax.lax.top_k(pv, kx)
+        top_i = jnp.take_along_axis(pi, sel, axis=1)
+    else:
+        pvp = pv if p_pad == p_total else jnp.pad(
+            pv, ((0, 0), (0, p_pad - p_total)), constant_values=NEG_INF
+        )
+        r = p_pad // red_lanes
+        v3 = pvp.reshape(m, r, red_lanes)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, v3.shape, 2)
+        m1 = jnp.max(v3, axis=2)
+        a1 = jnp.argmax(v3, axis=2).astype(jnp.int32)
+        v3b = jnp.where(lane3 == a1[:, :, None], NEG_INF, v3)
+        m2 = jnp.max(v3b, axis=2)
+        a2 = jnp.argmax(v3b, axis=2).astype(jnp.int32)
+        base = jnp.arange(r, dtype=jnp.int32)[None, :] * red_lanes
+        red_v = jnp.concatenate([m1, m2], axis=1)
+        red_p = jnp.concatenate([base + a1, base + a2], axis=1)
+        kx = min(kappa, red_v.shape[1])
+        top_s, sel = jax.lax.top_k(red_v, kx)
+        top_pos = jnp.take_along_axis(red_p, sel, axis=1)
+        # Pool position → corpus id (one small gather over the id pool;
+        # positions beyond p_total hold −inf scores, id 0 is harmless).
+        top_pos = jnp.minimum(top_pos, p_total - 1)
+        top_i = jnp.take_along_axis(pi, top_pos, axis=1)
+    if kx < kappa:
+        top_s = jnp.pad(
+            top_s, ((0, 0), (0, kappa - kx)), constant_values=NEG_INF
+        )
+        top_i = jnp.pad(top_i, ((0, 0), (0, kappa - kx)))
+    return top_s, top_i, counts, tau
+
+
 def _scan_row_blocks(fn, q: jax.Array, row_block: int):
     """Apply ``fn(q_block) -> pytree of [rb, ...]`` over row blocks of q
     via lax.scan, concatenating results along axis 0. Bounds the [rb,
@@ -350,7 +571,7 @@ def _scan_row_blocks(fn, q: jax.Array, row_block: int):
 def _candidates_core(
     q: jax.Array,  # [M_pad, D]
     refs: jax.Array,
-    n_rows: int,  # valid query rows (≤ M_pad)
+    n_rows: jax.Array,  # scalar int32: valid query rows (≤ M_pad)
     n_valid: jax.Array,
     ref_sq: jax.Array,
     kappa: int,
@@ -358,85 +579,109 @@ def _candidates_core(
     metric: str,
     precision: str,
     approx: bool,
-    k_eff: int,
+    k_eff: jax.Array,  # scalar int32
     row_block: int = DEFAULT_ROW_BLOCK,
 ):
-    """Whole candidate phase as one traceable graph: per-row top-κ, the
-    global k-th threshold τ over valid rows, and the exact ≥τ counts
-    for the verification — host↔device round-trips cost ~50 ms each on
-    thin links, so everything that can fuse, fuses. Query sets larger
-    than one row block stream through an outer scan (still one
-    dispatch)."""
+    """Whole candidate phase as one traceable graph: per-row top-κ and
+    the global k-th threshold τ over valid rows — host↔device
+    round-trips cost ~50 ms each on thin links, so everything that can
+    fuse, fuses. Query sets larger than one row block stream through
+    an outer scan (still one dispatch). n_rows and k_eff are traced
+    scalars so varying query counts recompile only per padded shape.
+
+    approx="pooled" selects the pool-resident collection (exact pool
+    counts come back with the candidates); True the chunked-merge
+    streaming collection; False exact per-row top-κ. Returns
+    (top_s, top_i, counts-or-None, tau)."""
+    if approx == "pooled":
+        return pooled_candidates(
+            q, refs, n_valid, ref_sq, n_rows, k_eff, kappa=kappa,
+            col_block=col_block, metric=metric, precision=precision,
+            row_block=row_block,
+        )
     top_s, top_i = _scan_row_blocks(
         lambda qb: streaming_topk(
             qb, refs, n_valid, ref_sq, kappa=kappa, col_block=col_block,
-            metric=metric, precision=precision, approx=approx,
+            metric=metric, precision=precision, approx=bool(approx),
         ),
         q, row_block,
     )
     row_ids = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0)
     masked = jnp.where(row_ids < n_rows, top_s, NEG_INF)
     flat = jnp.sort(masked.reshape(-1))[::-1]
-    k_idx = min(k_eff, flat.shape[0]) - 1
+    k_idx = jnp.clip(k_eff, 1, flat.shape[0]) - 1
     # τ = the global k-th candidate score. When k exceeds the number of
     # valid candidates (n_rows·κ), the true k-th is unknowable from the
     # candidates → −inf so the verify pass flags every row.
     tau = jnp.where(
-        k_eff > n_rows * kappa, NEG_INF, flat[k_idx]
+        k_eff > n_rows * kappa, NEG_INF,
+        jax.lax.dynamic_index_in_dim(flat, k_idx, keepdims=False),
     )
-    counts = _scan_row_blocks(
-        lambda qb: streaming_count_above(
-            qb, refs, n_valid, ref_sq, tau, col_block=col_block,
-            metric=metric, precision=precision,
-        ),
-        q, row_block,
-    )
-    return top_s, top_i, counts, tau
+    return top_s, top_i, None, tau
 
 
-def _pack_candidates(top_s, top_i, counts, tau, nq: int) -> jax.Array:
+def _pack_candidates(top_s, top_i, tau, counts=None) -> jax.Array:
     """Pack the candidate-phase outputs into ONE int32 vector so the
     host pays a single D2H round trip (each separate pull costs a
-    dispatch + link latency). Layout:
-    [bitcast(τ), counts[nq], bitcast(top_s)[nq·κ], top_i[nq·κ]]."""
-    return jnp.concatenate([
+    dispatch + link latency). All padded rows are packed (the host
+    slices to nq — at most 7 pad rows) so the executable is reusable
+    across query counts. Layout:
+    [bitcast(τ), (counts[m],) bitcast(top_s)[m·κ], top_i[m·κ]] —
+    counts present only for the pooled collection."""
+    parts = [
         jax.lax.bitcast_convert_type(
             jnp.reshape(tau, (1,)).astype(jnp.float32), jnp.int32
         ),
-        counts[:nq].astype(jnp.int32),
+    ]
+    if counts is not None:
+        parts.append(counts.astype(jnp.int32))
+    parts.append(
         jax.lax.bitcast_convert_type(
-            top_s[:nq].astype(jnp.float32), jnp.int32
-        ).reshape(-1),
-        top_i[:nq].astype(jnp.int32).reshape(-1),
-    ])
+            top_s.astype(jnp.float32), jnp.int32
+        ).reshape(-1)
+    )
+    parts.append(top_i.astype(jnp.int32).reshape(-1))
+    return jnp.concatenate(parts)
 
 
-def _unpack_candidates(buf: np.ndarray, nq: int, kappa: int):
-    """Host-side inverse of _pack_candidates."""
+def _unpack_candidates(buf: np.ndarray, nq: int, kappa: int,
+                       with_counts: bool = False):
+    """Host-side inverse of _pack_candidates: slices the padded rows
+    off and returns writable arrays (top_s, top_i, counts-or-None, τ)."""
     tau = float(buf[:1].view(np.float32)[0])
-    counts = buf[1 : 1 + nq].astype(np.int64)
-    off = 1 + nq
-    top_s = buf[off : off + nq * kappa].view(np.float32).reshape(nq, kappa)
-    off += nq * kappa
-    top_i = buf[off : off + nq * kappa].astype(np.int64).reshape(nq, kappa)
+    if with_counts:
+        m = (buf.size - 1) // (2 * kappa + 1)
+        counts = buf[1 : 1 + m].astype(np.int64)[:nq]
+        off = 1 + m
+    else:
+        m = (buf.size - 1) // (2 * kappa)
+        counts = None
+        off = 1
+    top_s = (
+        buf[off : off + m * kappa].view(np.float32).reshape(m, kappa)[:nq]
+        .copy()
+    )
+    top_i = (
+        buf[off + m * kappa :].astype(np.int64).reshape(m, kappa)[:nq]
+    )
     return top_s, top_i, counts, tau
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kappa", "col_block", "metric", "precision", "approx",
-                     "k_eff", "nq", "row_block"),
+                     "row_block"),
 )
 def _fused_candidates_packed(
-    q, refs, n_valid, ref_sq, kappa, col_block, metric, precision, approx,
-    k_eff, nq, row_block=DEFAULT_ROW_BLOCK,
+    q, refs, n_valid, ref_sq, n_rows, k_eff, kappa, col_block, metric,
+    precision, approx, row_block=DEFAULT_ROW_BLOCK,
 ):
     """Candidate phase in ONE dispatch, packed for ONE D2H pull."""
     top_s, top_i, counts, tau = _candidates_core(
-        q, refs, nq, n_valid, ref_sq, kappa, col_block, metric, precision,
-        approx, k_eff, row_block=row_block,
+        q, refs, n_rows, n_valid, ref_sq, kappa, col_block, metric,
+        precision, approx, k_eff, row_block=row_block,
     )
-    return _pack_candidates(top_s, top_i, counts, tau, nq)
+    return _pack_candidates(top_s, top_i, tau, counts)
 
 
 @functools.partial(
@@ -473,9 +718,9 @@ def _repair_rows_packed(
     refs, n_valid, ref_sq,
     kappa2, col_block, metric, precision,
 ):
-    """Exact top-κ₂ recompute for count-verify-flagged rows, in one
-    dispatch: device gather of the deficient rows + exact streaming
-    top-k + one packed D2H buffer ([bitcast(s), i] int32)."""
+    """Exact top-κ₂ recompute for verify-flagged rows, in one dispatch:
+    device gather of the deficient rows + exact streaming top-k + one
+    packed D2H buffer ([bitcast(s), i] int32)."""
     block = jnp.take(q_dev, rows, axis=0).astype(refs.dtype)
     top_s, top_i = streaming_topk(
         block, refs, n_valid, ref_sq, kappa=kappa2, col_block=col_block,
@@ -490,24 +735,42 @@ def _repair_rows_packed(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("col_block", "metric", "precision")
+)
+def _repair_counts_packed(
+    q_dev, rows, refs, n_valid, ref_sq, tau, col_block, metric, precision,
+):
+    """Exact ≥τ counts for just the flagged rows (gather fused in):
+    the per-row recompute budget κ₂. One small matmul over |rows|
+    query rows — NOT the whole query set (the full count pass this
+    replaces re-ran the entire corpus matmul)."""
+    block = jnp.take(q_dev, rows, axis=0).astype(refs.dtype)
+    return streaming_count_above(
+        block, refs, n_valid, ref_sq, tau, col_block=col_block,
+        metric=metric, precision=precision,
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("beta", "kappa", "noise_col_block", "col_block",
-                     "precision", "approx", "k_eff", "nq", "row_block"),
+                     "precision", "approx", "row_block"),
 )
 def _fused_sn_candidates_packed(
     q,  # [M_pad, D] (padding rows beyond nq allowed)
     noise_refs, noise_n_valid, noise_sq,  # noise corpus (for the bias)
     refs, n_valid, ref_sq,  # score-norm refs (D+1: trailing ones dim)
-    beta, kappa, noise_col_block, col_block, precision, approx, k_eff, nq,
+    n_rows, k_eff,  # traced scalars: valid query rows, effective k
+    beta, kappa, noise_col_block, col_block, precision, approx,
     row_block=DEFAULT_ROW_BLOCK,
 ):
     """The ENTIRE score-normalized query pipeline in one dispatch:
     noise-NN bias (k=1 row max), CSLS bias-dimension append, global
-    top-κ candidates, τ, and verification counts — packed into a single
-    D2H buffer. Also returns the bias-augmented queries (device-
-    resident; the saturated-row recompute gathers from them without
-    pulling the full matrix). Large query sets stream through row-block
-    scans (still one dispatch)."""
+    top-κ candidates and τ — packed into a single D2H buffer. Also
+    returns the bias-augmented queries (device-resident; the
+    flagged-row recompute gathers from them without pulling the full
+    matrix). Large query sets stream through row-block scans (still
+    one dispatch)."""
     def bias_append(qb):
         bias, _ = streaming_topk(
             qb, noise_refs, noise_n_valid, noise_sq, kappa=1,
@@ -519,10 +782,10 @@ def _fused_sn_candidates_packed(
 
     q_sn = _scan_row_blocks(bias_append, q, row_block)
     top_s, top_i, counts, tau = _candidates_core(
-        q_sn, refs, nq, n_valid, ref_sq, kappa, col_block, "IP", precision,
-        approx, k_eff, row_block=row_block,
+        q_sn, refs, n_rows, n_valid, ref_sq, kappa, col_block, "IP",
+        precision, approx, k_eff, row_block=row_block,
     )
-    return _pack_candidates(top_s, top_i, counts, tau, nq), q_sn
+    return _pack_candidates(top_s, top_i, tau, counts), q_sn
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "precision"))
@@ -634,36 +897,55 @@ class SimilaritySearcher:
             precision=self.precision,
         )
 
+    def _collection_mode(self, m: int, approx: bool):
+        """Pick the approx collection implementation for an m-row query
+        block: "pooled" (HBM winner pool, sort-free selection, exact
+        pool counts) whenever the pool fits the budget; True (chunked
+        streaming merges) otherwise — including under the Pallas opt-in
+        flag, whose fused_topk routing lives inside streaming_topk."""
+        if not approx:
+            return False
+        n_pad = self._refs.shape[0]
+        pool_bytes = 8 * m * POOL_SEG_KEEP * (n_pad // POOL_SEG_LANES)
+        if (
+            self.col_block % POOL_SEG_LANES == 0
+            and pool_bytes <= POOL_BYTES_BUDGET
+            and not (self.metric == "IP" and _use_pallas_kernels())
+        ):
+            return "pooled"
+        return True
+
     def _fused_kernel(self, q_dev, nq: int, kappa: int, approx: bool,
                       k_eff: int):
         """Single-dispatch candidate phase for ANY query-set size (row
         blocks stream via an in-dispatch scan); returns the packed
-        int32 buffer (one D2H pull). The sharded searcher overrides
-        with a mesh version (single-block only there)."""
+        int32 buffer (one D2H pull) and the collection mode. The
+        sharded searcher overrides with a mesh version."""
         m = q_dev.shape[0]
         n_rb = max(1, -(-m // self.row_block))
         if m % n_rb:
             # Unexpected staging (not a whole number of near-even
             # blocks): single-block if it fits, else the loop path.
             if m > self.row_block:
-                return None
+                return None, approx
             rb = m
         else:
             rb = m // n_rb
+        mode = self._collection_mode(m, approx)
         return _fused_candidates_packed(
             q_dev.astype(self._refs.dtype),
             self._refs,
             self._n_valid,
             self._ref_sq,
+            jnp.asarray(nq, jnp.int32),
+            jnp.asarray(k_eff, jnp.int32),
             kappa=kappa,
             col_block=self.col_block,
             metric=self.metric,
             precision=self.precision,
-            approx=approx,
-            k_eff=k_eff,
-            nq=nq,
+            approx=mode,
             row_block=rb,
-        )
+        ), mode
 
     def _full_kernel(self, rows: np.ndarray):
         return _full_rows(
@@ -698,10 +980,12 @@ class SimilaritySearcher:
                 row_block=block_rows,
             ))
             m = q_dev.shape[0]
-            out_s = buf[: m * k].view(np.float32).reshape(m, k)[:nq]
+            # copy: the packed pull is read-only (a view of the device
+            # buffer) — callers get writable arrays.
+            out_s = buf[: m * k].view(np.float32).reshape(m, k)[:nq].copy()
             out_i = buf[m * k :].astype(np.int64).reshape(m, k)[:nq]
             if self.metric == "L2":
-                out_s = -out_s
+                np.negative(out_s, out=out_s)  # goodness → squared distance
             return out_s, out_i
         out_s = np.empty((nq, k), dtype=np.float32)
         out_i = np.empty((nq, k), dtype=np.int64)
@@ -797,12 +1081,14 @@ class SimilaritySearcher:
         block_rows = self._plan_row_block(nq)
         q_dev = self._stage_queries(queries, block_rows)
 
-        fused = self._fused_kernel(q_dev, nq, kappa, approx_candidates, k_eff)
+        fused, mode = self._fused_kernel(
+            q_dev, nq, kappa, approx_candidates, k_eff
+        )
         if fused is not None:
-            # Single-dispatch path: candidates + τ + counts in one
-            # packed buffer, padding rows already sliced off on device.
-            all_s, all_i, true_counts, tau = _unpack_candidates(
-                np.asarray(fused), nq, kappa
+            # Single-dispatch path: candidates (+ pool counts) + τ in
+            # one packed buffer.
+            all_s, all_i, counts, tau = _unpack_candidates(
+                np.asarray(fused), nq, kappa, with_counts=mode == "pooled"
             )
         else:
             all_s = np.empty((nq, kappa), dtype=np.float32)
@@ -813,12 +1099,12 @@ class SimilaritySearcher:
                 s, i = self._topk_kernel(block, kappa, approx=approx_candidates)
                 all_s[start:stop] = np.asarray(s)[: stop - start]
                 all_i[start:stop] = np.asarray(i)[: stop - start]
-            true_counts = None
+            counts = None
             tau = None
 
         return self._finalize_global_topk(
-            all_s, all_i, true_counts, tau, queries, q_dev, nq, kappa,
-            k_eff, approx_candidates, block_rows,
+            all_s, all_i, counts, tau, queries, q_dev, nq, kappa,
+            k_eff, mode, block_rows,
         )
 
     def _plan(self, nq: int, k: int, kappa: Optional[int] = None):
@@ -873,18 +1159,101 @@ class SimilaritySearcher:
         i = buf[half:].astype(np.int64).reshape(n_pad, kappa2)
         return s, i
 
+    def _repair_count_kernel(
+        self, queries, q_dev, rows: np.ndarray, n_pad: int, tau: float
+    ) -> np.ndarray:
+        """Exact ≥τ counts for the flagged rows only (sizes the
+        recompute budget κ₂): one dispatch with the row gather fused
+        in. The sharded searcher overrides this (gather outside the
+        shard_map + the mesh count kernel)."""
+        idx = np.zeros(n_pad, dtype=np.int32)
+        idx[: rows.size] = rows
+        counts = np.asarray(_repair_counts_packed(
+            q_dev, jnp.asarray(idx), self._refs, self._n_valid,
+            self._ref_sq, jnp.float32(tau), col_block=self.col_block,
+            metric=self.metric, precision=self.precision,
+        ))
+        return counts[: rows.size].astype(np.int64)
+
+    def _collection_seg_lanes(self, kappa: int) -> int:
+        """Lane-segment width for which the approx collection keeps the
+        best TWO entries per segment (the structural recall guarantee
+        the host verify rule relies on), or 0 when the approx request
+        routes to the exact per-block top-k inside streaming_topk.
+        Mirrors streaming_topk's gating exactly."""
+        if self.metric == "IP" and _use_pallas_kernels():
+            return 128  # fused_topk: best-2 per 128-lane tile segment
+        col_block = self.col_block
+        seg_lanes = min(128, col_block)
+        n_blocks = self._refs.shape[0] // col_block
+        seg_pool = 2 * n_blocks * (col_block // seg_lanes)
+        if kappa > 1 and col_block % seg_lanes == 0 and seg_pool >= kappa:
+            return seg_lanes
+        return 0
+
+    @staticmethod
+    def _segment_multiplicity(all_s, all_i, tau, seg: int, t: int):
+        """Rows where ≥ t kept-above-τ candidates share one seg-lane
+        segment (masked slots get unique negative sentinels)."""
+        kappa = all_s.shape[1]
+        if kappa < t:
+            # Too few slots to witness t siblings: any kept ≥ τ may
+            # hide one.
+            return ((all_s >= tau) & np.isfinite(all_s)).any(axis=1)
+        kept_above = (all_s >= tau) & np.isfinite(all_s)
+        sentinel = -1 - np.arange(kappa, dtype=np.int64)[None, :]
+        segids = np.where(kept_above, all_i // seg, sentinel)
+        segids.sort(axis=1)
+        return (segids[:, t - 1 :] == segids[:, : 1 - t]).any(axis=1)
+
+    def _flag_deficient_rows(
+        self, all_s, all_i, counts, tau, kappa: int, mode
+    ) -> np.ndarray:
+        """Rows that could be missing an entry ≥ τ, from the
+        collection's structural guarantees alone (no corpus pass):
+
+        * τ = −inf (k beyond the collected candidates): every row.
+        * pooled collection — an extraction miss shows as kept ≠ the
+          exact pool count; a corpus entry missing from the pool
+          implies all ``POOL_SEG_KEEP`` pool entries of its segment are
+          ≥ τ, witnessed either by the segment-multiplicity rule (all
+          extracted) or by the count mismatch (some not extracted).
+        * streaming collection — truncation: every candidate dropped
+          from a row's running top-κ (or a shard's partial top-κ before
+          the ICI merge) is ≤ the row's κ-th kept score, so a row is
+          suspect iff that score ≥ τ; segment occlusion: a missed entry
+          ≥ τ implies two kept candidates ≥ τ sharing a segment.
+        """
+        nq = all_s.shape[0]
+        if tau == NEG_INF:
+            return np.arange(nq, dtype=np.int64)
+        if counts is not None:  # pooled
+            kept_above = ((all_s >= tau) & np.isfinite(all_s)).sum(axis=1)
+            flagged = kept_above != counts
+            flagged |= self._segment_multiplicity(
+                all_s, all_i, tau, POOL_SEG_LANES, POOL_SEG_KEEP
+            )
+            return np.where(flagged)[0]
+        flagged = all_s[:, -1] >= tau
+        seg = self._collection_seg_lanes(kappa) if mode else 0
+        if seg:
+            flagged = flagged | self._segment_multiplicity(
+                all_s, all_i, tau, seg, 2
+            )
+        return np.where(flagged)[0]
+
     def _finalize_global_topk(
-        self, all_s, all_i, true_counts, tau, queries, q_dev, nq: int,
-        kappa: int, k_eff: int, approx_candidates: bool, block_rows: int,
+        self, all_s, all_i, counts, tau, queries, q_dev, nq: int,
+        kappa: int, k_eff: int, mode, block_rows: int,
     ):
-        """Host finalization of the candidate phase: count-verify (exact
-        recompute of any row whose candidates can't cover its ≥τ
-        count), then the exact global sort/truncate."""
+        """Host finalization of the candidate phase: structural verify
+        (exact recompute of any row that could be missing an entry
+        ≥ τ), then the exact global sort/truncate."""
         flat_s = all_s.ravel()
         flat_q = np.repeat(np.arange(nq, dtype=np.int64), kappa)
         flat_r = all_i.ravel()
 
-        if kappa < self.n_refs or approx_candidates:
+        if kappa < self.n_refs or mode:
             # Global threshold τ = k-th best among candidates (−inf when
             # fewer than k were collected: then every row may be missing
             # entries and must be recomputed).
@@ -895,29 +1264,14 @@ class SimilaritySearcher:
                     ]
                 else:
                     tau = NEG_INF
-            # Exact verification: recompute any row holding fewer
-            # candidates ≥ τ than its true count ≥ τ.
-            # Count only REAL kept candidates: −inf slots are padding
-            # (rows with fewer collected candidates than κ), and
-            # −inf >= −inf would otherwise let padding masquerade as
-            # coverage when τ = −inf (k beyond the collected pool).
-            kept_counts = ((all_s >= tau) & np.isfinite(all_s)).sum(axis=1)
-            if true_counts is None:
-                true_counts = np.empty(nq, dtype=np.int64)
-                for start in range(0, nq, block_rows):
-                    stop = min(start + block_rows, nq)
-                    block = jax.lax.dynamic_slice_in_dim(
-                        q_dev, start, block_rows
-                    )
-                    counts = np.asarray(self._count_kernel(block, tau))
-                    true_counts[start:stop] = counts[: stop - start]
-            saturated = np.where(true_counts > kept_counts)[0]
+            saturated = self._flag_deficient_rows(
+                all_s, all_i, counts, tau, kappa, mode
+            )
             if saturated.size:
-                # Exact recompute of deficient rows with a top-κ′ big
-                # enough for every entry ≥ τ (compact [S, κ′] transfer,
-                # not full score rows).
-                kappa2 = int(true_counts[saturated].max())
-                kappa2 = min(self.n_refs, 1 << (kappa2 - 1).bit_length())
+                # Exact recompute of flagged rows: size κ₂ from their
+                # exact ≥τ counts (a matmul over just these rows), then
+                # a top-κ₂ big enough for every entry ≥ τ (compact
+                # [S, κ₂] transfer, not full score rows).
                 keep_mask = ~np.isin(flat_q, saturated)
                 parts_s = [flat_s[keep_mask]]
                 parts_q = [flat_q[keep_mask]]
@@ -925,6 +1279,15 @@ class SimilaritySearcher:
                 fix_rows = min(self.row_block, _ceil_to(saturated.size, 8))
                 for start in range(0, saturated.size, fix_rows):
                     rows = saturated[start : start + fix_rows]
+                    counts = self._repair_count_kernel(
+                        queries, q_dev, rows, fix_rows, tau
+                    )
+                    c_max = int(counts.max(initial=0))
+                    if c_max == 0:
+                        continue
+                    kappa2 = min(
+                        self.n_refs, 1 << (c_max - 1).bit_length()
+                    )
                     s, i = self._repair_kernel(
                         queries, q_dev, rows, fix_rows, kappa2
                     )

@@ -166,21 +166,20 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         )
         return jax.jit(fn)
 
-    def _build_fused(
-        self, kappa: int, approx: bool, k_eff: int, nq: int, rb: int
-    ):
+    def _build_fused(self, kappa: int, approx: bool, rb: int):
         """Whole candidate phase in ONE dispatch across the mesh:
         per-shard top-κ, ICI all-gather merge, the global k-th
-        threshold τ, psum'd exact ≥τ counts, packed for a single D2H
-        pull — the sharded twin of _fused_candidates_packed. Query sets
-        larger than one row block stream through the in-dispatch scan."""
+        threshold τ, packed for a single D2H pull — the sharded twin
+        of _fused_candidates_packed. Query sets larger than one row
+        block stream through the in-dispatch scan; nq and k_eff are
+        traced scalars (recompiles only per padded shape)."""
         axis, shard_rows = self.axis, self.shard_rows
         col_block, metric, precision = (
             self.col_block, self.metric, self.precision,
         )
         local_kappa = min(kappa, shard_rows)
 
-        def local_fn(q, refs_local, ref_sq_local, n_valid):
+        def local_fn(q, refs_local, ref_sq_local, n_valid, nq, k_eff):
             base = jax.lax.axis_index(axis) * shard_rows
             local_valid = jnp.clip(n_valid - base, 0, shard_rows)
 
@@ -206,26 +205,17 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             masked = jnp.where(row_ids < nq, merged_s, NEG_INF)
             flat = jnp.sort(masked.reshape(-1))[::-1]
             km = merged_s.shape[1]
+            k_idx = jnp.clip(k_eff, 1, flat.shape[0]) - 1
             tau = jnp.where(
-                k_eff > nq * km, NEG_INF, flat[min(k_eff, flat.shape[0]) - 1]
+                k_eff > nq * km, NEG_INF,
+                jax.lax.dynamic_index_in_dim(flat, k_idx, keepdims=False),
             )
-            counts = _scan_row_blocks(
-                lambda qb: jax.lax.psum(
-                    streaming_count_above(
-                        qb, refs_local, local_valid, ref_sq_local, tau,
-                        col_block=col_block, metric=metric,
-                        precision=precision, varying_axes=(axis,),
-                    ),
-                    axis,
-                ),
-                q, rb,
-            )
-            return _pack_candidates(merged_s, merged_i, counts, tau, nq)
+            return _pack_candidates(merged_s, merged_i, tau)
 
         fn = shard_map(
             local_fn,
             mesh=self.mesh,
-            in_specs=(P(), P(self.axis, None), P(self.axis), P()),
+            in_specs=(P(), P(self.axis, None), P(self.axis), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -257,28 +247,54 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         )
 
     def _repair_kernel(self, queries, q_dev, rows, n_pad, kappa2):
-        """Count-verify recompute over the mesh: gather the flagged rows
-        (host or device, outside the shard_map), then the exact sharded
-        top-κ₂ kernel."""
+        """Structural-verify recompute over the mesh: gather the
+        flagged rows (host or device, outside the shard_map), then the
+        exact sharded top-κ₂ kernel."""
         block = self._saturated_rows(queries, q_dev, rows, n_pad)
         s, i = self._topk_kernel(block, kappa2, approx=False)
         return np.asarray(s), np.asarray(i)
+
+    def _repair_count_kernel(self, queries, q_dev, rows, n_pad, tau):
+        """Exact ≥τ counts for the flagged rows over the mesh (the
+        gather stays outside the shard_map; counts psum over ICI)."""
+        block = self._saturated_rows(queries, q_dev, rows, n_pad)
+        counts = np.asarray(self._count_kernel(block, tau))
+        return counts[: rows.size].astype(np.int64)
+
+    def _collection_seg_lanes(self, kappa: int) -> int:
+        """Per-shard approx collection guarantee (the Pallas route is
+        never taken under shard_map). Shard bases are multiples of the
+        shard row count — itself a multiple of col_block — so global
+        index // seg_lanes is consistent within every shard and
+        segments never span shards."""
+        col_block = self.col_block
+        seg_lanes = min(128, col_block)
+        local_kappa = min(kappa, self.shard_rows)
+        n_blocks = self.shard_rows // col_block
+        seg_pool = 2 * n_blocks * (col_block // seg_lanes)
+        if local_kappa > 1 and seg_pool >= local_kappa:
+            return seg_lanes
+        return 0
+
+    def _collection_mode(self, m: int, approx: bool):
+        """The sharded collection always streams per shard (pools and
+        their collective selection are a single-device design)."""
+        return bool(approx)
 
     def _fused_kernel(self, q_dev, nq, kappa, approx, k_eff):
         m = q_dev.shape[0]
         n_rb = max(1, -(-m // self.row_block))
         if m % n_rb:
             if m > self.row_block:
-                return None  # unexpected staging: loop path
+                return None, approx  # unexpected staging: loop path
             rb = m
         else:
             rb = m // n_rb
-        key = ("fused", kappa, approx, k_eff, nq, m, rb)
+        key = ("fused", kappa, approx, m, rb)
         if key not in self._topk_fns:
-            self._topk_fns[key] = self._build_fused(
-                kappa, approx, k_eff, nq, rb
-            )
+            self._topk_fns[key] = self._build_fused(kappa, approx, rb)
         return self._topk_fns[key](
             q_dev.astype(self._refs.dtype), self._refs, self._ref_sq,
-            self._n_valid,
-        )
+            self._n_valid, jnp.asarray(nq, jnp.int32),
+            jnp.asarray(k_eff, jnp.int32),
+        ), bool(approx)

@@ -100,26 +100,28 @@ class ScoreNormalizedSearcher:
             rb = s._plan_row_block(nq)
             ns = self.noise_searcher
             q_dev = ns._stage_queries(queries, rb)
+            mode = s._collection_mode(q_dev.shape[0], True)
             packed, q_sn = _fused_sn_candidates_packed(
                 q_dev,
                 ns._refs, ns._n_valid, ns._ref_sq,
                 s._refs, s._n_valid, s._ref_sq,
+                jnp.asarray(nq, jnp.int32),
+                jnp.asarray(k_eff, jnp.int32),
                 beta=float(self.beta),
                 kappa=kappa_eff,
                 noise_col_block=ns.col_block,
                 col_block=s.col_block,
                 precision=s.precision,
-                approx=True,
-                k_eff=k_eff,
-                nq=nq,
+                approx=mode,
                 row_block=rb,
             )
             all_s, all_i, counts, tau = _unpack_candidates(
-                np.asarray(packed), nq, kappa_eff
+                np.asarray(packed), nq, kappa_eff,
+                with_counts=mode == "pooled",
             )
             return s._finalize_global_topk(
                 all_s, all_i, counts, tau, q_sn, q_sn, nq, kappa_eff,
-                k_eff, True, rb,
+                k_eff, mode, rb,
             )
         return s.global_topk(
             self.normalize_queries(queries), k, kappa=kappa
