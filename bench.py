@@ -141,7 +141,9 @@ def bench_retrieval(results):
     # bf16 variant: corpus + queries staged/computed in bfloat16 (halves
     # HBM footprint and H2D transfer, MXU-native matmul). Result set
     # agreement with f32 is ~1.0 on this workload; scores quantize to
-    # bf16 resolution.
+    # bf16 resolution. Same best-of-5 sampling as the f32 run (the
+    # round-2 bf16 number regressed on asymmetric best-of-3 sampling
+    # under relay jitter).
     from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
 
     bf16_searcher = ScoreNormalizedSearcher(
@@ -149,7 +151,7 @@ def bench_retrieval(results):
     )
     bf16_searcher.global_topk(q, GLOBAL_K)  # warmup
     bf16_e2e = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         bqi, bri, _ = bf16_searcher.global_topk(q, GLOBAL_K)
         bf16_e2e = min(bf16_e2e, time.perf_counter() - t0)
@@ -158,6 +160,15 @@ def bench_retrieval(results):
         & set(zip(bqi[:1000].tolist(), bri[:1000].tolist()))
     ) / 1000.0
     assert bf16_agree > 0.98, f"bf16/f32 search disagree: {bf16_agree:.3f}"
+
+    # Link-independent bf16 rate: queries pre-staged (the e2e number
+    # folds in this rig's variable relay link).
+    bf16_searcher.global_topk(q_dev, GLOBAL_K)  # warm the device path
+    bf16_dev = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        bf16_searcher.global_topk(q_dev, GLOBAL_K)
+        bf16_dev = min(bf16_dev, time.perf_counter() - t0)
 
     cpu_time = float("inf")
     for _ in range(2):
@@ -177,6 +188,7 @@ def bench_retrieval(results):
     # search itself rather than this rig's variable relay link speed.
     results["retrieval_qps_device"] = round(N_QUERY_VIDEOS / compute_s, 2)
     results["retrieval_qps_bf16"] = round(N_QUERY_VIDEOS / bf16_e2e, 2)
+    results["retrieval_qps_device_bf16"] = round(N_QUERY_VIDEOS / bf16_dev, 2)
     results["retrieval_tflops"] = round(tflops, 3)
     results["link_s"] = round(link_s, 3)
     results["compute_s"] = round(compute_s, 3)
@@ -343,6 +355,64 @@ def bench_localization(results):
     results["localization_pairs_per_sec_b1024"] = round(big_b / best_big, 1)
 
 
+def bench_dns_localization(results):
+    """DnS two-stage localization throughput: fused fine(9-region
+    chamfer)+coarse similarity + TN alignment, from device-resident
+    feature tables (the reference runs TorchScript per pair on a CPU
+    pool; vsc/baseline/dns_baseline.py:138-163)."""
+    from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
+    from vsc2022_tpu.metrics import CandidatePair
+    from vsc2022_tpu.types import VideoFeature
+
+    rng = np.random.default_rng(3)
+    n_videos, frames, regions, d_f, d_c = 96, 60, 9, 512, 1024
+
+    def make(prefix, n):
+        out_fine, out_coarse = {}, []
+        ts = np.stack(
+            [np.arange(frames, dtype=np.float64),
+             np.arange(1, frames + 1, dtype=np.float64)], axis=1
+        )
+        for i in range(n):
+            fine = l2n(
+                rng.standard_normal((frames * regions, d_f), dtype=np.float32)
+            ).reshape(frames, regions * d_f)
+            coarse = l2n(
+                rng.standard_normal((frames, d_c), dtype=np.float32)
+            )
+            vid = f"{prefix}{i:06d}"
+            out_fine[vid] = VideoFeature(
+                video_id=vid, timestamps=ts, feature=fine
+            )
+            out_coarse.append(VideoFeature(
+                video_id=vid, timestamps=ts, feature=coarse
+            ))
+        return out_fine, out_coarse
+
+    q_fine, q_coarse = make("Q", n_videos)
+    r_fine, r_coarse = make("R", n_videos)
+    loc = DnSLocalization(
+        q_fine, r_fine, q_coarse, r_coarse,
+        model_type="TN", fg_type="att", tn_max_step=5, min_length=4,
+        similarity_bias=0.5,
+    )
+    pairs = [
+        CandidatePair(
+            query_id=f"Q{rng.integers(n_videos):06d}",
+            ref_id=f"R{rng.integers(n_videos):06d}",
+            score=1.0,
+        )
+        for _ in range(512)
+    ]
+    loc.localize_all(pairs[:64])  # warm/compile + stage tables
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loc.localize_all(pairs)
+        best = min(best, time.perf_counter() - t0)
+    results["dns_localization_pairs_per_sec"] = round(len(pairs) / best, 1)
+
+
 def run_measurement():
     from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
 
@@ -355,6 +425,7 @@ def run_measurement():
     bench_retrieval(results)
     bench_inference(results)
     bench_localization(results)
+    bench_dns_localization(results)
     results["value"] = results["retrieval_qps"]
     print(json.dumps(results))
 

@@ -496,3 +496,119 @@ class TestDnSIndexTorchscriptDropIn:
                 vf.feature.astype(np.float32).reshape(expect.shape),
                 expect, rtol=1e-2, atol=2e-3,
             )
+
+
+# ---- serialized-layout aliases + probe ---------------------------------
+
+
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(la) == len(lb)
+    for path, leaf in la:
+        np.testing.assert_array_equal(leaf, lb[path])
+
+
+class TestLayoutAliases:
+    """Real artifacts serialize under layout-variant names; ALIAS_RULES
+    must map the known variants onto the canonical converter names
+    (VERDICT round 2 item 7: tool the rename seam, don't just error)."""
+
+    def _sscd_state(self):
+        torch.manual_seed(1)
+        model = TorchSSCD().eval()
+        return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    def test_trunk_and_embeddings_variant(self):
+        from vsc2022_tpu.models.convert import sscd_from_torch
+
+        state = self._sscd_state()
+        want = sscd_from_torch(dict(state))
+        renamed = {}
+        for k, v in state.items():
+            k = k.replace("backbone.", "trunk.", 1)
+            k = k.replace("project.", "embeddings.1.", 1)
+            renamed[k] = v
+        _tree_equal(sscd_from_torch(renamed), want)
+
+    def test_classy_vision_stem_variant(self):
+        from vsc2022_tpu.models.convert import sscd_from_torch
+
+        state = self._sscd_state()
+        want = sscd_from_torch(dict(state))
+        renamed = {
+            k.replace("backbone.conv1.", "backbone.initial_block._module.0.")
+            .replace("backbone.bn1.", "backbone.initial_block._module.1."): v
+            for k, v in state.items()
+        }
+        _tree_equal(sscd_from_torch(renamed), want)
+
+    def test_dns_typed_student_prefix(self):
+        from vsc2022_tpu.models.convert import dns_student_from_torch
+
+        torch.manual_seed(2)
+        student = TorchCoarseStudent().eval()
+        state = {
+            k: v.detach().numpy() for k, v in student.state_dict().items()
+        }
+        want = dns_student_from_torch(dict(state), "cg")
+        renamed = {f"cg_student.{k}": v for k, v in state.items()}
+        _tree_equal(dns_student_from_torch(renamed, "cg"), want)
+
+    def test_unknown_layout_still_diagnoses(self):
+        from vsc2022_tpu.models.convert import (
+            ConversionKeyError,
+            sscd_from_torch,
+        )
+
+        state = {
+            f"mystery.{k}": v for k, v in self._sscd_state().items()
+        }
+        with pytest.raises(ConversionKeyError, match="Closest serialized"):
+            sscd_from_torch(state)
+
+
+class TestProbe:
+    def _args(self, model="sscd"):
+        import argparse
+
+        return argparse.Namespace(model=model)
+
+    def test_probe_ok(self, capsys):
+        from vsc2022_tpu.baseline.adapt_model import probe
+
+        torch.manual_seed(3)
+        model = TorchSSCD().eval()
+        state = {
+            k.replace("backbone.", "trunk.", 1): v.detach().numpy()
+            for k, v in model.state_dict().items()
+        }
+        assert probe(self._args(), state) == 0
+        out = capsys.readouterr().out
+        assert "Alias rules (sscd) rename" in out
+        assert "OK: all" in out
+
+    def test_probe_reports_missing(self, capsys):
+        from vsc2022_tpu.baseline.adapt_model import probe
+
+        torch.manual_seed(4)
+        model = TorchSSCD().eval()
+        state = {
+            k: v.detach().numpy() for k, v in model.state_dict().items()
+        }
+        del state["backbone.layer3.2.conv2.weight"]
+        assert probe(self._args(), state) == 1
+        out = capsys.readouterr().out
+        assert "CONVERSION WOULD FAIL" in out
+        assert "layer3.2.conv2.weight" in out
+
+    def test_probe_dns_lists_shapes(self, capsys):
+        from vsc2022_tpu.baseline.adapt_model import probe
+
+        torch.manual_seed(5)
+        student = TorchCoarseStudent().eval()
+        state = {
+            k: v.detach().numpy() for k, v in student.state_dict().items()
+        }
+        assert probe(self._args("dns_cg"), state) == 0
+        assert "no init reference" in capsys.readouterr().out

@@ -375,7 +375,7 @@ class TestPooledCollection:
         q = rng.randint(-3, 4, size=(21, 24)).astype(np.float32)
         r = rng.randint(-3, 4, size=(700, 24)).astype(np.float32)
         searcher = SimilaritySearcher(r)
-        assert searcher._collection_mode(24, True) is True
+        assert searcher._collection_mode(24, 32, True) is True
         qi, ri, s = searcher.global_topk(q, 333)
         oqi, ori, os_ = brute_force_global_topk(q, r, 333)
         np.testing.assert_array_equal(qi, oqi)

@@ -274,6 +274,17 @@ def main(args):
             row_block=m)
 
     timeit("fused_pooled", lambda: sync(fused_pooled()))
+
+    @functools.partial(jax.jit, static_argnames=("stage",))
+    def pooled_stage(q, refs, stage):
+        return S.pooled_candidates(
+            q, refs, n_valid, ref_sq,
+            jnp.asarray(m, jnp.int32), jnp.asarray(k_eff, jnp.int32),
+            kappa=kappa, col_block=cb, metric="IP",
+            precision=args.precision, row_block=m, debug_stage=stage)
+
+    timeit("pooled:pool", lambda: sync(pooled_stage(q, refs, "pool")))
+    timeit("pooled:tau", lambda: sync(pooled_stage(q, refs, "tau")))
     buf = fused_pooled()
     sync(buf)
     timeit("pull_packed", lambda: np.asarray(buf))
@@ -290,31 +301,18 @@ def main(args):
         top_s, top_i, counts_p, tau_v, kappa, "pooled")
     print(f"  tau={tau_v:.4f} flagged={saturated.size}", flush=True)
     if saturated.size and "repair" not in skip:
-        n_fix = -(-saturated.size // 8) * 8
-        idx = np.zeros(n_fix, np.int32)
-        idx[: saturated.size] = saturated
-        idx_dev = jnp.asarray(idx)
-
-        def rcount():
-            return S._repair_counts_packed(
-                q, idx_dev, refs, n_valid, ref_sq, jnp.float32(tau_v),
-                col_block=cb, metric="IP", precision=args.precision)
-
-        timeit("repair_count", lambda: sync(rcount()))
-        counts = np.asarray(rcount())[: saturated.size]
-        kappa2 = 1 << (int(counts.max(initial=1)) - 1).bit_length()
-        print(f"  max_count={counts.max(initial=0)} kappa2={kappa2}",
-              flush=True)
+        searcher.n_refs = args.corpus
+        searcher.precision = args.precision
+        searcher.row_block = m
+        searcher._n_valid = n_valid
+        searcher._ref_sq = ref_sq
 
         def repair():
-            return S._repair_rows_packed(
-                q, idx_dev, refs, n_valid, ref_sq, kappa2=kappa2,
-                col_block=cb, metric="IP", precision=args.precision)
+            return searcher._collect_repairs(q, q, saturated, tau_v)
 
-        timeit(f"repair_k{kappa2}", lambda: sync(repair()))
-        rbuf = repair()
-        sync(rbuf)
-        timeit("pull_repair", lambda: np.asarray(rbuf))
+        s_rep, _, _ = repair()  # warm both dispatch shapes
+        timeit("repair_pairs", repair)
+        print(f"  repair entries={s_rep.size}", flush=True)
 
     print(json.dumps({"corpus": args.corpus, "queries": m, "kappa": kappa}))
 

@@ -17,6 +17,7 @@ Layout conventions converted:
 from __future__ import annotations
 
 import difflib
+import re
 from typing import Dict, Tuple
 
 import numpy as np
@@ -27,6 +28,61 @@ StateDict = Dict[str, np.ndarray]
 # automatically when EVERY key shares one (DataParallel, generic
 # containers, torch.compile, DnS's student attribute).
 _WRAPPER_PREFIXES = ("module.", "model.", "net.", "student.", "_orig_mod.")
+
+# Known serialized-layout variants → the canonical names the converters
+# consume. Each family maps anchored-regex rewrite rules applied per
+# key until none matches (prefix strips compose with structural
+# renames); rules must therefore not produce text their own pattern
+# matches again. Extend HERE when a real artifact probes with missing
+# keys (``python -m vsc2022_tpu.baseline.adapt_model --probe`` prints
+# the artifact's actual tree next to the unmet requirement); the
+# supported variants are documented in PARITY.md.
+ALIAS_RULES: Dict[str, Tuple[Tuple[str, str], ...]] = {
+    "sscd": (
+        # Alternate trunk attribute names seen in copy-detection repos.
+        (r"^trunk\.", "backbone."),
+        (r"^encoder\.", "backbone."),
+        # Torchvision-layout SSCD head: embeddings = GeM/Linear/L2Norm
+        # (reference: vsc/baseline/adapt_sscd_model.py:61-67).
+        (r"^embeddings\.1\.", "project."),
+        (r"^embedding_projection\.", "project."),
+        # Classy Vision ResNet stem: initial conv + bn wrapped in an
+        # `initial_block._module` sequential.
+        (r"^(backbone\.)?initial_block\._module\.0\.", r"\g<1>conv1."),
+        (r"^(backbone\.)?initial_block\._module\.1\.", r"\g<1>bn1."),
+    ),
+    "dino": (
+        # DINO checkpoints nest the ViT under backbone/encoder wrappers.
+        (r"^backbone\.", ""),
+        (r"^encoder\.", ""),
+    ),
+    "dns": (
+        # distill-and-select release: students live under typed
+        # attributes; attention context sometimes serializes bare.
+        (r"^(cg|fg_att|fg_bin)_student\.", ""),
+        (r"^attention\.context\.(?=weight)", "attention.context_vector."),
+    ),
+}
+
+
+def apply_aliases(state: StateDict, family: str) -> StateDict:
+    """Rewrite known alternative parameter names onto the canonical
+    layout for ``family`` (see ALIAS_RULES). Idempotent; unknown names
+    pass through untouched so the converters' closest-match diagnosis
+    still fires for genuinely new layouts."""
+    rules = ALIAS_RULES.get(family, ())
+    out: StateDict = {}
+    for key, value in state.items():
+        changed = True
+        while changed:
+            changed = False
+            for pattern, repl in rules:
+                new_key = re.sub(pattern, repl, key)
+                if new_key != key:
+                    key = new_key
+                    changed = True
+        out[key] = value
+    return out
 
 
 class ConversionKeyError(KeyError):
@@ -140,14 +196,15 @@ def sscd_from_torch(state: StateDict) -> dict:
     """Convert the adapted SSCD model (backbone → pool → project;
     reference: vsc/baseline/adapt_sscd_model.py:59-69) to SSCDModel
     variables. Accepts either 'backbone.*'+'project.*' names (adapted
-    layout) or bare torchvision names + 'embeddings.1.*'."""
+    layout) or bare torchvision names + 'embeddings.1.*'; known layout
+    variants are normalized first (ALIAS_RULES["sscd"])."""
+    state = apply_aliases(state, "sscd")
     if any(k.startswith("backbone.") for k in state):
         backbone_prefix = "backbone."
-        if "project.weight" in state:
-            proj_w, proj_b = state["project.weight"], state["project.bias"]
-        else:  # unadapted torchvision layout: embeddings = pool/linear/l2
-            proj_w = _require(state, "embeddings.1.weight")
-            proj_b = _require(state, "embeddings.1.bias")
+        # The unadapted torchvision head (embeddings.1.*) normalizes to
+        # project.* via ALIAS_RULES.
+        proj_w = _require(state, "project.weight")
+        proj_b = _require(state, "project.bias")
     else:
         backbone_prefix = ""
         proj_w, proj_b = _require(state, "fc.weight"), _require(state, "fc.bias")
@@ -162,7 +219,9 @@ def sscd_from_torch(state: StateDict) -> dict:
 
 
 def dino_vit_from_torch(state: StateDict, dim: int = 384, heads: int = 6) -> dict:
-    """Convert DINO ViT-S/16 weights to DinoViT variables."""
+    """Convert DINO ViT-S/16 weights to DinoViT variables (known layout
+    variants normalized first; ALIAS_RULES["dino"])."""
+    state = apply_aliases(state, "dino")
     head_dim = dim // heads
 
     def qkv_split(w, b):
@@ -254,6 +313,7 @@ def dns_student_from_torch(
     """
     if student_type not in ("cg", "fg"):
         raise ValueError(f"student_type must be cg|fg, got {student_type!r}")
+    state = apply_aliases(state, "dns")
     params: dict = {
         "reduction": {
             "kernel": _linear(_require(state, "reduction.weight")),

@@ -75,12 +75,11 @@ DEFAULT_COL_BLOCK = 8192
 # cheap hierarchical extraction) instead of per-chunk lax.top_k merges
 # — on this hardware top_k lowers to a full sort, measured ~14× the
 # matmul it follows, and the merge sorts dominated collection time
-# (~320 of 568 ms at [9000×1M×512]). Keeping THREE entries per segment
-# (not two) makes "≥3 τ-exceeders share a segment" the only repair
-# trigger, which for scattered score distributions is ~never (the
-# best-2 birthday-collision rate flagged ~2.4% of rows).
+# (~320 of 568 ms at [9000×1M×512]). The per-segment winners come from
+# ONE variadic lax.reduce pass (a top-2 monoid over (value, id) pairs):
+# the masked-argmax re-read formulation measured ~2× the data reads.
 POOL_SEG_LANES = 128
-POOL_SEG_KEEP = 3
+POOL_SEG_KEEP = 2
 # Pool HBM budget (values + ids, bytes). Above it the searcher falls
 # back to the chunked-merge streaming collection.
 POOL_BYTES_BUDGET = 3 << 30
@@ -382,6 +381,7 @@ def pooled_candidates(
     row_block: int = DEFAULT_ROW_BLOCK,
     seg_lanes: int = POOL_SEG_LANES,
     seg_keep: int = POOL_SEG_KEEP,
+    debug_stage: str = "",  # "pool" | "tau": early-exit for profiling
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sort-free global candidate phase over an HBM-resident winner
     pool. Replaces the chunked lax.top_k merges of the streaming
@@ -390,19 +390,21 @@ def pooled_candidates(
     matmul floor):
 
       1. One streamed pass computes the scores and keeps the best
-         ``seg_keep`` entries of every ``seg_lanes``-lane segment —
-         cheap VPU max/argmax with arithmetic (gather-free) ids — and
-         writes them to an HBM pool [M, P], P = seg_keep·N_pad/seg_lanes
-         (level-major: a segment's 1st/2nd/3rd-best land P/seg_keep
-         apart, so clustered τ-exceeders don't collide in step 3).
+         ``seg_keep`` (=2) entries of every ``seg_lanes``-lane segment
+         via a single variadic lax.reduce over (value, global-id)
+         pairs — a top-2 monoid merge, one read of the score tile, no
+         masked re-reads — and writes them into an HBM pool [M, P]
+         (P = seg_keep·N_pad/seg_lanes) carried through the scan (no
+         stacked-ys transpose).
       2. The exact global k-th pool score τ comes from a 32-step
          binary search on the monotone uint32 key image — 32 cheap
          masked count passes over the pool, no sort. Exact per-row
          ≥τ pool counts fall out of one more pass.
-      3. Extraction: the pool reduces best-2-per-128-positions, then
-         one narrow exact top-κ. Any extraction miss is caught by the
-         per-row pool counts (host: kept ≠ count → exact row repair),
-         so extraction needs no structural guarantee of its own.
+      3. Extraction: the pool reduces best-2 per (narrow) position
+         window, then one narrow exact top-κ. Any extraction miss is
+         caught by the per-row pool counts (host: kept ≠ count → exact
+         row repair), so extraction needs no structural guarantee of
+         its own.
 
     Returns (top_s [M, κ], top_i [M, κ], pool_counts [M], τ). Exactness
     contract for the host verify: a corpus entry ≥ τ missing from the
@@ -414,9 +416,38 @@ def pooled_candidates(
     n_pad = refs.shape[0]
     n_blocks = n_pad // col_block
     seg = col_block // seg_lanes
-    levels = n_blocks * seg  # pool positions per keep-level
-    p_total = seg_keep * levels
+    pool_per_block = seg_keep * seg
+    p_total = n_blocks * pool_per_block
     prec = jax.lax.Precision(precision)
+
+    def seg_top2(s3, gid3):
+        """Best-2 (value, id) per segment in ONE pass: an 8-ary
+        variadic reduce whose combiner merges two sorted top-2 sets.
+        Element lift: (v, i) → (v, i, −inf, 0)."""
+
+        def comb(acc, x):
+            am1, aa1, am2, aa2 = acc
+            bm1, ba1, bm2, ba2 = x
+            a_first = am1 >= bm1
+            m1 = jnp.where(a_first, am1, bm1)
+            a1 = jnp.where(a_first, aa1, ba1)
+            lo = jnp.where(a_first, bm1, am1)  # loser of the firsts
+            lo_i = jnp.where(a_first, ba1, aa1)
+            sec = jnp.where(a_first, am2, bm2)  # winner's second
+            sec_i = jnp.where(a_first, aa2, ba2)
+            take_lo = lo >= sec
+            return (
+                m1, a1,
+                jnp.where(take_lo, lo, sec),
+                jnp.where(take_lo, lo_i, sec_i),
+            )
+
+        return jax.lax.reduce(
+            (s3, gid3, jnp.full_like(s3, NEG_INF), jnp.zeros_like(gid3)),
+            (jnp.float32(NEG_INF), jnp.int32(0),
+             jnp.float32(NEG_INF), jnp.int32(0)),
+            comb, (2,),
+        )
 
     def pool_block(qb):
         mb = qb.shape[0]
@@ -425,6 +456,7 @@ def pooled_candidates(
             q_sq_b = jnp.sum(qb32 * qb32, axis=1)
 
         def col_body(carry, block_idx):
+            pool_v, pool_i = carry
             start = block_idx * col_block
             r_blk = jax.lax.dynamic_slice_in_dim(
                 refs, start, col_block, axis=0
@@ -441,33 +473,34 @@ def pooled_candidates(
             ) < (n_valid - start)
             s = jnp.where(in_range, s, NEG_INF)
             s3 = s.reshape(mb, seg, seg_lanes)
-            lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-            seg_base = (
-                start
-                + jnp.arange(seg, dtype=jnp.int32)[None, :] * seg_lanes
+            gid3 = start + (
+                jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) * seg_lanes
+                + jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
             )
-            vals, ids = [], []
-            cur = s3
-            for t in range(seg_keep):
-                mt = jnp.max(cur, axis=2)
-                at = jnp.argmax(cur, axis=2).astype(jnp.int32)
-                vals.append(mt)
-                ids.append(seg_base + at)
-                if t + 1 < seg_keep:
-                    cur = jnp.where(lane == at[:, :, None], NEG_INF, cur)
-            # [seg_keep, mb, seg] stacks so the outer reshape lands
-            # level-major.
-            return carry, (jnp.stack(vals), jnp.stack(ids))
+            m1, a1, m2, a2 = seg_top2(s3, gid3)
+            pool_v = jax.lax.dynamic_update_slice(
+                pool_v, jnp.concatenate([m1, m2], axis=1),
+                (0, block_idx * pool_per_block),
+            )
+            pool_i = jax.lax.dynamic_update_slice(
+                pool_i, jnp.concatenate([a1, a2], axis=1),
+                (0, block_idx * pool_per_block),
+            )
+            return (pool_v, pool_i), None
 
-        _, (lv, li) = jax.lax.scan(
-            col_body, jnp.int32(0), jnp.arange(n_blocks)
+        init = (
+            jnp.full((mb, p_total), NEG_INF, jnp.float32),
+            jnp.zeros((mb, p_total), jnp.int32),
         )
-        # [n_blocks, seg_keep, mb, seg] → [mb, seg_keep·n_blocks·seg]
-        pv = jnp.moveaxis(lv, 2, 0).reshape(mb, p_total)
-        pi = jnp.moveaxis(li, 2, 0).reshape(mb, p_total)
-        return pv, pi
+        (pv_b, pi_b), _ = jax.lax.scan(
+            col_body, init, jnp.arange(n_blocks)
+        )
+        return pv_b, pi_b
 
     pv, pi = _scan_row_blocks(pool_block, q, row_block)
+    if debug_stage == "pool":
+        z = jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
+        return z, z, z, z
 
     # --- exact global k-th over the pool (bit-level binary search) ----
     row_valid = (
@@ -503,12 +536,19 @@ def pooled_candidates(
         (_f32_sort_key(pv) >= tau_key) & valid_mask(),
         axis=1, dtype=jnp.int32,
     )
+    if debug_stage == "tau":
+        return tau, tau, counts.astype(jnp.float32).sum(), tau
 
     # --- extraction: hierarchical reduce + one narrow exact top-k -----
-    # Reduction width adapts so the reduced pool stays ≥ ~4κ wide
-    # (best-2 per red_lanes positions): extraction misses cost a row
-    # repair, so keep recall high; only the final narrow top-k sorts.
-    red_lanes = 128
+    # Window width trades the final sort against extraction recall
+    # (a miss costs a row repair): 16 positions ≈ 1 kB of corpus per
+    # window keeps the 3-hits-in-one-window collision rate ≈0.5% per
+    # row at the production score density. Windows of ≤ 64 positions
+    # never span a block's m1/m2 halves. Adapt down for small pools
+    # (reduced width ≥ ~4κ) and up for huge ones (sort ≤ ~8k wide).
+    red_lanes = 16
+    while red_lanes < 128 and 2 * p_total // red_lanes > 8192:
+        red_lanes *= 2
     while red_lanes > 2 and p_total < 2 * kappa * red_lanes:
         red_lanes //= 2
     p_pad = _ceil_to(p_total, red_lanes)
@@ -709,46 +749,64 @@ def _row_topk_packed(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("kappa2", "col_block", "metric", "precision"),
+    jax.jit, static_argnames=("col_block", "metric", "precision")
 )
-def _repair_rows_packed(
-    q_dev,  # [M, D] device-resident queries (any dtype)
-    rows,  # [R_pad] int32 row indices (padding repeats a valid row)
-    refs, n_valid, ref_sq,
-    kappa2, col_block, metric, precision,
+def _repair_block_counts_packed(
+    q_dev, rows, refs, n_valid, ref_sq, tau, col_block, metric, precision,
 ):
-    """Exact top-κ₂ recompute for verify-flagged rows, in one dispatch:
-    device gather of the deficient rows + exact streaming top-k + one
-    packed D2H buffer ([bitcast(s), i] int32)."""
+    """Exact per-(row, block) ≥τ counts for the flagged rows (gather
+    fused in): one small matmul over |rows| query rows — NOT the whole
+    query set. The per-block resolution lets the repair extraction sort
+    ONLY the tiles that contain hits (a handful per row) instead of
+    running per-block top-k sorts over the whole corpus width. Returns
+    [S, n_blocks] int32 flattened."""
     block = jnp.take(q_dev, rows, axis=0).astype(refs.dtype)
-    top_s, top_i = streaming_topk(
-        block, refs, n_valid, ref_sq, kappa=kappa2, col_block=col_block,
-        metric=metric, precision=precision,
-    )
-    return jnp.concatenate([
-        jax.lax.bitcast_convert_type(
-            top_s.astype(jnp.float32), jnp.int32
-        ).reshape(-1),
-        top_i.astype(jnp.int32).reshape(-1),
-    ])
+    m = block.shape[0]
+    n_blocks = refs.shape[0] // col_block
+    prec = jax.lax.Precision(precision)
+    if metric == "L2":
+        b32 = block.astype(jnp.float32)
+        q_sq = jnp.sum(b32 * b32, axis=1)
+
+    def body(carry, block_idx):
+        start = block_idx * col_block
+        r_blk = jax.lax.dynamic_slice_in_dim(refs, start, col_block, axis=0)
+        s = jnp.dot(block, r_blk.T, precision=prec,
+                    preferred_element_type=jnp.float32)
+        if metric == "L2":
+            rs = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
+            s = 2.0 * s - rs[None, :] - q_sq[:, None]
+        in_range = jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1) < (
+            n_valid - start
+        )
+        above = (s >= tau) & in_range
+        return carry, jnp.sum(above, axis=1, dtype=jnp.int32)
+
+    _, per_block = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_blocks))
+    return jnp.transpose(per_block).reshape(-1)  # [S·n_blocks]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("col_block", "metric", "precision")
+    jax.jit, static_argnames=("k2b", "col_block", "metric", "precision")
 )
-def _repair_counts_packed(
-    q_dev, rows, refs, n_valid, ref_sq, tau, col_block, metric, precision,
+def _repair_tiles_packed(
+    q_dev, rows, pair_row, pair_block, refs, n_valid, ref_sq,
+    k2b, col_block, metric, precision,
 ):
-    """Exact ≥τ counts for just the flagged rows (gather fused in):
-    the per-row recompute budget κ₂. One small matmul over |rows|
-    query rows — NOT the whole query set (the full count pass this
-    replaces re-ran the entire corpus matmul)."""
+    """Exact top-k2b inside each flagged (row, block) score tile: ONE
+    narrow sort over just the tiles that hold ≥τ entries. The caller
+    sizes k2b ≥ the max per-tile count, so the tile top-k2b provably
+    contains every ≥τ entry of that tile. Packed [bitcast(v), lane]."""
     block = jnp.take(q_dev, rows, axis=0).astype(refs.dtype)
-    return streaming_count_above(
-        block, refs, n_valid, ref_sq, tau, col_block=col_block,
-        metric=metric, precision=precision,
-    )
+    s = _full_rows(block, refs, n_valid, ref_sq, metric, precision)
+    n_blocks = refs.shape[0] // col_block
+    flat = s.reshape(block.shape[0] * n_blocks, col_block)
+    tiles = jnp.take(flat, pair_row * n_blocks + pair_block, axis=0)
+    v, lane = jax.lax.top_k(tiles, k2b)
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(v, jnp.int32).reshape(-1),
+        lane.astype(jnp.int32).reshape(-1),
+    ])
 
 
 @functools.partial(
@@ -897,7 +955,7 @@ class SimilaritySearcher:
             precision=self.precision,
         )
 
-    def _collection_mode(self, m: int, approx: bool):
+    def _collection_mode(self, m: int, kappa: int, approx: bool):
         """Pick the approx collection implementation for an m-row query
         block: "pooled" (HBM winner pool, sort-free selection, exact
         pool counts) whenever the pool fits the budget; True (chunked
@@ -906,10 +964,14 @@ class SimilaritySearcher:
         if not approx:
             return False
         n_pad = self._refs.shape[0]
-        pool_bytes = 8 * m * POOL_SEG_KEEP * (n_pad // POOL_SEG_LANES)
+        p_total = POOL_SEG_KEEP * (n_pad // POOL_SEG_LANES)
+        pool_bytes = 8 * m * p_total
+        # κ approaching the pool width means extraction cannot hold the
+        # per-row candidates anyway (mass repair): stream instead.
         if (
             self.col_block % POOL_SEG_LANES == 0
             and pool_bytes <= POOL_BYTES_BUDGET
+            and 4 * kappa <= p_total
             and not (self.metric == "IP" and _use_pallas_kernels())
         ):
             return "pooled"
@@ -931,7 +993,7 @@ class SimilaritySearcher:
             rb = m
         else:
             rb = m // n_rb
-        mode = self._collection_mode(m, approx)
+        mode = self._collection_mode(m, kappa, approx)
         return _fused_candidates_packed(
             q_dev.astype(self._refs.dtype),
             self._refs,
@@ -1140,40 +1202,75 @@ class SimilaritySearcher:
         idx[: rows.size] = rows
         return jnp.take(q_dev, jnp.asarray(idx), axis=0)
 
-    def _repair_kernel(
-        self, queries, q_dev, rows: np.ndarray, n_pad: int, kappa2: int
+    def _collect_repairs(
+        self, queries, q_dev, saturated: np.ndarray, tau: float
     ):
-        """Exact top-κ₂ for the flagged rows: one dispatch (device
-        gather fused in), one packed D2H pull. The sharded searcher
-        overrides this (its refs live sharded; the gather must stay
-        outside the shard_map)."""
-        idx = np.zeros(n_pad, dtype=np.int32)
-        idx[: rows.size] = rows
-        buf = np.asarray(_repair_rows_packed(
-            q_dev, jnp.asarray(idx), self._refs, self._n_valid,
-            self._ref_sq, kappa2=kappa2, col_block=self.col_block,
-            metric=self.metric, precision=self.precision,
+        """All (score, query, ref) entries ≥ τ for the flagged rows,
+        exactly, in two dispatches per row chunk: exact per-(row, block)
+        ≥τ counts (one matmul over just these rows), then one narrow
+        top-k2b sort over ONLY the tiles that hold hits — a handful per
+        row, vs the per-block top-k sorts over the whole corpus width
+        this replaces (461 → ~60 ms for ~650 flagged rows at the 1M
+        corpus). The sharded searcher overrides this (its refs live
+        sharded)."""
+        n_pad = self._refs.shape[0]
+        n_blocks = n_pad // self.col_block
+        parts_s, parts_q, parts_r = [], [], []
+        # Chunk rows so the [S, n_pad] tile-extraction score buffer
+        # stays within ~1.5 GB of HBM.
+        chunk = max(8, min(
+            self.row_block,
+            ((3 << 29) // (4 * max(n_pad, 1))) // 8 * 8 or 8,
         ))
-        half = n_pad * kappa2
-        s = buf[:half].view(np.float32).reshape(n_pad, kappa2)
-        i = buf[half:].astype(np.int64).reshape(n_pad, kappa2)
-        return s, i
-
-    def _repair_count_kernel(
-        self, queries, q_dev, rows: np.ndarray, n_pad: int, tau: float
-    ) -> np.ndarray:
-        """Exact ≥τ counts for the flagged rows only (sizes the
-        recompute budget κ₂): one dispatch with the row gather fused
-        in. The sharded searcher overrides this (gather outside the
-        shard_map + the mesh count kernel)."""
-        idx = np.zeros(n_pad, dtype=np.int32)
-        idx[: rows.size] = rows
-        counts = np.asarray(_repair_counts_packed(
-            q_dev, jnp.asarray(idx), self._refs, self._n_valid,
-            self._ref_sq, jnp.float32(tau), col_block=self.col_block,
-            metric=self.metric, precision=self.precision,
-        ))
-        return counts[: rows.size].astype(np.int64)
+        for start in range(0, saturated.size, chunk):
+            rows = saturated[start : start + chunk]
+            # Pow-2 padding bounds the executable count (remote compiles
+            # cost ~30-60 s on relay-attached hosts).
+            n_fix = max(8, 1 << (rows.size - 1).bit_length())
+            idx = np.zeros(n_fix, dtype=np.int32)
+            idx[: rows.size] = rows
+            idx_dev = jnp.asarray(idx)
+            cb_counts = np.asarray(_repair_block_counts_packed(
+                q_dev, idx_dev, self._refs, self._n_valid, self._ref_sq,
+                jnp.float32(tau), col_block=self.col_block,
+                metric=self.metric, precision=self.precision,
+            )).reshape(n_fix, n_blocks)[: rows.size]
+            c_max = int(cb_counts.max(initial=0))
+            if c_max == 0:
+                continue
+            pr, pb = np.nonzero(cb_counts)
+            k2b = min(self.col_block, 1 << (c_max - 1).bit_length())
+            n_sel = pr.size
+            n_pad_sel = max(128, 1 << (n_sel - 1).bit_length())
+            pr_pad = np.zeros(n_pad_sel, dtype=np.int32)
+            pb_pad = np.zeros(n_pad_sel, dtype=np.int32)
+            pr_pad[:n_sel] = pr
+            pb_pad[:n_sel] = pb
+            buf = np.asarray(_repair_tiles_packed(
+                q_dev, idx_dev, jnp.asarray(pr_pad), jnp.asarray(pb_pad),
+                self._refs, self._n_valid, self._ref_sq, k2b=k2b,
+                col_block=self.col_block, metric=self.metric,
+                precision=self.precision,
+            ))
+            v = buf[: n_pad_sel * k2b].view(np.float32)
+            v = v.reshape(n_pad_sel, k2b)[:n_sel]
+            lane = buf[n_pad_sel * k2b :].reshape(n_pad_sel, k2b)[:n_sel]
+            si, sj = np.nonzero(v >= tau)
+            parts_s.append(v[si, sj])
+            parts_q.append(rows[pr[si]])
+            parts_r.append(
+                pb[si].astype(np.int64) * self.col_block + lane[si, sj]
+            )
+        if not parts_s:
+            return (
+                np.empty(0, np.float32), np.empty(0, np.int64),
+                np.empty(0, np.int64),
+            )
+        return (
+            np.concatenate(parts_s),
+            np.concatenate(parts_q),
+            np.concatenate(parts_r).astype(np.int64),
+        )
 
     def _collection_seg_lanes(self, kappa: int) -> int:
         """Lane-segment width for which the approx collection keeps the
@@ -1268,38 +1365,14 @@ class SimilaritySearcher:
                 all_s, all_i, counts, tau, kappa, mode
             )
             if saturated.size:
-                # Exact recompute of flagged rows: size κ₂ from their
-                # exact ≥τ counts (a matmul over just these rows), then
-                # a top-κ₂ big enough for every entry ≥ τ (compact
-                # [S, κ₂] transfer, not full score rows).
+                # Exact recompute of flagged rows over just those rows.
                 keep_mask = ~np.isin(flat_q, saturated)
-                parts_s = [flat_s[keep_mask]]
-                parts_q = [flat_q[keep_mask]]
-                parts_r = [flat_r[keep_mask]]
-                fix_rows = min(self.row_block, _ceil_to(saturated.size, 8))
-                for start in range(0, saturated.size, fix_rows):
-                    rows = saturated[start : start + fix_rows]
-                    counts = self._repair_count_kernel(
-                        queries, q_dev, rows, fix_rows, tau
-                    )
-                    c_max = int(counts.max(initial=0))
-                    if c_max == 0:
-                        continue
-                    kappa2 = min(
-                        self.n_refs, 1 << (c_max - 1).bit_length()
-                    )
-                    s, i = self._repair_kernel(
-                        queries, q_dev, rows, fix_rows, kappa2
-                    )
-                    s = np.asarray(s)[: rows.size]
-                    i = np.asarray(i)[: rows.size]
-                    sq, sr = np.nonzero(s >= tau)
-                    parts_s.append(s[sq, sr])
-                    parts_q.append(rows[sq])
-                    parts_r.append(i[sq, sr].astype(np.int64))
-                flat_s = np.concatenate(parts_s)
-                flat_q = np.concatenate(parts_q)
-                flat_r = np.concatenate(parts_r)
+                rep_s, rep_q, rep_r = self._collect_repairs(
+                    queries, q_dev, saturated, tau
+                )
+                flat_s = np.concatenate([flat_s[keep_mask], rep_s])
+                flat_q = np.concatenate([flat_q[keep_mask], rep_q])
+                flat_r = np.concatenate([flat_r[keep_mask], rep_r])
 
         # Final exact sort: score desc, then (q, r) asc for determinism.
         # Pre-filter to entries ≥ the k-th score so we only lexsort

@@ -246,20 +246,39 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             jnp.asarray(rows), self._refs, self._ref_sq, self._n_valid
         )
 
-    def _repair_kernel(self, queries, q_dev, rows, n_pad, kappa2):
+    def _collect_repairs(self, queries, q_dev, saturated, tau):
         """Structural-verify recompute over the mesh: gather the
-        flagged rows (host or device, outside the shard_map), then the
-        exact sharded top-κ₂ kernel."""
-        block = self._saturated_rows(queries, q_dev, rows, n_pad)
-        s, i = self._topk_kernel(block, kappa2, approx=False)
-        return np.asarray(s), np.asarray(i)
-
-    def _repair_count_kernel(self, queries, q_dev, rows, n_pad, tau):
-        """Exact ≥τ counts for the flagged rows over the mesh (the
-        gather stays outside the shard_map; counts psum over ICI)."""
-        block = self._saturated_rows(queries, q_dev, rows, n_pad)
-        counts = np.asarray(self._count_kernel(block, tau))
-        return counts[: rows.size].astype(np.int64)
+        flagged rows (host or device, outside the shard_map), size κ₂
+        from their psum'd exact ≥τ counts, then the exact sharded
+        top-κ₂ kernel. (The single-device tile-extraction scheme does
+        not apply: the score tiles live sharded.)"""
+        parts_s, parts_q, parts_r = [], [], []
+        fix_rows = min(self.row_block, _ceil_to(saturated.size, 8))
+        for start in range(0, saturated.size, fix_rows):
+            rows = saturated[start : start + fix_rows]
+            block = self._saturated_rows(queries, q_dev, rows, fix_rows)
+            counts = np.asarray(self._count_kernel(block, tau))[: rows.size]
+            c_max = int(counts.max(initial=0))
+            if c_max == 0:
+                continue
+            kappa2 = min(self.n_refs, 1 << (c_max - 1).bit_length())
+            s, i = self._topk_kernel(block, kappa2, approx=False)
+            s = np.asarray(s)[: rows.size]
+            i = np.asarray(i)[: rows.size]
+            sq, sr = np.nonzero(s >= tau)
+            parts_s.append(s[sq, sr])
+            parts_q.append(rows[sq])
+            parts_r.append(i[sq, sr].astype(np.int64))
+        if not parts_s:
+            return (
+                np.empty(0, np.float32), np.empty(0, np.int64),
+                np.empty(0, np.int64),
+            )
+        return (
+            np.concatenate(parts_s),
+            np.concatenate(parts_q),
+            np.concatenate(parts_r),
+        )
 
     def _collection_seg_lanes(self, kappa: int) -> int:
         """Per-shard approx collection guarantee (the Pallas route is
@@ -276,7 +295,7 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             return seg_lanes
         return 0
 
-    def _collection_mode(self, m: int, approx: bool):
+    def _collection_mode(self, m: int, kappa: int, approx: bool):
         """The sharded collection always streams per shard (pools and
         their collective selection are a single-device design)."""
         return bool(approx)

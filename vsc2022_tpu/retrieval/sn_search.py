@@ -100,7 +100,7 @@ class ScoreNormalizedSearcher:
             rb = s._plan_row_block(nq)
             ns = self.noise_searcher
             q_dev = ns._stage_queries(queries, rb)
-            mode = s._collection_mode(q_dev.shape[0], True)
+            mode = s._collection_mode(q_dev.shape[0], kappa_eff, True)
             packed, q_sn = _fused_sn_candidates_packed(
                 q_dev,
                 ns._refs, ns._n_valid, ns._ref_sq,
