@@ -132,3 +132,69 @@ class TestPallasRoutedGlobalTopK:
         np.testing.assert_array_equal(qi, order // n)
         np.testing.assert_array_equal(ri, order % n)
         np.testing.assert_allclose(scores, flat[order], rtol=1e-6)
+
+
+class TestPoolWriter:
+    def test_best2_per_segment_matches_oracle(self):
+        from vsc2022_tpu.ops.pallas_kernels import (
+            POOL_COL_TILE,
+            POOL_ROW_TILE,
+            SEG_LANES,
+            pool_writer,
+        )
+
+        rng = np.random.RandomState(9)
+        m, n, d = POOL_ROW_TILE, 2 * POOL_COL_TILE, 16
+        n_valid = n - 137  # padding columns must never win
+        q = rng.randn(m, d).astype(np.float32)
+        r = rng.randn(n, d).astype(np.float32)
+        # Exact ties inside one segment (planted copies do this):
+        # best-2 must keep both tied copies.
+        r[5] = r[7]
+        q[3] = r[5] * 3.0
+        pv, pi = pool_writer(
+            jnp.asarray(q), jnp.asarray(r), jnp.int32(n_valid),
+            interpret=True,
+        )
+        pv, pi = np.asarray(pv), np.asarray(pi)
+        scores = q @ r.T
+        scores[:, n_valid:] = -np.inf
+        n_seg = n // SEG_LANES
+        ppt = 2 * (POOL_COL_TILE // SEG_LANES)
+        for row in range(0, m, 97):
+            for s in range(n_seg):
+                seg_scores = scores[row, s * SEG_LANES : (s + 1) * SEG_LANES]
+                top2 = np.sort(seg_scores)[::-1][:2]
+                tile, seg_in_tile = divmod(s, POOL_COL_TILE // SEG_LANES)
+                base = tile * ppt
+                got = sorted(
+                    [pv[row, base + seg_in_tile],
+                     pv[row, base + ppt // 2 + seg_in_tile]],
+                    reverse=True,
+                )
+                np.testing.assert_allclose(got, top2, rtol=1e-5, atol=1e-5)
+        # Ids point at cells holding the reported values.
+        mask = np.isfinite(pv)
+        np.testing.assert_allclose(
+            scores[np.arange(m)[:, None], np.where(mask, pi, 0)][mask],
+            pv[mask], rtol=1e-5, atol=1e-5,
+        )
+
+    def test_pooled_route_global_topk_exact(self, monkeypatch):
+        from vsc2022_tpu.ops.similarity import SimilaritySearcher
+
+        monkeypatch.setenv("VSC2022_TPU_POOL_PALLAS", "interpret")
+        rng = np.random.RandomState(6)
+        nq, n, d, k = 23, 2977, 24, 700
+        q = rng.randint(-3, 4, size=(nq, d)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(n, d)).astype(np.float32)
+        searcher = SimilaritySearcher(r, precision="highest")
+        qi, ri, s = searcher.global_topk(q, k)
+        dense = q.astype(np.float64) @ r.astype(np.float64).T
+        order = np.lexsort((
+            np.tile(np.arange(n), nq), np.repeat(np.arange(nq), n),
+            -dense.ravel(),
+        ))[:k]
+        oqi, ori = np.unravel_index(order, dense.shape)
+        np.testing.assert_array_equal(qi, oqi)
+        np.testing.assert_array_equal(ri, ori)

@@ -285,6 +285,71 @@ def main(args):
 
     timeit("pooled:pool", lambda: sync(pooled_stage(q, refs, "pool")))
     timeit("pooled:tau", lambda: sync(pooled_stage(q, refs, "tau")))
+
+    # Pool-build variants: scan-carry dynamic_update_slice (library)
+    # vs stacked-ys + transpose vs reduction-only (no pool write).
+    seg = cb // 128
+    ppb = 2 * seg
+
+    def vred_block(s3, gid3):
+        def comb(acc, x):
+            am1, aa1, am2, aa2 = acc
+            bm1, ba1, bm2, ba2 = x
+            a_first = am1 >= bm1
+            m1 = jnp.where(a_first, am1, bm1)
+            a1 = jnp.where(a_first, aa1, ba1)
+            lo = jnp.where(a_first, bm1, am1)
+            lo_i = jnp.where(a_first, ba1, aa1)
+            sec = jnp.where(a_first, am2, bm2)
+            sec_i = jnp.where(a_first, aa2, ba2)
+            t = lo >= sec
+            return m1, a1, jnp.where(t, lo, sec), jnp.where(t, lo_i, sec_i)
+
+        return jax.lax.reduce(
+            (s3, gid3, jnp.full_like(s3, NEG_INF), jnp.zeros_like(gid3)),
+            (jnp.float32(NEG_INF), jnp.int32(0),
+             jnp.float32(NEG_INF), jnp.int32(0)),
+            comb, (2,))
+
+    def block_pool_parts(q, refs, bi):
+        start = bi * cb
+        r_blk = jax.lax.dynamic_slice_in_dim(refs, start, cb, axis=0)
+        s = jnp.dot(q, r_blk.T, precision=prec,
+                    preferred_element_type=jnp.float32)
+        in_range = jax.lax.broadcasted_iota(
+            jnp.int32, (m, cb), 1) < (n_valid - start)
+        s = jnp.where(in_range, s, NEG_INF)
+        s3 = s.reshape(m, seg, 128)
+        gid3 = start + (
+            jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2))
+        m1, a1, m2, a2 = vred_block(s3, gid3)
+        return (jnp.concatenate([m1, m2], axis=1),
+                jnp.concatenate([a1, a2], axis=1))
+
+    @jax.jit
+    def pool_ys(q, refs):
+        def body(c, bi):
+            return c, block_pool_parts(q, refs, bi)
+
+        _, (pv4, pi4) = jax.lax.scan(body, jnp.int32(0),
+                                     jnp.arange(n_blocks))
+        pv = jnp.moveaxis(pv4, 0, 1).reshape(m, -1)
+        pi = jnp.moveaxis(pi4, 0, 1).reshape(m, -1)
+        return jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
+
+    timeit("pool_ys_transpose", lambda: sync(pool_ys(q, refs)))
+
+    @jax.jit
+    def pool_reduce_only(q, refs):
+        def body(c, bi):
+            pvb, pib = block_pool_parts(q, refs, bi)
+            return c + jnp.sum(pvb) + jnp.sum(pib).astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_blocks))
+        return out
+
+    timeit("pool_reduce_only", lambda: sync(pool_reduce_only(q, refs)))
     buf = fused_pooled()
     sync(buf)
     timeit("pull_packed", lambda: np.asarray(buf))

@@ -21,22 +21,25 @@ across column tiles and the result is written on the last one. Operand
 tiles stream HBM→VMEM via the standard pallas pipeline (double-buffered
 by the Mosaic compiler).
 
+  * ``pool_writer``     — matmul + best-2-per-128-segment winner-pool
+    writer, the round-3 production collection kernel (DEFAULT-ON on
+    TPU backends; see ops/similarity.pooled_candidates for routing and
+    the selection machinery that runs on its output).
+
 On non-TPU backends the kernels run in interpreter mode (tests).
 
-Routing: the searcher uses these only when VSC2022_TPU_USE_PALLAS=1
-(or =interpret for the Pallas interpreter on any backend, used in
-tests). Validated on TPU hardware (round 2, v5e via relay): fused_topk
-exact-entry check + 0.992 recall at κ=32, first compile ~101 s through
-the remote-compile relay, warm calls ~35 ms for [1024×16384×512].
-Honest measurement vs the gather-free XLA collection
-(ops/similarity.py): the XLA path is FASTER at production shapes —
-64 vs 128 ms at [9216×65536×512] and 395 vs 1507 ms at
-[9216×1M×512], both in-process on the chip — because fused_topk's
-sort-free min-replacement folds candidates one at a time (2·seg scans
-per tile) while the XLA path amortizes selection into a few wide
-max/argmax passes + one narrow top-k. The kernels stay opt-in as the
-HBM-traffic-free variant; treat them as the starting point if a future
-kernel batches the κ-set folding.
+Routing: pool_writer is default-on for TPU backends
+(VSC2022_TPU_POOL_PALLAS=0 disables, =interpret tests it on CPU); the
+round-2 kernels below it remain opt-in via VSC2022_TPU_USE_PALLAS=1
+(or =interpret). History, kept for the record: fused_topk — matmul +
+per-row top-κ with min-replacement folding — measured SLOWER than the
+XLA collection at production shapes (395 vs 1507 ms at [9216×1M×512],
+in-process) because it folds candidates one at a time. pool_writer is
+the redesign that won: it does NO cross-tile selection at all, only
+the per-segment best-2 reduction while the score tile is in VMEM, and
+leaves selection to the pool-side machinery (bit-level k-th search +
+narrow top-k), where the XLA formulations of the same reduction are
+HBM-bandwidth-bound at ~3.5× the matmul floor.
 """
 
 from __future__ import annotations
@@ -176,6 +179,109 @@ def fused_count_above(
         jnp.reshape(n_valid, (1,)).astype(jnp.int32),
     )
     return out[:, 0]
+
+
+POOL_ROW_TILE = 512
+POOL_COL_TILE = 1024
+
+
+def _pool_writer_kernel(
+    q_ref, r_ref, n_valid_ref, out_v_ref, out_i_ref, *, precision
+):
+    """Fused matmul + best-2-per-128-lane-segment pool writer.
+
+    Unlike the round-2 fused_topk (whose per-candidate min-replacement
+    folding made it 4× slower than XLA at corpus scale), this kernel
+    does NO selection across tiles: it reduces each [RT, CT] score tile
+    to its per-segment best-2 (values + global column ids) while the
+    tile is still in VMEM and writes only that [RT, 2·CT/128] pool
+    slice to HBM. The scores never touch HBM — the XLA formulations of
+    the same reduction are bandwidth-bound at ~3.5× the matmul time
+    ([9000×1M×512]: 282 ms vs the 82 ms matmul floor; the pool
+    selection machinery lives in ops/similarity.pooled_candidates)."""
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+    del i
+    s = jnp.dot(q_ref[:], r_ref[:].T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision(precision))
+    rt, ct = s.shape
+    col0 = j * ct
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col_ids < n_valid_ref[0], s, NEG_INF)
+
+    seg = ct // SEG_LANES
+    s3 = s.reshape(rt, seg, SEG_LANES)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    m1 = jnp.max(s3, axis=2)
+    a1 = jnp.min(
+        jnp.where(s3 == m1[:, :, None], lane3, SEG_LANES), axis=2
+    )
+    s3b = jnp.where(lane3 == a1[:, :, None], NEG_INF, s3)
+    m2 = jnp.max(s3b, axis=2)
+    a2 = jnp.min(
+        jnp.where(s3b == m2[:, :, None], lane3, SEG_LANES), axis=2
+    )
+    seg_base = col0 + jax.lax.broadcasted_iota(
+        jnp.int32, (rt, seg), 1
+    ) * SEG_LANES
+    # Transposed output blocks: TPU lowering needs the minor output dim
+    # to be 128-divisible, and the per-tile pool is only 2·CT/128 wide —
+    # so pools are written [P, M] (row tile minor) and transposed back
+    # outside the kernel.
+    out_v_ref[:] = jnp.concatenate([m1, m2], axis=1).T
+    out_i_ref[:] = jnp.concatenate(
+        [seg_base + jnp.minimum(a1, SEG_LANES - 1),
+         seg_base + jnp.minimum(a2, SEG_LANES - 1)], axis=1
+    ).T
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def pool_writer(
+    q: jax.Array,  # [M, D], M % POOL_ROW_TILE == 0 (f32 or bf16)
+    refs: jax.Array,  # [N, D], N % POOL_COL_TILE == 0
+    n_valid: jax.Array,  # scalar int32 (#real ref rows)
+    precision: str = "highest",
+    interpret: bool = False,
+):
+    """Best-2-per-128-segment winner pool of q·refsᵀ, [M, 2·N/128]
+    (values f32 best-first per segment, global column ids int32),
+    laid out tile-major: columns [j·2s ... (j+1)·2s) hold column tile
+    j's [m1 × s | m2 × s] (s = COL_TILE/128 segments)."""
+    m, d = q.shape
+    n = refs.shape[0]
+    grid = (n // POOL_COL_TILE, m // POOL_ROW_TILE)  # rows iterate fastest
+    ppt = 2 * (POOL_COL_TILE // SEG_LANES)
+    import functools as _ft
+
+    out_v, out_i = pl.pallas_call(
+        _ft.partial(_pool_writer_kernel, precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((POOL_ROW_TILE, d), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((POOL_COL_TILE, d), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ppt, POOL_ROW_TILE), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppt, POOL_ROW_TILE), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ppt * grid[0], m), jnp.float32),
+            jax.ShapeDtypeStruct((ppt * grid[0], m), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * d,
+            bytes_accessed=(m * d + n * d * (m // POOL_ROW_TILE)
+                            + 2 * m * ppt * grid[0]) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, refs, jnp.reshape(n_valid, (1,)).astype(jnp.int32))
+    return jnp.transpose(out_v), jnp.transpose(out_i)
 
 
 SEG_LANES = 128  # candidate granularity: best 2 per 128-lane segment

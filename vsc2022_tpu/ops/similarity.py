@@ -420,6 +420,41 @@ def pooled_candidates(
     p_total = n_blocks * pool_per_block
     prec = jax.lax.Precision(precision)
 
+    # The fused Pallas pool writer is DEFAULT-ON on TPU backends
+    # (VSC2022_TPU_POOL_PALLAS=0 disables; =interpret runs it through
+    # the Pallas interpreter on any backend, for tests). Unlike the
+    # legacy VSC2022_TPU_USE_PALLAS kernels it needs no opt-in: it has
+    # no cross-tile folding, and exactness is guarded by the pool
+    # count-verify regardless of kernel recall.
+    pool_flag = os.environ.get("VSC2022_TPU_POOL_PALLAS", "")
+    use_kernel = metric == "IP" and (
+        pool_flag == "interpret"
+        or (pool_flag != "0" and jax.default_backend() == "tpu")
+    )
+    if use_kernel:
+        # Fused Pallas pool writer: the scores never touch HBM (the
+        # XLA scan below is bandwidth-bound at ~3.5× the matmul time).
+        # Tile-major pool layout, same best-2-per-128 guarantee.
+        from vsc2022_tpu.ops.pallas_kernels import (
+            POOL_COL_TILE,
+            POOL_ROW_TILE,
+            pool_writer,
+        )
+
+        m_pad = _ceil_to(m, POOL_ROW_TILE)
+        n_kpad = _ceil_to(n_pad, POOL_COL_TILE)
+        qk = q if m_pad == m else jnp.pad(q, ((0, m_pad - m), (0, 0)))
+        rk = refs if n_kpad == n_pad else jnp.pad(
+            refs, ((0, n_kpad - n_pad), (0, 0))
+        )
+        pv, pi = pool_writer(
+            qk.astype(refs.dtype), rk, n_valid, precision=precision,
+            interpret=pool_flag == "interpret",
+        )
+        return _pool_select(
+            pv, pi, m_pad, n_rows, k_eff, kappa, debug_stage
+        )
+
     def seg_top2(s3, gid3):
         """Best-2 (value, id) per segment in ONE pass: an 8-ary
         variadic reduce whose combiner merges two sorted top-2 sets.
@@ -498,6 +533,16 @@ def pooled_candidates(
         return pv_b, pi_b
 
     pv, pi = _scan_row_blocks(pool_block, q, row_block)
+    return _pool_select(pv, pi, m, n_rows, k_eff, kappa, debug_stage)
+
+
+def _pool_select(pv, pi, m, n_rows, k_eff, kappa, debug_stage=""):
+    """Selection over an HBM-resident winner pool [M, P]: the exact
+    global k-th threshold (bit-level binary search, no sort), exact
+    per-row ≥τ counts, and candidate extraction (hierarchical reduce +
+    one narrow exact top-κ). Shared by the XLA-scan and Pallas pool
+    builders; see pooled_candidates for the exactness contract."""
+    p_total = pv.shape[1]
     if debug_stage == "pool":
         z = jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
         return z, z, z, z
