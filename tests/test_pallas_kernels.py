@@ -139,12 +139,14 @@ class TestPoolWriter:
         from vsc2022_tpu.ops.pallas_kernels import (
             POOL_COL_TILE,
             POOL_ROW_TILE,
+            POOL_TILES_PER_BAND,
             SEG_LANES,
             pool_writer,
         )
 
         rng = np.random.RandomState(9)
-        m, n, d = POOL_ROW_TILE, 2 * POOL_COL_TILE, 16
+        m, d = POOL_ROW_TILE, 16
+        n = POOL_TILES_PER_BAND * POOL_COL_TILE  # one full output band
         n_valid = n - 137  # padding columns must never win
         q = rng.randn(m, d).astype(np.float32)
         r = rng.randn(n, d).astype(np.float32)

@@ -286,6 +286,25 @@ def main(args):
     timeit("pooled:pool", lambda: sync(pooled_stage(q, refs, "pool")))
     timeit("pooled:tau", lambda: sync(pooled_stage(q, refs, "tau")))
 
+    # Same-process kernel-vs-XLA pool build (routing reads the env at
+    # trace time; a distinct static tag forces a fresh trace).
+    for flag, tag in (("0", "xla"), ("", "krn")):
+        os.environ["VSC2022_TPU_POOL_PALLAS"] = flag
+
+        @functools.partial(jax.jit, static_argnames=("stage", "tag"))
+        def pooled_tagged(q, refs, stage, tag):
+            return S.pooled_candidates(
+                q, refs, n_valid, ref_sq,
+                jnp.asarray(m, jnp.int32), jnp.asarray(k_eff, jnp.int32),
+                kappa=kappa, col_block=cb, metric="IP",
+                precision=args.precision, row_block=m, debug_stage=stage)
+
+        timeit(f"pool_build[{tag}]",
+               lambda f=pooled_tagged: sync(f(q, refs, "pool", tag)))
+        timeit(f"pool_full[{tag}]",
+               lambda f=pooled_tagged: sync(f(q, refs, "", tag)))
+    os.environ.pop("VSC2022_TPU_POOL_PALLAS", None)
+
     # Pool-build variants: scan-carry dynamic_update_slice (library)
     # vs stacked-ys + transpose vs reduction-only (no pool write).
     seg = cb // 128

@@ -183,6 +183,7 @@ def fused_count_above(
 
 POOL_ROW_TILE = 512
 POOL_COL_TILE = 1024
+POOL_TILES_PER_BAND = 8  # column tiles per 128-wide output band
 
 
 def _pool_writer_kernel(
@@ -198,16 +199,37 @@ def _pool_writer_kernel(
     slice to HBM. The scores never touch HBM — the XLA formulations of
     the same reduction are bandwidth-bound at ~3.5× the matmul time
     ([9000×1M×512]: 282 ms vs the 82 ms matmul floor; the pool
-    selection machinery lives in ops/similarity.pooled_candidates)."""
-    i = pl.program_id(1)
-    j = pl.program_id(0)
-    del i
-    s = jnp.dot(q_ref[:], r_ref[:].T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision(precision))
+    selection machinery lives in ops/similarity.pooled_candidates).
+
+    Output layout: the TPU lowering wants a 128-divisible minor output
+    dim but one tile's pool is only 16 wide, so 8 consecutive column
+    tiles share one [RT, 128] output band (the band block stays VMEM-
+    resident across those grid steps). Tile results land in their band
+    slot via a [16, 128] identity-row placement matmul — Mosaic proves
+    the identity's dynamic sublane slice 8-aligned, whereas a 16-lane
+    offset store is rejected outright and an earlier [RT, 16].T
+    formulation spent more time in sublane shuffles than in the
+    matmul. −inf must not enter the placement product (−inf·0 = NaN),
+    so a finite sentinel stands in and is restored on the band's last
+    step."""
+    j = pl.program_id(1)
+    # Operands arrive pre-cast (bf16 for default precision — casting
+    # inside the kernel re-ran per grid step, ~100 ms of pure cast
+    # traffic at [9000x1M]); the dot accumulates f32 either way. Mosaic
+    # rejects an fp32-precision attribute on bf16 operands, so bf16
+    # inputs take the native single-pass matmul.
+    if q_ref.dtype == jnp.bfloat16:
+        s = jnp.dot(q_ref[:], r_ref[:].T,
+                    preferred_element_type=jnp.float32)
+    else:
+        s = jnp.dot(q_ref[:], r_ref[:].T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision(precision))
     rt, ct = s.shape
     col0 = j * ct
+    neg_sentinel = jnp.float32(-3.0e38)
     col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col_ids < n_valid_ref[0], s, NEG_INF)
+    s = jnp.where(col_ids < n_valid_ref[0], s, neg_sentinel)
 
     seg = ct // SEG_LANES
     s3 = s.reshape(rt, seg, SEG_LANES)
@@ -216,7 +238,7 @@ def _pool_writer_kernel(
     a1 = jnp.min(
         jnp.where(s3 == m1[:, :, None], lane3, SEG_LANES), axis=2
     )
-    s3b = jnp.where(lane3 == a1[:, :, None], NEG_INF, s3)
+    s3b = jnp.where(lane3 == a1[:, :, None], neg_sentinel, s3)
     m2 = jnp.max(s3b, axis=2)
     a2 = jnp.min(
         jnp.where(s3b == m2[:, :, None], lane3, SEG_LANES), axis=2
@@ -224,32 +246,67 @@ def _pool_writer_kernel(
     seg_base = col0 + jax.lax.broadcasted_iota(
         jnp.int32, (rt, seg), 1
     ) * SEG_LANES
-    # Transposed output blocks: TPU lowering needs the minor output dim
-    # to be 128-divisible, and the per-tile pool is only 2·CT/128 wide —
-    # so pools are written [P, M] (row tile minor) and transposed back
-    # outside the kernel.
-    out_v_ref[:] = jnp.concatenate([m1, m2], axis=1).T
-    out_i_ref[:] = jnp.concatenate(
+    ppt = 2 * seg
+    t = j % POOL_TILES_PER_BAND
+    band_w = POOL_TILES_PER_BAND * ppt
+    # placer[u, c] = 1 iff c == t·ppt + u — built from iotas (Mosaic has
+    # no dynamic_slice lowering for slicing identity rows).
+    prow = jax.lax.broadcasted_iota(jnp.int32, (ppt, band_w), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (ppt, band_w), 1)
+    placer = (pcol == t * ppt + prow).astype(jnp.float32)
+    vals = jnp.concatenate([m1, m2], axis=1)
+    ids = jnp.concatenate(
         [seg_base + jnp.minimum(a1, SEG_LANES - 1),
          seg_base + jnp.minimum(a2, SEG_LANES - 1)], axis=1
-    ).T
+    )
+    placed_v = jnp.dot(vals, placer, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    # Ids ride the same placement matmul exactly (corpus ids < 2^24).
+    placed_i = jnp.dot(ids.astype(jnp.float32), placer,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(t == 0)
+    def _():
+        out_v_ref[:] = placed_v
+        out_i_ref[:] = placed_i.astype(jnp.int32)
+
+    @pl.when(t != 0)
+    def _():
+        out_v_ref[:] = out_v_ref[:] + placed_v
+        out_i_ref[:] = out_i_ref[:] + placed_i.astype(jnp.int32)
+
+    @pl.when(t == POOL_TILES_PER_BAND - 1)
+    def _():
+        out_v_ref[:] = jnp.where(
+            out_v_ref[:] <= neg_sentinel, NEG_INF, out_v_ref[:]
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "interpret"))
 def pool_writer(
     q: jax.Array,  # [M, D], M % POOL_ROW_TILE == 0 (f32 or bf16)
-    refs: jax.Array,  # [N, D], N % POOL_COL_TILE == 0
+    refs: jax.Array,  # [N, D], N % (8·POOL_COL_TILE) == 0
     n_valid: jax.Array,  # scalar int32 (#real ref rows)
     precision: str = "highest",
     interpret: bool = False,
 ):
     """Best-2-per-128-segment winner pool of q·refsᵀ, [M, 2·N/128]
     (values f32 best-first per segment, global column ids int32),
-    laid out tile-major: columns [j·2s ... (j+1)·2s) hold column tile
-    j's [m1 × s | m2 × s] (s = COL_TILE/128 segments)."""
+    laid out band-major: band b holds column tiles 8b..8b+7, tile t of
+    a band at band columns [16t, 16t+16) as [m1 × 8 | m2 × 8]."""
+    if precision == "default":
+        # XLA's DEFAULT-for-f32 dot semantics: one bf16 pass with f32
+        # accumulation. Cast once out here — not per grid step.
+        q = q.astype(jnp.bfloat16)
+        refs = refs.astype(jnp.bfloat16)
+        precision = "highest"
     m, d = q.shape
     n = refs.shape[0]
-    grid = (n // POOL_COL_TILE, m // POOL_ROW_TILE)  # rows iterate fastest
+    band = POOL_TILES_PER_BAND
+    assert m % POOL_ROW_TILE == 0, m
+    assert n % (band * POOL_COL_TILE) == 0, n  # whole output bands
+    grid = (m // POOL_ROW_TILE, n // POOL_COL_TILE)  # cols iterate fastest
     ppt = 2 * (POOL_COL_TILE // SEG_LANES)
     import functools as _ft
 
@@ -257,31 +314,34 @@ def pool_writer(
         _ft.partial(_pool_writer_kernel, precision=precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((POOL_ROW_TILE, d), lambda j, i: (i, 0),
+            pl.BlockSpec((POOL_ROW_TILE, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((POOL_COL_TILE, d), lambda j, i: (j, 0),
+            pl.BlockSpec((POOL_COL_TILE, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((ppt, POOL_ROW_TILE), lambda j, i: (j, i),
+            pl.BlockSpec((POOL_ROW_TILE, band * ppt),
+                         lambda i, j: (i, j // band),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ppt, POOL_ROW_TILE), lambda j, i: (j, i),
+            pl.BlockSpec((POOL_ROW_TILE, band * ppt),
+                         lambda i, j: (i, j // band),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((ppt * grid[0], m), jnp.float32),
-            jax.ShapeDtypeStruct((ppt * grid[0], m), jnp.int32),
+            jax.ShapeDtypeStruct((m, ppt * grid[1]), jnp.float32),
+            jax.ShapeDtypeStruct((m, ppt * grid[1]), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * d,
-            bytes_accessed=(m * d + n * d * (m // POOL_ROW_TILE)
-                            + 2 * m * ppt * grid[0]) * 4,
+            bytes_accessed=(m * d * (n // (band * POOL_COL_TILE))
+                            + n * d * (m // POOL_ROW_TILE)
+                            + 2 * m * ppt * grid[1]) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(q, refs, jnp.reshape(n_valid, (1,)).astype(jnp.int32))
-    return jnp.transpose(out_v), jnp.transpose(out_i)
+    return out_v, out_i
 
 
 SEG_LANES = 128  # candidate granularity: best 2 per 128-lane segment

@@ -420,16 +420,17 @@ def pooled_candidates(
     p_total = n_blocks * pool_per_block
     prec = jax.lax.Precision(precision)
 
-    # The fused Pallas pool writer is DEFAULT-ON on TPU backends
-    # (VSC2022_TPU_POOL_PALLAS=0 disables; =interpret runs it through
-    # the Pallas interpreter on any backend, for tests). Unlike the
-    # legacy VSC2022_TPU_USE_PALLAS kernels it needs no opt-in: it has
-    # no cross-tile folding, and exactness is guarded by the pool
-    # count-verify regardless of kernel recall.
+    # The fused Pallas pool writer (VSC2022_TPU_POOL_PALLAS=1 on TPU;
+    # =interpret runs it through the Pallas interpreter on any backend,
+    # for tests) is OPT-IN: measured same-process at [9000x1M.512] it
+    # builds the pool in 441 ms vs 302 ms for the XLA carry-scan below
+    # (v5e, jax 0.8 Mosaic) — per-grid-step overhead at 17k steps
+    # outweighs the HBM round trip it saves. Exactness is guarded by
+    # the pool count-verify under either builder.
     pool_flag = os.environ.get("VSC2022_TPU_POOL_PALLAS", "")
     use_kernel = metric == "IP" and (
         pool_flag == "interpret"
-        or (pool_flag != "0" and jax.default_backend() == "tpu")
+        or (pool_flag == "1" and jax.default_backend() == "tpu")
     )
     if use_kernel:
         # Fused Pallas pool writer: the scores never touch HBM (the
@@ -438,11 +439,12 @@ def pooled_candidates(
         from vsc2022_tpu.ops.pallas_kernels import (
             POOL_COL_TILE,
             POOL_ROW_TILE,
+            POOL_TILES_PER_BAND,
             pool_writer,
         )
 
         m_pad = _ceil_to(m, POOL_ROW_TILE)
-        n_kpad = _ceil_to(n_pad, POOL_COL_TILE)
+        n_kpad = _ceil_to(n_pad, POOL_TILES_PER_BAND * POOL_COL_TILE)
         qk = q if m_pad == m else jnp.pad(q, ((0, m_pad - m), (0, 0)))
         rk = refs if n_kpad == n_pad else jnp.pad(
             refs, ((0, n_kpad - n_pad), (0, 0))
@@ -570,8 +572,12 @@ def _pool_select(pv, pi, m, n_rows, k_eff, kappa, debug_stage=""):
             jnp.where(take, hi, mid - jnp.uint32(1)),
         )
 
+    # 24 of the 32 key bits suffice: the remaining slack admits only
+    # candidates within 2^8 ULP below the true k-th — a negligible
+    # over-collection the host's final exact cut absorbs (τ̂ ≤ τ* holds
+    # by construction: the count at the returned key is ≥ k).
     tau_key, _ = jax.lax.fori_loop(
-        0, 32, search_body,
+        0, 24, search_body,
         (jnp.uint32(0), _f32_sort_key(jnp.float32(jnp.inf))),
     )
     tau = jnp.where(
@@ -1054,15 +1060,6 @@ class SimilaritySearcher:
             row_block=rb,
         ), mode
 
-    def _full_kernel(self, rows: np.ndarray):
-        return _full_rows(
-            jnp.asarray(rows).astype(self._refs.dtype),
-            self._refs,
-            self._n_valid,
-            self._ref_sq,
-            metric=self.metric,
-            precision=self.precision,
-        )
 
     # ---- per-row top-k -------------------------------------------------
 
@@ -1217,10 +1214,11 @@ class SimilaritySearcher:
     def _plan(self, nq: int, k: int, kappa: Optional[int] = None):
         """Per-row candidate budget κ and the effective k."""
         if kappa is None:
-            # ~2× the average per-row need: device→host candidate
-            # traffic is proportional to κ, and the count-verify pass
-            # repairs any under-collection exactly.
-            kappa = max(32, 2 * math.ceil(k / max(nq, 1)))
+            # ~1.5× the average per-row need: device→host candidate
+            # traffic and the extraction sort are proportional to κ,
+            # and the structural verify repairs any under-collection
+            # exactly (rows above budget flag via the pool counts).
+            kappa = max(32, math.ceil(1.5 * k / max(nq, 1)))
             kappa = 1 << (kappa - 1).bit_length()  # next power of two
         return min(kappa, self.n_refs), min(k, nq * self.n_refs)
 

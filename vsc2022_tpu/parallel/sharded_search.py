@@ -117,31 +117,6 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         )
         return jax.jit(fn)
 
-    def _build_full(self):
-        axis, shard_rows = self.axis, self.shard_rows
-        metric, precision = self.metric, self.precision
-
-        def local_fn(q, refs_local, ref_sq_local, n_valid):
-            prec = jax.lax.Precision(precision)
-            s = jnp.dot(q, refs_local.T, precision=prec,
-                        preferred_element_type=jnp.float32)
-            if metric == "L2":
-                q_sq = jnp.sum(q * q, axis=1)
-                s = 2.0 * s - ref_sq_local[None, :] - q_sq[:, None]
-            base = jax.lax.axis_index(axis) * shard_rows
-            col_ids = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col_ids < n_valid, s, NEG_INF)
-            gathered = jax.lax.all_gather(s, axis)  # [n_dev, S, shard]
-            return jnp.moveaxis(gathered, 0, 1).reshape(q.shape[0], -1)
-
-        fn = shard_map(
-            local_fn,
-            mesh=self.mesh,
-            in_specs=(P(), P(self.axis, None), P(self.axis), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
-        return jax.jit(fn)
 
     def _build_count(self):
         axis, shard_rows = self.axis, self.shard_rows
@@ -239,12 +214,6 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             jnp.float32(tau),
         )
 
-    def _full_kernel(self, rows: np.ndarray):
-        if "fn" not in self._full_fns:
-            self._full_fns["fn"] = self._build_full()
-        return self._full_fns["fn"](
-            jnp.asarray(rows), self._refs, self._ref_sq, self._n_valid
-        )
 
     def _collect_repairs(self, queries, q_dev, saturated, tau):
         """Structural-verify recompute over the mesh: gather the
