@@ -69,6 +69,104 @@ class TestSSCDModel:
         )
 
 
+class TestFoldBN:
+    """BN folding (models/fold.py): the folded model + folded params
+    must reproduce the unfolded forward to float32 roundoff."""
+
+    @staticmethod
+    def _randomize_bn(variables, seed=0):
+        """Non-trivial running stats + BN affines, so folding isn't a
+        no-op (init leaves mean=0/var=1/scale=1/bias=0)."""
+        rng = np.random.RandomState(seed)
+
+        def jitter(tree, low, high):
+            return jax.tree.map(
+                lambda a: jnp.asarray(
+                    rng.uniform(low, high, np.shape(a)).astype(np.float32)
+                ),
+                tree,
+            )
+
+        def jitter_bn_affines(params):
+            out = {}
+            for name, sub in params.items():
+                if not isinstance(sub, dict):
+                    out[name] = sub
+                elif name.startswith("bn") or name == "downsample_bn":
+                    out[name] = {
+                        "scale": jitter(sub["scale"], 0.5, 1.5),
+                        "bias": jitter(sub["bias"], -0.3, 0.3),
+                    }
+                else:
+                    out[name] = jitter_bn_affines(sub)
+            return out
+
+        variables = dict(variables)
+        # Stats: mean in [-0.5, 0.5], var in [0.25, 0.75].
+        stats = jitter(variables["batch_stats"], -0.5, 0.5)
+        variables["batch_stats"] = jax.tree.map(
+            lambda a: jnp.abs(a) + 0.25, stats
+        )
+        variables["params"] = jitter_bn_affines(variables["params"])
+        return variables
+
+    def test_sscd_fold_equivalence(self):
+        from vsc2022_tpu.models.fold import fold_batchnorm
+
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32
+        )
+        model = SSCDModel(stage_sizes=(1, 1, 1, 1),
+                          stage_features=(8, 8, 16, 16))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        variables = self._randomize_bn(variables)
+        expect = np.asarray(model.apply(variables, x))
+
+        folded_model = SSCDModel(stage_sizes=(1, 1, 1, 1),
+                                 stage_features=(8, 8, 16, 16), fold_bn=True)
+        folded = fold_batchnorm(variables)
+        assert "batch_stats" not in folded
+        got = np.asarray(folded_model.apply(folded, x))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+        # The folded tree matches folded-init structure exactly.
+        init_folded = folded_model.init(jax.random.PRNGKey(0), x)
+        shapes = lambda t: {  # noqa: E731
+            jax.tree_util.keystr(p): np.shape(v)
+            for p, v in jax.tree_util.tree_leaves_with_path(t)
+        }
+        assert shapes(folded) == shapes(init_folded)
+
+    def test_l3imac_fold_equivalence(self):
+        from vsc2022_tpu.models.fold import fold_batchnorm
+
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(1, 64, 64, 3), jnp.float32
+        )
+        model = L3iMACExtractor()
+        variables = model.init(jax.random.PRNGKey(0), x)
+        variables = self._randomize_bn(variables, seed=1)
+        expect = np.asarray(model.apply(variables, x))
+        got = np.asarray(
+            L3iMACExtractor(fold_bn=True).apply(fold_batchnorm(variables), x)
+        )
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+    def test_unpaired_bn_raises(self):
+        from vsc2022_tpu.models.fold import fold_batchnorm
+
+        variables = {
+            "params": {
+                "bn_orphan": {"scale": np.ones(4), "bias": np.zeros(4)},
+            },
+            "batch_stats": {
+                "bn_orphan": {"mean": np.zeros(4), "var": np.ones(4)},
+            },
+        }
+        with pytest.raises(ValueError, match="bn_orphan"):
+            fold_batchnorm(variables)
+
+
 class TestDinoViT:
     def test_descriptor_shape(self):
         model = DinoViT()

@@ -71,6 +71,12 @@ inference_parser.add_argument(
 )
 inference_parser.add_argument("--batch_size", type=int, default=32)
 inference_parser.add_argument(
+    "--fold_bn", action="store_true",
+    help="Fold BatchNorm affines into conv weights before inference "
+    "(ResNet-family baselines; ~6-8%% faster forward). Descriptors "
+    "match the unfolded model to float32 roundoff.",
+)
+inference_parser.add_argument(
     "--compute_dtype", choices=["float32", "bfloat16"], default="float32",
     help="bfloat16 runs the model forward MXU-native (~2-4x conv "
     "throughput); descriptors are stored as float32 (or fp16 with "
@@ -146,14 +152,18 @@ def build_model(args):
     from vsc2022_tpu.utils.checkpoint import load_variables
 
     baseline = Baseline[args.baseline.upper()]
+    fold_bn = getattr(args, "fold_bn", False)
     if baseline == Baseline.SSCD:
-        model = SSCDModel()
+        model = SSCDModel(fold_bn=fold_bn)
         probe_hw = 320
     elif baseline == Baseline.DINO:
+        if fold_bn:
+            raise ValueError("--fold_bn applies to ResNet-family "
+                             "baselines only (DINO has no BatchNorm)")
         model = DinoViT()
         probe_hw = 224
     else:
-        model = L3iMACExtractor()
+        model = L3iMACExtractor(fold_bn=fold_bn)
         probe_hw = 224
 
     if args.checkpoint_path:
@@ -186,6 +196,13 @@ def build_model(args):
             jax.random.PRNGKey(0),
             jnp.zeros((1, probe_hw, probe_hw, 3), jnp.float32),
         )
+
+    if fold_bn and "batch_stats" in variables:
+        # Loaded/converted weights are unfolded; random init under
+        # fold_bn=True is already in folded form.
+        from vsc2022_tpu.models.fold import fold_batchnorm
+
+        variables = fold_batchnorm(variables)
 
     if isinstance(model, L3iMACExtractor):
         # Flatten region features for 2-D npz storage.

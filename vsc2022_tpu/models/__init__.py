@@ -6,6 +6,7 @@ are native Flax modules jit-compiled for TPU; published torch weights
 are imported via ``vsc2022_tpu.models.convert``.
 """
 
+from vsc2022_tpu.models.fold import fold_batchnorm  # noqa: F401
 from vsc2022_tpu.models.resnet import ResNet50  # noqa: F401
 from vsc2022_tpu.models.sscd import SSCDModel  # noqa: F401
 from vsc2022_tpu.models.vit import DinoViT  # noqa: F401

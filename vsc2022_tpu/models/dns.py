@@ -60,11 +60,13 @@ def _region_mac(x: jnp.ndarray, grid: int = 3) -> jnp.ndarray:
 class L3iMACExtractor(nn.Module):
     """ResNet-50 L3-iMAC region features: [N, 9, 3840], L2-normalized."""
 
+    fold_bn: bool = False  # inference-only; pair with models/fold.py
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        _, stages = ResNet50(return_intermediates=True, name="backbone")(
-            x, train=train
-        )
+        _, stages = ResNet50(
+            return_intermediates=True, fold_bn=self.fold_bn, name="backbone"
+        )(x, train=train)
         per_stage = []
         for s in stages:
             r = _region_mac(s)

@@ -27,12 +27,14 @@ class SSCDModel(nn.Module):
     l2_normalize: bool = False  # reference strips L2Norm for score-norm
     stage_sizes: tuple = (3, 4, 6, 3)
     stage_features: tuple = (64, 128, 256, 512)
+    fold_bn: bool = False  # inference-only; pair with models/fold.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ResNet50(
             stage_sizes=self.stage_sizes,
             stage_features=self.stage_features,
+            fold_bn=self.fold_bn,
             name="backbone",
         )(x, train=train)
         x = gem_pool(x, p=self.gem_p)
