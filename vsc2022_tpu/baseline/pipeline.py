@@ -42,7 +42,7 @@ def retrieve_candidates(
 ) -> List[CandidatePair]:
     """Global-k frame search + per-pair aggregation, truncated to the
     candidate budget."""
-    logger.info("Searching")
+    logger.info("Retrieval: global top-k frame search")
     generator = CandidateGeneration(
         refs, MaxScoreAggregation(), mesh=mesh, dtype=dtype
     )
@@ -50,7 +50,7 @@ def retrieve_candidates(
         queries, global_k=int(retrieve_per_query * len(queries))
     )
     candidates = candidates[: int(candidates_per_query * len(queries))]
-    logger.info("Got %d candidates", len(candidates))
+    logger.info("Candidate budget kept %d pairs", len(candidates))
     return candidates
 
 
@@ -61,14 +61,14 @@ def align_candidates(
 ) -> List[Match]:
     """Run temporal alignment over candidate batches with progress."""
     matches: List[Match] = []
-    logger.info("Aligning %s candidate pairs", len(candidates))
+    logger.info("Temporal alignment over %d candidate pairs", len(candidates))
     done = 0
     while done < len(candidates):
         batch = candidates[done : done + batch_size]
         matches.extend(alignment.localize_all(batch))
         done += len(batch)
         logger.info(
-            "Aligned %d pairs of %d; %d predictions so far",
+            "%d/%d pairs aligned (%d predictions)",
             done, len(candidates), len(matches),
         )
     return matches
@@ -107,23 +107,25 @@ def report_metrics(
     output_path: str,
     log: logging.Logger,
 ) -> None:
-    """Candidate µAP + matching segment AP with PR plots
+    """Score both stages against GT — candidate-level micro-AP and the
+    matching-track segment AP — and render their PR curves. Artifact
+    names (candidate_precision_recall.pdf / precision_recall.pdf) are
+    kept from the reference driver so downstream tooling finds them
     (reference: vsc/baseline/sscd_baseline.py:211-231)."""
-    gt_matches = Match.read_csv(ground_truth, is_gt=True)
-    gt_pairs = CandidatePair.from_matches(gt_matches)
-    candidate_pairs = CandidatePair.read_csv(candidate_file)
-    candidate_uap = average_precision(gt_pairs, candidate_pairs)
-    log.info(f"Candidate uAP: {candidate_uap.ap:.4f}")
-    candidate_pr_file = os.path.join(
-        output_path, "candidate_precision_recall.pdf"
-    )
-    create_pr_plot(candidate_uap, candidate_pr_file)
+    gt = CandidatePair.from_matches(Match.read_csv(ground_truth, is_gt=True))
+    cand_ap = average_precision(gt, CandidatePair.read_csv(candidate_file))
+    log.info(f"Candidate micro-AP: {cand_ap.ap:.4f}")
+    cand_pr = os.path.join(output_path, "candidate_precision_recall.pdf")
+    create_pr_plot(cand_ap, cand_pr)
 
-    match_metrics = evaluate_matching_track(ground_truth, match_file)
-    log.info(f"Matching track metric: {match_metrics.segment_ap.ap:.4f}")
-    matching_pr_file = os.path.join(output_path, "precision_recall.pdf")
-    create_pr_plot(match_metrics.segment_ap, matching_pr_file)
-    log.info(f"Candidates: {candidate_file}")
-    log.info(f"Matches: {match_file}")
-    log.info(f"Candidate PR plot: {candidate_pr_file}")
-    log.info(f"Match PR plot: {matching_pr_file}")
+    matching = evaluate_matching_track(ground_truth, match_file)
+    log.info(f"Matching-track segment AP: {matching.segment_ap.ap:.4f}")
+    match_pr = os.path.join(output_path, "precision_recall.pdf")
+    create_pr_plot(matching.segment_ap, match_pr)
+    for label, path in (
+        ("Candidates", candidate_file),
+        ("Matches", match_file),
+        ("Candidate PR plot", cand_pr),
+        ("Match PR plot", match_pr),
+    ):
+        log.info(f"{label}: {path}")

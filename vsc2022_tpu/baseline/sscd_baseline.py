@@ -44,23 +44,28 @@ logger.setLevel(logging.INFO)
 
 parser = argparse.ArgumentParser()
 parser.add_argument(
-    "--query_features", help="Path to query descriptors", type=str, required=True
+    "--query_features", type=str, required=True,
+    help="query descriptor npz",
 )
 parser.add_argument(
-    "--ref_features", help="Path to reference descriptors", type=str, required=True
+    "--ref_features", type=str, required=True,
+    help="reference descriptor npz",
 )
 parser.add_argument(
-    "--score_norm_features", help="Path to score normalization descriptors", type=str
+    "--score_norm_features", type=str,
+    help="noise-corpus descriptor npz; enables score normalization",
 )
 parser.add_argument(
-    "--output_path", help="The path to write match predictions.", type=str,
-    required=True,
+    "--output_path", type=str, required=True,
+    help="directory receiving candidates.csv / matches.csv and plots",
 )
 parser.add_argument(
-    "--ground_truth", help="Path to the ground truth (labels) CSV file.", type=str
+    "--ground_truth", type=str,
+    help="ground-truth matches csv; enables the metric report",
 )
 parser.add_argument(
-    "--overwrite", help="Overwrite prediction files, if found.", action="store_true"
+    "--overwrite", action="store_true",
+    help="replace the output directory if it already exists",
 )
 parser.add_argument(
     "--profile_dir", help="Write a JAX profiler trace of the matching run.",
@@ -160,8 +165,7 @@ create_pr_plot = pipeline.create_pr_plot
 def main(args):
     if os.path.exists(args.output_path) and not args.overwrite:
         raise Exception(
-            f"Output path already exists: {args.output_path}. "
-            "Do you want to --overwrite?"
+            f"Refusing to clobber {args.output_path} (pass --overwrite)."
         )
     queries = load_features(args.query_features, Dataset.QUERIES)
     refs = load_features(args.ref_features, Dataset.REFS)
