@@ -186,6 +186,7 @@ class TestPoolWriter:
         from vsc2022_tpu.ops.similarity import SimilaritySearcher
 
         monkeypatch.setenv("VSC2022_TPU_POOL_PALLAS", "interpret")
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
         rng = np.random.RandomState(6)
         nq, n, d, k = 23, 2977, 24, 700
         q = rng.randint(-3, 4, size=(nq, d)).astype(np.float32)

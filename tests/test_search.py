@@ -167,9 +167,11 @@ class TestCandidateGeneration:
 
 
 class TestScoreNormalizedSearcher:
-    def test_fused_matches_unfused(self):
+    @pytest.mark.parametrize("collection", ["stream", "pooled"])
+    def test_fused_matches_unfused(self, monkeypatch, collection):
         from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
 
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", collection)
         rng = np.random.RandomState(9)
         q = rng.randint(-3, 4, size=(17, 12)).astype(np.float32)
         r = rng.randint(-3, 4, size=(120, 12)).astype(np.float32)
@@ -187,13 +189,15 @@ class TestScoreNormalizedSearcher:
         np.testing.assert_array_equal(fri, uri)
         np.testing.assert_allclose(fs, us, rtol=1e-6)
 
-    def test_fused_saturation_recompute(self):
+    @pytest.mark.parametrize("collection", ["stream", "pooled"])
+    def test_fused_saturation_recompute(self, monkeypatch, collection):
         """Duplicate reference rows force more ≥τ entries than κ can
         hold; the single-dispatch path's count-verify must recompute
         those rows exactly — including the device-side row gather (the
         bias-augmented queries only exist on device)."""
         from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
 
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", collection)
         rng = np.random.RandomState(11)
         q = rng.randint(-3, 4, size=(10, 12)).astype(np.float32)
         base = rng.randint(-3, 4, size=(20, 12)).astype(np.float32)
@@ -313,9 +317,13 @@ class TestMultiBlockPath:
 
 
 class TestGlobalTopKFuzz:
-    def test_random_float_workloads(self):
+    @pytest.mark.parametrize("collection", ["stream", "pooled"])
+    def test_random_float_workloads(self, monkeypatch, collection):
         """Float fuzz: returned pairs must be (tolerance-tie aware)
-        exactly the top-k set under the dense oracle."""
+        exactly the top-k set under the dense oracle — through BOTH
+        collection designs (the corpus-size default would pick
+        streaming at these sizes; the env override pins each)."""
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", collection)
         rng = np.random.RandomState(12)
         for trial in range(6):
             nq = int(rng.randint(5, 60))
@@ -346,11 +354,12 @@ class TestPooledCollection:
     segment, extraction misses caught by the pool counts, and the
     budget fallback to the streaming collection."""
 
-    def test_clustered_hits_in_one_segment(self):
+    def test_clustered_hits_in_one_segment(self, monkeypatch):
         # Put nearly the whole top-k into a consecutive corpus run so
         # >POOL_SEG_KEEP entries ≥ τ share lane segments: the pool
         # cannot hold them, the multiplicity/count rules must flag the
         # row, and repair must restore exactness.
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
         rng = np.random.RandomState(7)
         q = rng.randint(-2, 3, size=(9, 16)).astype(np.float32)
         r = rng.randint(-2, 3, size=(2048, 16)).astype(np.float32)
@@ -370,6 +379,7 @@ class TestPooledCollection:
         # results must stay oracle-exact through the legacy path.
         import vsc2022_tpu.ops.similarity as S
 
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
         monkeypatch.setattr(S, "POOL_BYTES_BUDGET", 0)
         rng = np.random.RandomState(11)
         q = rng.randint(-3, 4, size=(21, 24)).astype(np.float32)
@@ -381,9 +391,10 @@ class TestPooledCollection:
         np.testing.assert_array_equal(qi, oqi)
         np.testing.assert_array_equal(ri, ori)
 
-    def test_pooled_l2_multi_block(self):
+    def test_pooled_l2_multi_block(self, monkeypatch):
         # L2 goodness scale through the pooled path, with several
         # column blocks so pool levels interleave block-major slices.
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
         rng = np.random.RandomState(5)
         q = rng.randint(-3, 4, size=(16, 12)).astype(np.float32)
         r = rng.randint(-3, 4, size=(1500, 12)).astype(np.float32)

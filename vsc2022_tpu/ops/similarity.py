@@ -83,6 +83,15 @@ POOL_SEG_KEEP = 2
 # Pool HBM budget (values + ids, bytes). Above it the searcher falls
 # back to the chunked-merge streaming collection.
 POOL_BYTES_BUDGET = 3 << 30
+# Corpus floor for the pooled collection. Below it the chunked-merge
+# streaming collection wins: the pool's serial selection machinery
+# (k-th binary search, count passes, windowed extraction) has a fixed
+# multi-pass cost that only amortizes once the per-chunk top_k merge
+# sorts it replaces grow with the corpus — measured on the v5e bench
+# workload (61k corpus: streaming ~0.35 s vs pooled ~0.9 s device
+# compute) while the 1M point favors the pool ~1.9x. Override with
+# VSC2022_TPU_COLLECTION=pooled|stream (tests pin both paths).
+POOL_MIN_CORPUS = 1 << 18
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -1009,9 +1018,12 @@ class SimilaritySearcher:
     def _collection_mode(self, m: int, kappa: int, approx: bool):
         """Pick the approx collection implementation for an m-row query
         block: "pooled" (HBM winner pool, sort-free selection, exact
-        pool counts) whenever the pool fits the budget; True (chunked
-        streaming merges) otherwise — including under the Pallas opt-in
-        flag, whose fused_topk routing lives inside streaming_topk."""
+        pool counts) when the corpus is large enough for it to win AND
+        the pool fits the budget; True (chunked streaming merges)
+        otherwise — including under the Pallas opt-in flag, whose
+        fused_topk routing lives inside streaming_topk. The
+        VSC2022_TPU_COLLECTION env var forces a path (tests pin both;
+        "pooled" still falls back when structurally infeasible)."""
         if not approx:
             return False
         n_pad = self._refs.shape[0]
@@ -1019,12 +1031,18 @@ class SimilaritySearcher:
         pool_bytes = 8 * m * p_total
         # κ approaching the pool width means extraction cannot hold the
         # per-row candidates anyway (mass repair): stream instead.
-        if (
+        pool_ok = (
             self.col_block % POOL_SEG_LANES == 0
             and pool_bytes <= POOL_BYTES_BUDGET
             and 4 * kappa <= p_total
             and not (self.metric == "IP" and _use_pallas_kernels())
-        ):
+        )
+        forced = os.environ.get("VSC2022_TPU_COLLECTION", "")
+        if forced == "stream":
+            return True
+        if forced == "pooled":
+            return "pooled" if pool_ok else True
+        if pool_ok and n_pad >= POOL_MIN_CORPUS:
             return "pooled"
         return True
 
