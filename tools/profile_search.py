@@ -42,6 +42,11 @@ parser.add_argument("--query_videos", type=int, default=150)
 parser.add_argument("--repeats", type=int, default=3)
 parser.add_argument("--precision", default="default")
 parser.add_argument("--skip", default="", help="comma list of phases to skip")
+parser.add_argument(
+    "--pool_tiles", default="",
+    help="comma list of rowxcolxband Pallas pool-writer tilings to "
+    "sweep, e.g. 512x1024x8,512x2048x4,1024x2048x4",
+)
 parser.add_argument("--cpu", action="store_true",
                     help="run on host CPU (logic shakeout only)")
 
@@ -357,6 +362,34 @@ def main(args):
         pi = jnp.moveaxis(pi4, 0, 1).reshape(m, -1)
         return jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
 
+    # Pallas pool-writer tiling sweep (per-grid-step overhead vs VMEM
+    # pressure): builds the pool with each requested tiling.
+    if args.pool_tiles:
+        from vsc2022_tpu.ops import pallas_kernels as PK
+
+        for spec in args.pool_tiles.split(","):
+            rt_, ct_, band_ = (int(x) for x in spec.split("x"))
+            m_pad = -(-m // rt_) * rt_
+            n_kpad = -(-n_pad // (band_ * ct_)) * (band_ * ct_)
+            qk = q if m_pad == m else jnp.pad(q, ((0, m_pad - m), (0, 0)))
+            rk = refs if n_kpad == n_pad else jnp.pad(
+                refs, ((0, n_kpad - n_pad), (0, 0)))
+
+            @jax.jit
+            def run_kernel(qk, rk, rt_=rt_, ct_=ct_, band_=band_):
+                pv, pi = PK.pool_writer(
+                    qk, rk, n_valid, precision=args.precision,
+                    row_tile=rt_, col_tile=ct_, tiles_per_band=band_,
+                )
+                return jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
+
+            try:
+                timeit(f"pool_krn[{spec}]",
+                       lambda f=run_kernel, a=qk, b=rk: sync(f(a, b)))
+            except Exception as exc:  # noqa: BLE001 — VMEM overflow etc.
+                print(f"  pool_krn[{spec}]  FAILED: {str(exc)[:160]}",
+                      flush=True)
+
     timeit("pool_ys_transpose", lambda: sync(pool_ys(q, refs)))
 
     @jax.jit
@@ -391,12 +424,18 @@ def main(args):
         searcher._n_valid = n_valid
         searcher._ref_sq = ref_sq
 
-        def repair():
-            return searcher._collect_repairs(q, q, saturated, tau_v)
+        kept_above = (
+            (top_s[saturated] >= tau_v) & np.isfinite(top_s[saturated])
+        ).sum(axis=1)
 
-        s_rep, _, _ = repair()  # warm both dispatch shapes
+        def repair():
+            return searcher._collect_repairs(q, q, saturated, tau_v,
+                                             kept_above)
+
+        s_rep, _, _, repaired = repair()  # warm both dispatch shapes
         timeit("repair_pairs", repair)
-        print(f"  repair entries={s_rep.size}", flush=True)
+        print(f"  repair entries={s_rep.size} "
+              f"truly_deficient={repaired.size}", flush=True)
 
     print(json.dumps({"corpus": args.corpus, "queries": m, "kappa": kappa}))
 

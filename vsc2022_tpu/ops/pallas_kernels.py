@@ -187,7 +187,8 @@ POOL_TILES_PER_BAND = 8  # column tiles per 128-wide output band
 
 
 def _pool_writer_kernel(
-    q_ref, r_ref, n_valid_ref, out_v_ref, out_i_ref, *, precision
+    q_ref, r_ref, n_valid_ref, out_v_ref, out_i_ref, *, precision,
+    tiles_per_band,
 ):
     """Fused matmul + best-2-per-128-lane-segment pool writer.
 
@@ -247,8 +248,8 @@ def _pool_writer_kernel(
         jnp.int32, (rt, seg), 1
     ) * SEG_LANES
     ppt = 2 * seg
-    t = j % POOL_TILES_PER_BAND
-    band_w = POOL_TILES_PER_BAND * ppt
+    t = j % tiles_per_band
+    band_w = tiles_per_band * ppt
     # placer[u, c] = 1 iff c == t·ppt + u — built from iotas (Mosaic has
     # no dynamic_slice lowering for slicing identity rows).
     prow = jax.lax.broadcasted_iota(jnp.int32, (ppt, band_w), 0)
@@ -276,25 +277,35 @@ def _pool_writer_kernel(
         out_v_ref[:] = out_v_ref[:] + placed_v
         out_i_ref[:] = out_i_ref[:] + placed_i.astype(jnp.int32)
 
-    @pl.when(t == POOL_TILES_PER_BAND - 1)
+    @pl.when(t == tiles_per_band - 1)
     def _():
         out_v_ref[:] = jnp.where(
             out_v_ref[:] <= neg_sentinel, NEG_INF, out_v_ref[:]
         )
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("precision", "interpret", "row_tile", "col_tile",
+                     "tiles_per_band"),
+)
 def pool_writer(
-    q: jax.Array,  # [M, D], M % POOL_ROW_TILE == 0 (f32 or bf16)
-    refs: jax.Array,  # [N, D], N % (8·POOL_COL_TILE) == 0
+    q: jax.Array,  # [M, D], M % row_tile == 0 (f32 or bf16)
+    refs: jax.Array,  # [N, D], N % (tiles_per_band·col_tile) == 0
     n_valid: jax.Array,  # scalar int32 (#real ref rows)
     precision: str = "highest",
     interpret: bool = False,
+    row_tile: int = POOL_ROW_TILE,
+    col_tile: int = POOL_COL_TILE,
+    tiles_per_band: int = POOL_TILES_PER_BAND,
 ):
     """Best-2-per-128-segment winner pool of q·refsᵀ, [M, 2·N/128]
     (values f32 best-first per segment, global column ids int32),
-    laid out band-major: band b holds column tiles 8b..8b+7, tile t of
-    a band at band columns [16t, 16t+16) as [m1 × 8 | m2 × 8]."""
+    laid out band-major: band b holds column tiles band·b..band·b+band−1,
+    tile t of a band at band columns [ppt·t, ppt·t+ppt) as
+    [m1 × ppt/2 | m2 × ppt/2]. Tile sizes are tunable for A/B sweeps
+    (tools/profile_search.py --pool_tiles); defaults are the production
+    configuration."""
     if precision == "default":
         # XLA's DEFAULT-for-f32 dot semantics: one bf16 pass with f32
         # accumulation. Cast once out here — not per grid step.
@@ -303,28 +314,32 @@ def pool_writer(
         precision = "highest"
     m, d = q.shape
     n = refs.shape[0]
-    band = POOL_TILES_PER_BAND
-    assert m % POOL_ROW_TILE == 0, m
-    assert n % (band * POOL_COL_TILE) == 0, n  # whole output bands
-    grid = (m // POOL_ROW_TILE, n // POOL_COL_TILE)  # cols iterate fastest
-    ppt = 2 * (POOL_COL_TILE // SEG_LANES)
+    band = tiles_per_band
+    assert m % row_tile == 0, m
+    assert n % (band * col_tile) == 0, n  # whole output bands
+    grid = (m // row_tile, n // col_tile)  # cols iterate fastest
+    ppt = 2 * (col_tile // SEG_LANES)
+    # The TPU lowering wants a 128-divisible minor output dim (the
+    # interpreter does not care — tests use tiny bands).
+    assert interpret or (band * ppt) % 128 == 0, (band, col_tile)
     import functools as _ft
 
     out_v, out_i = pl.pallas_call(
-        _ft.partial(_pool_writer_kernel, precision=precision),
+        _ft.partial(_pool_writer_kernel, precision=precision,
+                    tiles_per_band=band),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((POOL_ROW_TILE, d), lambda i, j: (i, 0),
+            pl.BlockSpec((row_tile, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((POOL_COL_TILE, d), lambda i, j: (j, 0),
+            pl.BlockSpec((col_tile, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((POOL_ROW_TILE, band * ppt),
+            pl.BlockSpec((row_tile, band * ppt),
                          lambda i, j: (i, j // band),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((POOL_ROW_TILE, band * ppt),
+            pl.BlockSpec((row_tile, band * ppt),
                          lambda i, j: (i, j // band),
                          memory_space=pltpu.VMEM),
         ),
@@ -334,8 +349,8 @@ def pool_writer(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * d,
-            bytes_accessed=(m * d * (n // (band * POOL_COL_TILE))
-                            + n * d * (m // POOL_ROW_TILE)
+            bytes_accessed=(m * d * (n // (band * col_tile))
+                            + n * d * (m // row_tile)
                             + 2 * m * ppt * grid[1]) * 4,
             transcendentals=0,
         ),

@@ -1264,19 +1264,32 @@ class SimilaritySearcher:
         return jnp.take(q_dev, jnp.asarray(idx), axis=0)
 
     def _collect_repairs(
-        self, queries, q_dev, saturated: np.ndarray, tau: float
+        self, queries, q_dev, saturated: np.ndarray, tau: float,
+        kept_above: np.ndarray,
     ):
-        """All (score, query, ref) entries ≥ τ for the flagged rows,
-        exactly, in two dispatches per row chunk: exact per-(row, block)
-        ≥τ counts (one matmul over just these rows), then one narrow
-        top-k2b sort over ONLY the tiles that hold hits — a handful per
-        row, vs the per-block top-k sorts over the whole corpus width
-        this replaces (461 → ~60 ms for ~650 flagged rows at the 1M
-        corpus). The sharded searcher overrides this (its refs live
-        sharded)."""
+        """All (score, query, ref) entries ≥ τ for the truly deficient
+        rows among the flagged ones. Two dispatches per row chunk:
+
+        1. Exact per-(row, block) ≥τ counts (one matmul over just the
+           flagged rows). Rows whose exact total equals their
+           ``kept_above`` count already hold every corpus entry ≥ τ —
+           structural false alarms — and are verified right here at
+           count-pass cost. That matters because the segment-
+           multiplicity flag rule has birthday collisions ∝ κ²/segments:
+           at a 61k corpus it flags ~2/3 of all rows (measured 6130 of
+           9000 on the bench workload) while almost none are deficient.
+        2. One narrow top-k2b sort over ONLY the tiles of the deficient
+           rows that hold hits — a handful per row, vs per-block top-k
+           sorts across the whole corpus width (461 → ~60 ms for ~650
+           flagged rows at the 1M corpus).
+
+        Returns (scores, q_rows, ref_ids, repaired_rows): the caller
+        replaces candidates only for ``repaired_rows``. The sharded
+        searcher overrides this (its refs live sharded)."""
         n_pad = self._refs.shape[0]
         n_blocks = n_pad // self.col_block
         parts_s, parts_q, parts_r = [], [], []
+        repaired = []
         # Chunk rows so the [S, n_pad] tile-extraction score buffer
         # stays within ~1.5 GB of HBM.
         chunk = max(8, min(
@@ -1285,6 +1298,7 @@ class SimilaritySearcher:
         ))
         for start in range(0, saturated.size, chunk):
             rows = saturated[start : start + chunk]
+            kept = kept_above[start : start + chunk]
             # Pow-2 padding bounds the executable count (remote compiles
             # cost ~30-60 s on relay-attached hosts).
             n_fix = max(8, 1 << (rows.size - 1).bit_length())
@@ -1296,9 +1310,15 @@ class SimilaritySearcher:
                 jnp.float32(tau), col_block=self.col_block,
                 metric=self.metric, precision=self.precision,
             )).reshape(n_fix, n_blocks)[: rows.size]
+            deficient = cb_counts.sum(axis=1) != kept
+            if not deficient.any():
+                continue
+            rows = rows[deficient]
+            cb_counts = cb_counts[deficient]
+            repaired.append(rows)
             c_max = int(cb_counts.max(initial=0))
             if c_max == 0:
-                continue
+                continue  # τ exceeds every score in these rows
             pr, pb = np.nonzero(cb_counts)
             k2b = min(self.col_block, 1 << (c_max - 1).bit_length())
             n_sel = pr.size
@@ -1307,8 +1327,12 @@ class SimilaritySearcher:
             pb_pad = np.zeros(n_pad_sel, dtype=np.int32)
             pr_pad[:n_sel] = pr
             pb_pad[:n_sel] = pb
+            # Map pruned-row ordinals back to this chunk's padded gather
+            # layout (idx_dev) for the tile extraction.
+            chunk_ord = np.nonzero(deficient)[0].astype(np.int32)
             buf = np.asarray(_repair_tiles_packed(
-                q_dev, idx_dev, jnp.asarray(pr_pad), jnp.asarray(pb_pad),
+                q_dev, idx_dev, jnp.asarray(chunk_ord[pr_pad]),
+                jnp.asarray(pb_pad),
                 self._refs, self._n_valid, self._ref_sq, k2b=k2b,
                 col_block=self.col_block, metric=self.metric,
                 precision=self.precision,
@@ -1322,15 +1346,20 @@ class SimilaritySearcher:
             parts_r.append(
                 pb[si].astype(np.int64) * self.col_block + lane[si, sj]
             )
+        repaired_rows = (
+            np.concatenate(repaired) if repaired
+            else np.empty(0, np.int64)
+        )
         if not parts_s:
             return (
                 np.empty(0, np.float32), np.empty(0, np.int64),
-                np.empty(0, np.int64),
+                np.empty(0, np.int64), repaired_rows,
             )
         return (
             np.concatenate(parts_s),
             np.concatenate(parts_q),
             np.concatenate(parts_r).astype(np.int64),
+            repaired_rows,
         )
 
     def _collection_seg_lanes(self, kappa: int) -> int:
@@ -1426,14 +1455,21 @@ class SimilaritySearcher:
                 all_s, all_i, counts, tau, kappa, mode
             )
             if saturated.size:
-                # Exact recompute of flagged rows over just those rows.
-                keep_mask = ~np.isin(flat_q, saturated)
-                rep_s, rep_q, rep_r = self._collect_repairs(
-                    queries, q_dev, saturated, tau
+                # Exact recompute over just the flagged rows; the count
+                # dispatch inside prunes structural false alarms, so
+                # only truly deficient rows swap their candidates.
+                kept_above = (
+                    (all_s[saturated] >= tau)
+                    & np.isfinite(all_s[saturated])
+                ).sum(axis=1)
+                rep_s, rep_q, rep_r, repaired = self._collect_repairs(
+                    queries, q_dev, saturated, tau, kept_above
                 )
-                flat_s = np.concatenate([flat_s[keep_mask], rep_s])
-                flat_q = np.concatenate([flat_q[keep_mask], rep_q])
-                flat_r = np.concatenate([flat_r[keep_mask], rep_r])
+                if repaired.size:
+                    keep_mask = ~np.isin(flat_q, repaired)
+                    flat_s = np.concatenate([flat_s[keep_mask], rep_s])
+                    flat_q = np.concatenate([flat_q[keep_mask], rep_q])
+                    flat_r = np.concatenate([flat_r[keep_mask], rep_r])
 
         # Final exact sort: score desc, then (q, r) asc for determinism.
         # Pre-filter to entries ≥ the k-th score so we only lexsort

@@ -215,38 +215,51 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         )
 
 
-    def _collect_repairs(self, queries, q_dev, saturated, tau):
+    def _collect_repairs(self, queries, q_dev, saturated, tau, kept_above):
         """Structural-verify recompute over the mesh: gather the
-        flagged rows (host or device, outside the shard_map), size κ₂
-        from their psum'd exact ≥τ counts, then the exact sharded
-        top-κ₂ kernel. (The single-device tile-extraction scheme does
-        not apply: the score tiles live sharded.)"""
+        flagged rows (host or device, outside the shard_map), take
+        their psum'd exact ≥τ counts, drop the structural false alarms
+        (exact count == kept count ⟹ the row already holds everything
+        ≥ τ — see the single-device method for why the multiplicity
+        rule over-flags small corpora), size κ₂ from the rest, then the
+        exact sharded top-κ₂ kernel. (The single-device tile-extraction
+        scheme does not apply: the score tiles live sharded.)"""
         parts_s, parts_q, parts_r = [], [], []
+        repaired = []
         fix_rows = min(self.row_block, _ceil_to(saturated.size, 8))
         for start in range(0, saturated.size, fix_rows):
             rows = saturated[start : start + fix_rows]
+            kept = kept_above[start : start + fix_rows]
             block = self._saturated_rows(queries, q_dev, rows, fix_rows)
             counts = np.asarray(self._count_kernel(block, tau))[: rows.size]
-            c_max = int(counts.max(initial=0))
+            deficient = counts != kept
+            if not deficient.any():
+                continue
+            repaired.append(rows[deficient])
+            c_max = int(counts[deficient].max(initial=0))
             if c_max == 0:
                 continue
             kappa2 = min(self.n_refs, 1 << (c_max - 1).bit_length())
             s, i = self._topk_kernel(block, kappa2, approx=False)
-            s = np.asarray(s)[: rows.size]
-            i = np.asarray(i)[: rows.size]
+            s = np.asarray(s)[: rows.size][deficient]
+            i = np.asarray(i)[: rows.size][deficient]
             sq, sr = np.nonzero(s >= tau)
             parts_s.append(s[sq, sr])
-            parts_q.append(rows[sq])
+            parts_q.append(rows[deficient][sq])
             parts_r.append(i[sq, sr].astype(np.int64))
+        repaired_rows = (
+            np.concatenate(repaired) if repaired else np.empty(0, np.int64)
+        )
         if not parts_s:
             return (
                 np.empty(0, np.float32), np.empty(0, np.int64),
-                np.empty(0, np.int64),
+                np.empty(0, np.int64), repaired_rows,
             )
         return (
             np.concatenate(parts_s),
             np.concatenate(parts_q),
             np.concatenate(parts_r),
+            repaired_rows,
         )
 
     def _collection_seg_lanes(self, kappa: int) -> int:
