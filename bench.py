@@ -309,12 +309,14 @@ def bench_inference(results):
     from vsc2022_tpu.models import fold_batchnorm
 
     model_folded = SSCDModel(fold_bn=True)
-    vars_folded = jax.tree.map(
+    # fold_batchnorm returns host numpy: device_put ONCE, or every call
+    # re-ships ~25 MB of weights through the relay (measured 8x fps).
+    vars_folded = jax.device_put(jax.tree.map(
         lambda a: a.astype(jnp.bfloat16)
         if jnp.issubdtype(a.dtype, jnp.floating)
         else a,
         fold_batchnorm(variables),
-    )
+    ))
 
     @jax.jit
     def embed_folded(vars_, frames_u8):

@@ -692,7 +692,14 @@ def _candidates_core(
     approx="pooled" selects the pool-resident collection (exact pool
     counts come back with the candidates); True the chunked-merge
     streaming collection; False exact per-row top-κ. Returns
-    (top_s, top_i, counts-or-None, tau)."""
+    (top_s, top_i, counts, tau). For the non-pooled modes ``counts``
+    are EXACT per-row corpus counts of entries ≥ τ, computed by a
+    second in-dispatch streamed pass: the host's verify rule is then
+    simply ``kept-above-τ != count`` — no structural flag rules, no
+    extra host↔device round trips for false alarms. (The pooled mode
+    keeps its pool-count/multiplicity contract: its selection already
+    paid for pool counts, and at pool-scale corpora a full corpus
+    count pass costs a second 1M-tile matmul.)"""
     if approx == "pooled":
         return pooled_candidates(
             q, refs, n_valid, ref_sq, n_rows, k_eff, kappa=kappa,
@@ -717,7 +724,14 @@ def _candidates_core(
         k_eff > n_rows * kappa, NEG_INF,
         jax.lax.dynamic_index_in_dim(flat, k_idx, keepdims=False),
     )
-    return top_s, top_i, None, tau
+    counts = _scan_row_blocks(
+        lambda qb: streaming_count_above(
+            qb, refs, n_valid, ref_sq, tau, col_block=col_block,
+            metric=metric, precision=precision,
+        ),
+        q, row_block,
+    )
+    return top_s, top_i, counts, tau
 
 
 def _pack_candidates(top_s, top_i, tau, counts=None) -> jax.Array:
@@ -1207,22 +1221,27 @@ class SimilaritySearcher:
             q_dev, nq, kappa, approx_candidates, k_eff
         )
         if fused is not None:
-            # Single-dispatch path: candidates (+ pool counts) + τ in
-            # one packed buffer.
+            # Single-dispatch path: candidates + verify counts (pool
+            # counts for the pooled mode, exact corpus counts
+            # otherwise) + τ in one packed buffer.
             all_s, all_i, counts, tau = _unpack_candidates(
-                np.asarray(fused), nq, kappa, with_counts=mode == "pooled"
+                np.asarray(fused), nq, kappa, with_counts=True
             )
         else:
+            # Rare fallback for unexpected staging: exact per-row top-κ
+            # per block (no approx collection), so the κ-th-kept ≥ τ
+            # truncation rule alone is a sound verify.
             all_s = np.empty((nq, kappa), dtype=np.float32)
             all_i = np.empty((nq, kappa), dtype=np.int64)
             for start in range(0, nq, block_rows):
                 stop = min(start + block_rows, nq)
                 block = jax.lax.dynamic_slice_in_dim(q_dev, start, block_rows)
-                s, i = self._topk_kernel(block, kappa, approx=approx_candidates)
+                s, i = self._topk_kernel(block, kappa, approx=False)
                 all_s[start:stop] = np.asarray(s)[: stop - start]
                 all_i[start:stop] = np.asarray(i)[: stop - start]
             counts = None
             tau = None
+            mode = False
 
         return self._finalize_global_topk(
             all_s, all_i, counts, tau, queries, q_dev, nq, kappa,
@@ -1362,22 +1381,6 @@ class SimilaritySearcher:
             repaired_rows,
         )
 
-    def _collection_seg_lanes(self, kappa: int) -> int:
-        """Lane-segment width for which the approx collection keeps the
-        best TWO entries per segment (the structural recall guarantee
-        the host verify rule relies on), or 0 when the approx request
-        routes to the exact per-block top-k inside streaming_topk.
-        Mirrors streaming_topk's gating exactly."""
-        if self.metric == "IP" and _use_pallas_kernels():
-            return 128  # fused_topk: best-2 per 128-lane tile segment
-        col_block = self.col_block
-        seg_lanes = min(128, col_block)
-        n_blocks = self._refs.shape[0] // col_block
-        seg_pool = 2 * n_blocks * (col_block // seg_lanes)
-        if kappa > 1 and col_block % seg_lanes == 0 and seg_pool >= kappa:
-            return seg_lanes
-        return 0
-
     @staticmethod
     def _segment_multiplicity(all_s, all_i, tau, seg: int, t: int):
         """Rows where ≥ t kept-above-τ candidates share one seg-lane
@@ -1396,38 +1399,40 @@ class SimilaritySearcher:
     def _flag_deficient_rows(
         self, all_s, all_i, counts, tau, kappa: int, mode
     ) -> np.ndarray:
-        """Rows that could be missing an entry ≥ τ, from the
-        collection's structural guarantees alone (no corpus pass):
+        """Rows that could be missing an entry ≥ τ:
 
         * τ = −inf (k beyond the collected candidates): every row.
-        * pooled collection — an extraction miss shows as kept ≠ the
-          exact pool count; a corpus entry missing from the pool
-          implies all ``POOL_SEG_KEEP`` pool entries of its segment are
-          ≥ τ, witnessed either by the segment-multiplicity rule (all
-          extracted) or by the count mismatch (some not extracted).
-        * streaming collection — truncation: every candidate dropped
-          from a row's running top-κ (or a shard's partial top-κ before
-          the ICI merge) is ≤ the row's κ-th kept score, so a row is
-          suspect iff that score ≥ τ; segment occlusion: a missed entry
-          ≥ τ implies two kept candidates ≥ τ sharing a segment.
+        * non-pooled fused collection — ``counts`` are EXACT per-row
+          corpus counts of entries ≥ τ (computed in-dispatch), so
+          kept ≠ count flags exactly the deficient rows: no structural
+          rules, no false alarms, regardless of how approximate the
+          collection was (truncation and segment occlusion both show
+          as a count shortfall).
+        * pooled collection — ``counts`` are pool counts: an
+          extraction miss shows as kept ≠ pool count; a corpus entry
+          missing from the pool implies all ``POOL_SEG_KEEP`` pool
+          entries of its segment are ≥ τ, witnessed either by the
+          segment-multiplicity rule (all extracted) or by the count
+          mismatch (some not extracted). The multiplicity rule has
+          birthday-collision false alarms ∝ κ²/segments — tolerable at
+          pool-scale corpora, and the repair's count dispatch prunes
+          them before any tile extraction.
+        * no counts (loop fallback; exact per-block top-κ): truncation
+          only — every dropped candidate is ≤ the row's κ-th kept
+          score, so a row is suspect iff that score ≥ τ.
         """
         nq = all_s.shape[0]
         if tau == NEG_INF:
             return np.arange(nq, dtype=np.int64)
-        if counts is not None:  # pooled
+        if counts is not None:
             kept_above = ((all_s >= tau) & np.isfinite(all_s)).sum(axis=1)
             flagged = kept_above != counts
-            flagged |= self._segment_multiplicity(
-                all_s, all_i, tau, POOL_SEG_LANES, POOL_SEG_KEEP
-            )
+            if mode == "pooled":
+                flagged |= self._segment_multiplicity(
+                    all_s, all_i, tau, POOL_SEG_LANES, POOL_SEG_KEEP
+                )
             return np.where(flagged)[0]
-        flagged = all_s[:, -1] >= tau
-        seg = self._collection_seg_lanes(kappa) if mode else 0
-        if seg:
-            flagged = flagged | self._segment_multiplicity(
-                all_s, all_i, tau, seg, 2
-            )
-        return np.where(flagged)[0]
+        return np.where(all_s[:, -1] >= tau)[0]
 
     def _finalize_global_topk(
         self, all_s, all_i, counts, tau, queries, q_dev, nq: int,

@@ -185,7 +185,22 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
                 k_eff > nq * km, NEG_INF,
                 jax.lax.dynamic_index_in_dim(flat, k_idx, keepdims=False),
             )
-            return _pack_candidates(merged_s, merged_i, tau)
+
+            # Exact verify counts: per-shard ≥τ counts, psum'd over ICI
+            # — the host's kept≠count rule then flags exactly the
+            # deficient rows (see ops/similarity._flag_deficient_rows).
+            def count_rows(qb):
+                return jax.lax.psum(
+                    streaming_count_above(
+                        qb, refs_local, local_valid, ref_sq_local, tau,
+                        col_block=col_block, metric=metric,
+                        precision=precision, varying_axes=(axis,),
+                    ),
+                    axis,
+                )
+
+            counts = _scan_row_blocks(count_rows, q, rb)
+            return _pack_candidates(merged_s, merged_i, tau, counts)
 
         fn = shard_map(
             local_fn,
@@ -261,21 +276,6 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             np.concatenate(parts_r),
             repaired_rows,
         )
-
-    def _collection_seg_lanes(self, kappa: int) -> int:
-        """Per-shard approx collection guarantee (the Pallas route is
-        never taken under shard_map). Shard bases are multiples of the
-        shard row count — itself a multiple of col_block — so global
-        index // seg_lanes is consistent within every shard and
-        segments never span shards."""
-        col_block = self.col_block
-        seg_lanes = min(128, col_block)
-        local_kappa = min(kappa, self.shard_rows)
-        n_blocks = self.shard_rows // col_block
-        seg_pool = 2 * n_blocks * (col_block // seg_lanes)
-        if local_kappa > 1 and seg_pool >= local_kappa:
-            return seg_lanes
-        return 0
 
     def _collection_mode(self, m: int, kappa: int, approx: bool):
         """The sharded collection always streams per shard (pools and

@@ -116,8 +116,7 @@ class ScoreNormalizedSearcher:
                 row_block=rb,
             )
             all_s, all_i, counts, tau = _unpack_candidates(
-                np.asarray(packed), nq, kappa_eff,
-                with_counts=mode == "pooled",
+                np.asarray(packed), nq, kappa_eff, with_counts=True,
             )
             return s._finalize_global_topk(
                 all_s, all_i, counts, tau, q_sn, q_sn, nq, kappa_eff,
