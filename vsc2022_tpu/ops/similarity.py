@@ -861,25 +861,26 @@ def _repair_block_counts_packed(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k2b", "col_block", "metric", "precision")
+    jax.jit,
+    static_argnames=("k", "col_block", "metric", "precision"),
 )
-def _repair_tiles_packed(
-    q_dev, rows, pair_row, pair_block, refs, n_valid, ref_sq,
-    k2b, col_block, metric, precision,
+def _repair_rows_topk_packed(
+    q_dev,  # [M, D] device-resident queries (any dtype)
+    rows,  # [S_pad] int32 flagged row indices (padding repeats row 0)
+    refs, n_valid, ref_sq,
+    k, col_block, metric, precision,
 ):
-    """Exact top-k2b inside each flagged (row, block) score tile: ONE
-    narrow sort over just the tiles that hold ≥τ entries. The caller
-    sizes k2b ≥ the max per-tile count, so the tile top-k2b provably
-    contains every ≥τ entry of that tile. Packed [bitcast(v), lane]."""
+    """Exact per-row top-k for a gathered set of flagged rows, packed
+    for one pull (the repair extraction). The gather stays on device —
+    flagged rows never cross the host link."""
     block = jnp.take(q_dev, rows, axis=0).astype(refs.dtype)
-    s = _full_rows(block, refs, n_valid, ref_sq, metric, precision)
-    n_blocks = refs.shape[0] // col_block
-    flat = s.reshape(block.shape[0] * n_blocks, col_block)
-    tiles = jnp.take(flat, pair_row * n_blocks + pair_block, axis=0)
-    v, lane = jax.lax.top_k(tiles, k2b)
+    top_s, top_i = streaming_topk(
+        block, refs, n_valid, ref_sq, kappa=k, col_block=col_block,
+        metric=metric, precision=precision,
+    )
     return jnp.concatenate([
-        jax.lax.bitcast_convert_type(v, jnp.int32).reshape(-1),
-        lane.astype(jnp.int32).reshape(-1),
+        jax.lax.bitcast_convert_type(top_s, jnp.int32).reshape(-1),
+        top_i.astype(jnp.int32).reshape(-1),
     ])
 
 
@@ -1285,99 +1286,102 @@ class SimilaritySearcher:
     def _collect_repairs(
         self, queries, q_dev, saturated: np.ndarray, tau: float,
         kept_above: np.ndarray,
+        exact_counts: Optional[np.ndarray] = None,
     ):
         """All (score, query, ref) entries ≥ τ for the truly deficient
-        rows among the flagged ones. Two dispatches per row chunk:
+        rows among the flagged ones.
 
-        1. Exact per-(row, block) ≥τ counts (one matmul over just the
-           flagged rows). Rows whose exact total equals their
-           ``kept_above`` count already hold every corpus entry ≥ τ —
-           structural false alarms — and are verified right here at
-           count-pass cost. That matters because the segment-
-           multiplicity flag rule has birthday collisions ∝ κ²/segments:
-           at a 61k corpus it flags ~2/3 of all rows (measured 6130 of
-           9000 on the bench workload) while almost none are deficient.
-        2. One narrow top-k2b sort over ONLY the tiles of the deficient
-           rows that hold hits — a handful per row, vs per-block top-k
-           sorts across the whole corpus width (461 → ~60 ms for ~650
-           flagged rows at the 1M corpus).
+        1. Resolve exact per-row ≥τ counts. The streaming verify ships
+           them in the packed buffer (``exact_counts``); the pooled
+           verify's pool counts are not corpus counts, so a count
+           dispatch over just the flagged rows resolves them — and
+           prunes the multiplicity rule's birthday-collision false
+           alarms (∝ κ²/segments: 6130 of 9000 rows flagged at a 61k
+           corpus while almost none are deficient).
+        2. Count-bucketed extraction: deficient rows are grouped by
+           pow2(count) and each bucket runs ONE exact streaming
+           top-κ_b dispatch (κ_b = the bucket's count ceiling ≥ every
+           member's need, so nothing is dropped) with one packed pull.
+           Device work and pull volume scale with the rows' ACTUAL
+           needs — a tail row needing 354 entries no longer forces a
+           354-entry budget onto thousands of 40-entry rows. (Two
+           rejected designs, both measured on the skewed bench
+           workload with 3241 genuinely deficient rows: per-(row,
+           block) tile sorts — a 537 MB tile gather + [16k, 512] sort,
+           ~1.2 s; flat nonzero compaction — TPU lowers the 268M-
+           element masked cumsum catastrophically, ~2.5 s.)
 
         Returns (scores, q_rows, ref_ids, repaired_rows): the caller
         replaces candidates only for ``repaired_rows``. The sharded
         searcher overrides this (its refs live sharded)."""
         n_pad = self._refs.shape[0]
         n_blocks = n_pad // self.col_block
-        parts_s, parts_q, parts_r = [], [], []
-        repaired = []
-        # Chunk rows so the [S, n_pad] tile-extraction score buffer
-        # stays within ~1.5 GB of HBM.
+        # Row-chunk ceiling: score intermediates ≤ ~1.5 GB.
         chunk = max(8, min(
             self.row_block,
             ((3 << 29) // (4 * max(n_pad, 1))) // 8 * 8 or 8,
         ))
-        for start in range(0, saturated.size, chunk):
-            rows = saturated[start : start + chunk]
-            kept = kept_above[start : start + chunk]
-            # Pow-2 padding bounds the executable count (remote compiles
-            # cost ~30-60 s on relay-attached hosts).
-            n_fix = max(8, 1 << (rows.size - 1).bit_length())
-            idx = np.zeros(n_fix, dtype=np.int32)
-            idx[: rows.size] = rows
-            idx_dev = jnp.asarray(idx)
-            cb_counts = np.asarray(_repair_block_counts_packed(
-                q_dev, idx_dev, self._refs, self._n_valid, self._ref_sq,
-                jnp.float32(tau), col_block=self.col_block,
-                metric=self.metric, precision=self.precision,
-            )).reshape(n_fix, n_blocks)[: rows.size]
-            deficient = cb_counts.sum(axis=1) != kept
-            if not deficient.any():
-                continue
-            rows = rows[deficient]
-            cb_counts = cb_counts[deficient]
-            repaired.append(rows)
-            c_max = int(cb_counts.max(initial=0))
-            if c_max == 0:
-                continue  # τ exceeds every score in these rows
-            pr, pb = np.nonzero(cb_counts)
-            k2b = min(self.col_block, 1 << (c_max - 1).bit_length())
-            n_sel = pr.size
-            n_pad_sel = max(128, 1 << (n_sel - 1).bit_length())
-            pr_pad = np.zeros(n_pad_sel, dtype=np.int32)
-            pb_pad = np.zeros(n_pad_sel, dtype=np.int32)
-            pr_pad[:n_sel] = pr
-            pb_pad[:n_sel] = pb
-            # Map pruned-row ordinals back to this chunk's padded gather
-            # layout (idx_dev) for the tile extraction.
-            chunk_ord = np.nonzero(deficient)[0].astype(np.int32)
-            buf = np.asarray(_repair_tiles_packed(
-                q_dev, idx_dev, jnp.asarray(chunk_ord[pr_pad]),
-                jnp.asarray(pb_pad),
-                self._refs, self._n_valid, self._ref_sq, k2b=k2b,
-                col_block=self.col_block, metric=self.metric,
-                precision=self.precision,
-            ))
-            v = buf[: n_pad_sel * k2b].view(np.float32)
-            v = v.reshape(n_pad_sel, k2b)[:n_sel]
-            lane = buf[n_pad_sel * k2b :].reshape(n_pad_sel, k2b)[:n_sel]
-            si, sj = np.nonzero(v >= tau)
-            parts_s.append(v[si, sj])
-            parts_q.append(rows[pr[si]])
-            parts_r.append(
-                pb[si].astype(np.int64) * self.col_block + lane[si, sj]
-            )
-        repaired_rows = (
-            np.concatenate(repaired) if repaired
-            else np.empty(0, np.int64)
-        )
-        if not parts_s:
+
+        if exact_counts is None:
+            totals = np.empty(saturated.size, np.int64)
+            for start in range(0, saturated.size, chunk):
+                rows = saturated[start : start + chunk]
+                # Pow-2 padding bounds the executable count (remote
+                # compiles cost ~30-60 s on relay-attached hosts).
+                n_fix = max(8, 1 << (rows.size - 1).bit_length())
+                idx = np.zeros(n_fix, dtype=np.int32)
+                idx[: rows.size] = rows
+                cb = np.asarray(_repair_block_counts_packed(
+                    q_dev, jnp.asarray(idx), self._refs, self._n_valid,
+                    self._ref_sq, jnp.float32(tau),
+                    col_block=self.col_block,
+                    metric=self.metric, precision=self.precision,
+                )).reshape(n_fix, n_blocks)[: rows.size]
+                totals[start : start + rows.size] = cb.sum(axis=1)
+        else:
+            totals = np.asarray(exact_counts, np.int64)
+
+        deficient = totals != kept_above
+        repaired_rows = saturated[deficient]
+        if not repaired_rows.size:
             return (
                 np.empty(0, np.float32), np.empty(0, np.int64),
                 np.empty(0, np.int64), repaired_rows,
             )
+        need = np.maximum(totals[deficient], 1)
+        parts_s, parts_q, parts_r = [], [], []
+        bucket_of = np.maximum(
+            np.ceil(np.log2(need)).astype(np.int64), 5
+        )  # κ_b ≥ 32 merges the small buckets into one executable
+        pending = []  # dispatch every bucket async, then pull: the
+        # device works through the queue while earlier pulls drain.
+        for b in np.unique(bucket_of):
+            sel = bucket_of == b
+            kb = min(int(1 << b), self.n_refs)
+            brows = repaired_rows[sel]
+            for start in range(0, brows.size, chunk):
+                rows = brows[start : start + chunk]
+                n_fix = max(8, 1 << (rows.size - 1).bit_length())
+                idx = np.zeros(n_fix, dtype=np.int32)
+                idx[: rows.size] = rows
+                pending.append((rows, n_fix, kb, _repair_rows_topk_packed(
+                    q_dev, jnp.asarray(idx), self._refs, self._n_valid,
+                    self._ref_sq, k=kb, col_block=self.col_block,
+                    metric=self.metric, precision=self.precision,
+                )))
+        for rows, n_fix, kb, dev_buf in pending:
+            buf = np.asarray(dev_buf)
+            v = buf[: n_fix * kb].view(np.float32)
+            v = v.reshape(n_fix, kb)[: rows.size]
+            i = buf[n_fix * kb :].reshape(n_fix, kb)[: rows.size]
+            si, sj = np.nonzero((v >= tau) & np.isfinite(v))
+            parts_s.append(v[si, sj])
+            parts_q.append(rows[si])
+            parts_r.append(i[si, sj].astype(np.int64))
         return (
             np.concatenate(parts_s),
             np.concatenate(parts_q),
-            np.concatenate(parts_r).astype(np.int64),
+            np.concatenate(parts_r),
             repaired_rows,
         )
 
@@ -1460,15 +1464,21 @@ class SimilaritySearcher:
                 all_s, all_i, counts, tau, kappa, mode
             )
             if saturated.size:
-                # Exact recompute over just the flagged rows; the count
-                # dispatch inside prunes structural false alarms, so
-                # only truly deficient rows swap their candidates.
+                # Exact recompute over just the flagged rows. The
+                # streaming verify's counts are corpus-exact and ride
+                # the packed buffer; the pooled mode's are pool counts,
+                # so the repair resolves (and prunes) them itself.
                 kept_above = (
                     (all_s[saturated] >= tau)
                     & np.isfinite(all_s[saturated])
                 ).sum(axis=1)
+                exact_counts = (
+                    counts[saturated]
+                    if counts is not None and mode != "pooled" else None
+                )
                 rep_s, rep_q, rep_r, repaired = self._collect_repairs(
-                    queries, q_dev, saturated, tau, kept_above
+                    queries, q_dev, saturated, tau, kept_above,
+                    exact_counts,
                 )
                 if repaired.size:
                     keep_mask = ~np.isin(flat_q, repaired)

@@ -230,15 +230,16 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         )
 
 
-    def _collect_repairs(self, queries, q_dev, saturated, tau, kept_above):
-        """Structural-verify recompute over the mesh: gather the
-        flagged rows (host or device, outside the shard_map), take
-        their psum'd exact ≥τ counts, drop the structural false alarms
-        (exact count == kept count ⟹ the row already holds everything
-        ≥ τ — see the single-device method for why the multiplicity
-        rule over-flags small corpora), size κ₂ from the rest, then the
-        exact sharded top-κ₂ kernel. (The single-device tile-extraction
-        scheme does not apply: the score tiles live sharded.)"""
+    def _collect_repairs(self, queries, q_dev, saturated, tau, kept_above,
+                         exact_counts=None):
+        """Verify recompute over the mesh: gather the flagged rows
+        (host or device, outside the shard_map), resolve their exact
+        ≥τ counts (shipped in the packed buffer by the fused path;
+        psum'd count kernel otherwise), drop rows whose count equals
+        their kept count (already complete), size κ₂ from the rest,
+        then the exact sharded top-κ₂ kernel. (The single-device
+        count-compact scheme does not apply: the score tiles live
+        sharded.)"""
         parts_s, parts_q, parts_r = [], [], []
         repaired = []
         fix_rows = min(self.row_block, _ceil_to(saturated.size, 8))
@@ -246,7 +247,14 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             rows = saturated[start : start + fix_rows]
             kept = kept_above[start : start + fix_rows]
             block = self._saturated_rows(queries, q_dev, rows, fix_rows)
-            counts = np.asarray(self._count_kernel(block, tau))[: rows.size]
+            if exact_counts is not None:
+                counts = np.asarray(
+                    exact_counts[start : start + fix_rows], np.int64
+                )
+            else:
+                counts = np.asarray(
+                    self._count_kernel(block, tau)
+                )[: rows.size]
             deficient = counts != kept
             if not deficient.any():
                 continue
