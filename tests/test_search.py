@@ -374,6 +374,59 @@ class TestPooledCollection:
             np.testing.assert_array_equal(ri, ori)
             np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-4)
 
+    def test_extraction_miss_repairs_from_pool(self, monkeypatch):
+        # Rows whose deficit is pure under-budget collection (more
+        # entries ≥ τ than κ, every one in its own lane segment, so
+        # amb == 0) must repair from the device-resident pool: no
+        # corpus count dispatch, no corpus re-search.
+        import vsc2022_tpu.ops.similarity as S
+
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
+        calls = {"corpus_topk": 0, "corpus_counts": 0, "pool_topk": 0}
+        orig_topk = S._repair_rows_topk_packed
+        orig_counts = S.SimilaritySearcher._corpus_counts
+        orig_pool = S._pool_rows_topk_packed
+        monkeypatch.setattr(
+            S, "_repair_rows_topk_packed",
+            lambda *a, **k: (calls.__setitem__(
+                "corpus_topk", calls["corpus_topk"] + 1
+            ), orig_topk(*a, **k))[1],
+        )
+        monkeypatch.setattr(
+            S.SimilaritySearcher, "_corpus_counts",
+            lambda self, *a, **k: (calls.__setitem__(
+                "corpus_counts", calls["corpus_counts"] + 1
+            ), orig_counts(self, *a, **k))[1],
+        )
+        monkeypatch.setattr(
+            S, "_pool_rows_topk_packed",
+            lambda *a, **k: (calls.__setitem__(
+                "pool_topk", calls["pool_topk"] + 1
+            ), orig_pool(*a, **k))[1],
+        )
+        rng = np.random.RandomState(13)
+        dim = 16
+        hot = rng.randint(-2, 3, size=dim).astype(np.float32)
+        q = np.tile(hot * 8, (8, 1)).astype(np.float32)
+        q += rng.randint(-1, 2, size=q.shape)
+        r = rng.randint(-2, 3, size=(8192, dim)).astype(np.float32)
+        # 50 strong matches, one per 128-lane segment → amb stays 0
+        # while every row needs > κ=32 entries above τ.
+        plant = 128 * np.arange(50) + (np.arange(50) % 128)
+        r[plant] = hot * 4 + rng.randint(-1, 2, size=(50, dim))
+        searcher = SimilaritySearcher(r)
+        k = 8 * 45
+        qi, ri, s = searcher.global_topk(q, k, kappa=32)
+        oqi, ori, os_ = brute_force_global_topk(q, r, k)
+        np.testing.assert_array_equal(qi, oqi)
+        np.testing.assert_array_equal(ri, ori)
+        np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-4)
+        assert calls["pool_topk"] > 0, "deficits must repair from pool"
+        assert calls["corpus_topk"] == 0, "no corpus re-search expected"
+        assert calls["corpus_counts"] == 0, (
+            "amb == 0 rows must not pay a corpus count dispatch"
+        )
+
     def test_budget_fallback_streams(self, monkeypatch):
         # A zero pool budget forces the chunked streaming collection;
         # results must stay oracle-exact through the legacy path.

@@ -58,7 +58,7 @@ def main():
     print(f"  mode={mode} kappa={kappa_eff} rb={rb}", flush=True)
 
     def dispatch():
-        packed, q_sn = _fused_sn_candidates_packed(
+        packed, q_sn, pv, pi = _fused_sn_candidates_packed(
             qd, ns._refs, ns._n_valid, ns._ref_sq,
             s._refs, s._n_valid, s._ref_sq,
             jnp.asarray(nq, jnp.int32), jnp.asarray(k_eff, jnp.int32),
@@ -66,19 +66,19 @@ def main():
             col_block=s.col_block, precision=s.precision, approx=mode,
             row_block=rb,
         )
-        return packed, q_sn
+        return packed, q_sn, pv, pi
 
-    packed, q_sn = dispatch()
+    packed, q_sn, pv, pi = dispatch()
     t("fused dispatch (sync scalar)", lambda: np.asarray(
         dispatch()[0][:1]))
     t("packed pull full", lambda: np.asarray(dispatch()[0]))
 
     buf = np.asarray(packed)
-    all_s, all_i, counts, tau = _unpack_candidates(
-        buf, nq, kappa_eff, with_counts=True)
+    all_s, all_i, counts, tau, amb = _unpack_candidates(
+        buf, nq, kappa_eff, with_counts=True, with_amb=mode == "pooled")
     kept = ((all_s >= tau) & np.isfinite(all_s)).sum(axis=1)
     flagged = s._flag_deficient_rows(all_s, all_i, counts, tau,
-                                     kappa_eff, mode)
+                                     kappa_eff, mode, amb)
     print(f"  tau={tau:.4f} flagged={flagged.size} "
           f"count_minus_kept_max={int((counts - kept).max())} "
           f"deficit_rows={(counts != kept).sum()}", flush=True)
@@ -87,6 +87,10 @@ def main():
         exact = counts[flagged] if mode != "pooled" else None
 
         def repair():
+            if mode == "pooled" and pv is not None:
+                return s._collect_repairs_pooled(
+                    (pv, pi), q_sn, flagged, tau, kept_fl,
+                    counts[flagged], amb[flagged])
             return s._collect_repairs(q_sn, q_sn, flagged, tau, kept_fl,
                                       exact)
 
@@ -96,7 +100,8 @@ def main():
 
     t("host finalize (full)", lambda: s._finalize_global_topk(
         all_s.copy(), all_i.copy(), None if counts is None else
-        counts.copy(), tau, q_sn, q_sn, nq, kappa_eff, k_eff, mode, rb))
+        counts.copy(), tau, q_sn, q_sn, nq, kappa_eff, k_eff, mode, rb,
+        amb=amb, pool=None if pv is None else (pv, pi)))
 
 
 if __name__ == "__main__":

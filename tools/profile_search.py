@@ -268,7 +268,7 @@ def main(args):
             metric="IP", precision=args.precision, approx=True,
             row_block=m)
 
-    timeit("fused_stream", lambda: sync(fused()))
+    timeit("fused_stream", lambda: sync(fused()[0]))
 
     def fused_pooled():
         return S._fused_candidates_packed(
@@ -278,7 +278,7 @@ def main(args):
             metric="IP", precision=args.precision, approx="pooled",
             row_block=m)
 
-    timeit("fused_pooled", lambda: sync(fused_pooled()))
+    timeit("fused_pooled", lambda: sync(fused_pooled()[0]))
 
     @functools.partial(jax.jit, static_argnames=("stage",))
     def pooled_stage(q, refs, stage):
@@ -402,7 +402,7 @@ def main(args):
         return out
 
     timeit("pool_reduce_only", lambda: sync(pool_reduce_only(q, refs)))
-    buf = fused_pooled()
+    buf, pool_v, pool_i = fused_pooled()
     sync(buf)
     timeit("pull_packed", lambda: np.asarray(buf))
 
@@ -412,10 +412,10 @@ def main(args):
     searcher.metric = "IP"
     searcher.col_block = cb
     searcher._refs = refs
-    top_s, top_i, counts_p, tau_v = S._unpack_candidates(
-        np.asarray(buf), m, kappa, with_counts=True)
+    top_s, top_i, counts_p, tau_v, amb_p = S._unpack_candidates(
+        np.asarray(buf), m, kappa, with_counts=True, with_amb=True)
     saturated = searcher._flag_deficient_rows(
-        top_s, top_i, counts_p, tau_v, kappa, "pooled")
+        top_s, top_i, counts_p, tau_v, kappa, "pooled", amb_p)
     print(f"  tau={tau_v:.4f} flagged={saturated.size}", flush=True)
     if saturated.size and "repair" not in skip:
         searcher.n_refs = args.corpus
@@ -429,8 +429,9 @@ def main(args):
         ).sum(axis=1)
 
         def repair():
-            return searcher._collect_repairs(q, q, saturated, tau_v,
-                                             kept_above)
+            return searcher._collect_repairs_pooled(
+                (pool_v, pool_i), q, saturated, tau_v, kept_above,
+                counts_p[saturated], amb_p[saturated])
 
         s_rep, _, _, repaired = repair()  # warm both dispatch shapes
         timeit("repair_pairs", repair)

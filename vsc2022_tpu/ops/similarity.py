@@ -415,11 +415,16 @@ def pooled_candidates(
          row repair), so extraction needs no structural guarantee of
          its own.
 
-    Returns (top_s [M, κ], top_i [M, κ], pool_counts [M], τ). Exactness
-    contract for the host verify: a corpus entry ≥ τ missing from the
-    pool implies all ``seg_keep`` pool entries of its segment are ≥ τ
-    (flagged by the host's segment-multiplicity rule); a pool entry
-    ≥ τ missing from the extraction implies kept < pool_count.
+    Returns (top_s [M, κ], top_i [M, κ], pool_counts [M], τ, amb [M],
+    pool_v [M, P], pool_i [M, P]). Exactness contract for the host
+    verify: a corpus entry ≥ τ missing from the pool implies all
+    ``seg_keep`` pool entries of its segment are ≥ τ — witnessed
+    exactly by that row's in-dispatch ambiguity count ``amb`` — and a
+    pool entry ≥ τ missing from the extraction implies kept <
+    pool_count. Rows with amb == 0 therefore repair straight from the
+    returned device-resident pool (no corpus rescan); only amb > 0
+    rows need a corpus count, and only counts exceeding the pool count
+    (≥ seg_keep+1 entries ≥ τ in one segment) need a corpus re-search.
     """
     m = q.shape[0]
     n_pad = refs.shape[0]
@@ -462,9 +467,11 @@ def pooled_candidates(
             qk.astype(refs.dtype), rk, n_valid, precision=precision,
             interpret=pool_flag == "interpret",
         )
-        return _pool_select(
-            pv, pi, m_pad, n_rows, k_eff, kappa, debug_stage
+        sel = _pool_select(
+            pv, pi, m_pad, n_rows, k_eff, kappa,
+            2 * (POOL_COL_TILE // seg_lanes), debug_stage,
         )
+        return (*sel, pv, pi) if not debug_stage else sel
 
     def seg_top2(s3, gid3):
         """Best-2 (value, id) per segment in ONE pass: an 8-ary
@@ -544,19 +551,34 @@ def pooled_candidates(
         return pv_b, pi_b
 
     pv, pi = _scan_row_blocks(pool_block, q, row_block)
-    return _pool_select(pv, pi, m, n_rows, k_eff, kappa, debug_stage)
+    sel = _pool_select(
+        pv, pi, m, n_rows, k_eff, kappa, pool_per_block, debug_stage
+    )
+    return (*sel, pv, pi) if not debug_stage else sel
 
 
-def _pool_select(pv, pi, m, n_rows, k_eff, kappa, debug_stage=""):
+def _pool_select(pv, pi, m, n_rows, k_eff, kappa, pair_chunk,
+                 debug_stage=""):
     """Selection over an HBM-resident winner pool [M, P]: the exact
     global k-th threshold (bit-level binary search, no sort), exact
-    per-row ≥τ counts, and candidate extraction (hierarchical reduce +
-    one narrow exact top-κ). Shared by the XLA-scan and Pallas pool
-    builders; see pooled_candidates for the exactness contract."""
+    per-row ≥τ counts, per-row ambiguity counts, and candidate
+    extraction (hierarchical reduce + one narrow exact top-κ). Shared
+    by the XLA-scan and Pallas pool builders; see pooled_candidates
+    for the exactness contract.
+
+    ``pair_chunk`` describes the slot layout: the pool is a run of
+    chunks of that width, each holding its segments' first-slot values
+    in the front half and second-slot values in the back half. The
+    ambiguity count ``amb`` is the number of segments whose BOTH slots
+    are ≥ τ — the exact per-row witness that a corpus entry ≥ τ could
+    have been displaced from the pool (displacement needs two better
+    entries, themselves then ≥ τ). Rows with amb == 0 have pool_count
+    == exact corpus count, so any deficit repairs from the pool alone
+    with no corpus rescan."""
     p_total = pv.shape[1]
     if debug_stage == "pool":
         z = jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
-        return z, z, z, z
+        return z, z, z, z, z
 
     # --- exact global k-th over the pool (bit-level binary search) ----
     row_valid = (
@@ -596,8 +618,14 @@ def _pool_select(pv, pi, m, n_rows, k_eff, kappa, debug_stage=""):
         (_f32_sort_key(pv) >= tau_key) & valid_mask(),
         axis=1, dtype=jnp.int32,
     )
+    # Ambiguity: segments whose second slot is also ≥ τ. Slot pairs sit
+    # (pos j, pos j + pair_chunk/2) within each pair_chunk-wide run.
+    above = ((_f32_sort_key(pv) >= tau_key) & valid_mask()).reshape(
+        m, p_total // pair_chunk, POOL_SEG_KEEP, pair_chunk // POOL_SEG_KEEP
+    )
+    amb = jnp.sum(jnp.all(above, axis=2), axis=(1, 2), dtype=jnp.int32)
     if debug_stage == "tau":
-        return tau, tau, counts.astype(jnp.float32).sum(), tau
+        return tau, tau, counts.astype(jnp.float32).sum(), tau, amb.sum()
 
     # --- extraction: hierarchical reduce + one narrow exact top-k -----
     # Window width trades the final sort against extraction recall
@@ -644,7 +672,7 @@ def _pool_select(pv, pi, m, n_rows, k_eff, kappa, debug_stage=""):
             top_s, ((0, 0), (0, kappa - kx)), constant_values=NEG_INF
         )
         top_i = jnp.pad(top_i, ((0, 0), (0, kappa - kx)))
-    return top_s, top_i, counts, tau
+    return top_s, top_i, counts, tau, amb
 
 
 def _scan_row_blocks(fn, q: jax.Array, row_block: int):
@@ -692,20 +720,24 @@ def _candidates_core(
     approx="pooled" selects the pool-resident collection (exact pool
     counts come back with the candidates); True the chunked-merge
     streaming collection; False exact per-row top-κ. Returns
-    (top_s, top_i, counts, tau). For the non-pooled modes ``counts``
-    are EXACT per-row corpus counts of entries ≥ τ, computed by a
-    second in-dispatch streamed pass: the host's verify rule is then
-    simply ``kept-above-τ != count`` — no structural flag rules, no
-    extra host↔device round trips for false alarms. (The pooled mode
-    keeps its pool-count/multiplicity contract: its selection already
+    (top_s, top_i, counts, tau, pool) where ``pool`` is None for the
+    non-pooled modes and (amb, pool_v, pool_i) — the per-row ambiguity
+    counts plus the device-resident winner pool, kept alive for the
+    host repair — for the pooled one. For the non-pooled modes
+    ``counts`` are EXACT per-row corpus counts of entries ≥ τ,
+    computed by a second in-dispatch streamed pass: the host's verify
+    rule is then simply ``kept-above-τ != count`` — no structural flag
+    rules, no extra host↔device round trips for false alarms. (The
+    pooled mode keeps its pool-count contract: its selection already
     paid for pool counts, and at pool-scale corpora a full corpus
     count pass costs a second 1M-tile matmul.)"""
     if approx == "pooled":
-        return pooled_candidates(
+        top_s, top_i, counts, tau, amb, pv, pi = pooled_candidates(
             q, refs, n_valid, ref_sq, n_rows, k_eff, kappa=kappa,
             col_block=col_block, metric=metric, precision=precision,
             row_block=row_block,
         )
+        return top_s, top_i, counts, tau, (amb, pv, pi)
     top_s, top_i = _scan_row_blocks(
         lambda qb: streaming_topk(
             qb, refs, n_valid, ref_sq, kappa=kappa, col_block=col_block,
@@ -731,17 +763,18 @@ def _candidates_core(
         ),
         q, row_block,
     )
-    return top_s, top_i, counts, tau
+    return top_s, top_i, counts, tau, None
 
 
-def _pack_candidates(top_s, top_i, tau, counts=None) -> jax.Array:
+def _pack_candidates(top_s, top_i, tau, counts=None, amb=None) -> jax.Array:
     """Pack the candidate-phase outputs into ONE int32 vector so the
     host pays a single D2H round trip (each separate pull costs a
     dispatch + link latency). All padded rows are packed (the host
     slices to nq — at most 7 pad rows) so the executable is reusable
     across query counts. Layout:
-    [bitcast(τ), (counts[m],) bitcast(top_s)[m·κ], top_i[m·κ]] —
-    counts present only for the pooled collection."""
+    [bitcast(τ), (counts[m],) (amb[m],) bitcast(top_s)[m·κ],
+    top_i[m·κ]] — counts and amb present only for the pooled
+    collection."""
     parts = [
         jax.lax.bitcast_convert_type(
             jnp.reshape(tau, (1,)).astype(jnp.float32), jnp.int32
@@ -749,6 +782,8 @@ def _pack_candidates(top_s, top_i, tau, counts=None) -> jax.Array:
     ]
     if counts is not None:
         parts.append(counts.astype(jnp.int32))
+    if amb is not None:
+        parts.append(amb.astype(jnp.int32))
     parts.append(
         jax.lax.bitcast_convert_type(
             top_s.astype(jnp.float32), jnp.int32
@@ -759,14 +794,20 @@ def _pack_candidates(top_s, top_i, tau, counts=None) -> jax.Array:
 
 
 def _unpack_candidates(buf: np.ndarray, nq: int, kappa: int,
-                       with_counts: bool = False):
+                       with_counts: bool = False, with_amb: bool = False):
     """Host-side inverse of _pack_candidates: slices the padded rows
-    off and returns writable arrays (top_s, top_i, counts-or-None, τ)."""
+    off and returns writable arrays
+    (top_s, top_i, counts-or-None, τ, amb-or-None)."""
     tau = float(buf[:1].view(np.float32)[0])
-    if with_counts:
-        m = (buf.size - 1) // (2 * kappa + 1)
+    n_vec = int(with_counts) + int(with_amb)
+    amb = None
+    if n_vec:
+        m = (buf.size - 1) // (2 * kappa + n_vec)
         counts = buf[1 : 1 + m].astype(np.int64)[:nq]
         off = 1 + m
+        if with_amb:
+            amb = buf[off : off + m].astype(np.int64)[:nq]
+            off += m
     else:
         m = (buf.size - 1) // (2 * kappa)
         counts = None
@@ -778,7 +819,7 @@ def _unpack_candidates(buf: np.ndarray, nq: int, kappa: int,
     top_i = (
         buf[off + m * kappa :].astype(np.int64).reshape(m, kappa)[:nq]
     )
-    return top_s, top_i, counts, tau
+    return top_s, top_i, counts, tau, amb
 
 
 @functools.partial(
@@ -790,12 +831,17 @@ def _fused_candidates_packed(
     q, refs, n_valid, ref_sq, n_rows, k_eff, kappa, col_block, metric,
     precision, approx, row_block=DEFAULT_ROW_BLOCK,
 ):
-    """Candidate phase in ONE dispatch, packed for ONE D2H pull."""
-    top_s, top_i, counts, tau = _candidates_core(
+    """Candidate phase in ONE dispatch, packed for ONE D2H pull. The
+    pooled mode additionally returns the device-resident winner pool
+    (value, id) pair for the host repair; None otherwise."""
+    top_s, top_i, counts, tau, pool = _candidates_core(
         q, refs, n_rows, n_valid, ref_sq, kappa, col_block, metric,
         precision, approx, k_eff, row_block=row_block,
     )
-    return _pack_candidates(top_s, top_i, tau, counts)
+    if pool is not None:
+        amb, pv, pi = pool
+        return _pack_candidates(top_s, top_i, tau, counts, amb), pv, pi
+    return _pack_candidates(top_s, top_i, tau, counts), None, None
 
 
 @functools.partial(
@@ -884,6 +930,27 @@ def _repair_rows_topk_packed(
     ])
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pool_rows_topk_packed(
+    pool_v,  # [M, P] f32 winner-pool values (device-resident)
+    pool_i,  # [M, P] int32 global corpus ids
+    rows,  # [S_pad] int32 flagged row indices (padding repeats row 0)
+    k,
+):
+    """Exact per-row top-k over the winner pool for flagged rows: one
+    [rows, P] gather + one narrow sort, no corpus rescan. Sound
+    whenever the row's pool holds every corpus entry ≥ τ (amb == 0, or
+    corpus count == pool count) and k ≥ the row's pool count."""
+    pvr = jnp.take(pool_v, rows, axis=0)
+    pir = jnp.take(pool_i, rows, axis=0)
+    top_s, sel = jax.lax.top_k(pvr, k)
+    top_i = jnp.take_along_axis(pir, sel, axis=1)
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(top_s, jnp.int32).reshape(-1),
+        top_i.reshape(-1),
+    ])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("beta", "kappa", "noise_col_block", "col_block",
@@ -914,11 +981,16 @@ def _fused_sn_candidates_packed(
         )
 
     q_sn = _scan_row_blocks(bias_append, q, row_block)
-    top_s, top_i, counts, tau = _candidates_core(
+    top_s, top_i, counts, tau, pool = _candidates_core(
         q_sn, refs, n_rows, n_valid, ref_sq, kappa, col_block, "IP",
         precision, approx, k_eff, row_block=row_block,
     )
-    return _pack_candidates(top_s, top_i, tau, counts), q_sn
+    if pool is not None:
+        amb, pv, pi = pool
+        return (
+            _pack_candidates(top_s, top_i, tau, counts, amb), q_sn, pv, pi
+        )
+    return _pack_candidates(top_s, top_i, tau, counts), q_sn, None, None
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "precision"))
@@ -1065,20 +1137,21 @@ class SimilaritySearcher:
                       k_eff: int):
         """Single-dispatch candidate phase for ANY query-set size (row
         blocks stream via an in-dispatch scan); returns the packed
-        int32 buffer (one D2H pull) and the collection mode. The
-        sharded searcher overrides with a mesh version."""
+        int32 buffer (one D2H pull), the collection mode, and — in
+        pooled mode — the device-resident winner pool for the repair.
+        The sharded searcher overrides with a mesh version."""
         m = q_dev.shape[0]
         n_rb = max(1, -(-m // self.row_block))
         if m % n_rb:
             # Unexpected staging (not a whole number of near-even
             # blocks): single-block if it fits, else the loop path.
             if m > self.row_block:
-                return None, approx
+                return None, approx, None
             rb = m
         else:
             rb = m // n_rb
         mode = self._collection_mode(m, kappa, approx)
-        return _fused_candidates_packed(
+        packed, pv, pi = _fused_candidates_packed(
             q_dev.astype(self._refs.dtype),
             self._refs,
             self._n_valid,
@@ -1091,7 +1164,8 @@ class SimilaritySearcher:
             precision=self.precision,
             approx=mode,
             row_block=rb,
-        ), mode
+        )
+        return packed, mode, None if pv is None else (pv, pi)
 
 
     # ---- per-row top-k -------------------------------------------------
@@ -1218,15 +1292,17 @@ class SimilaritySearcher:
         block_rows = self._plan_row_block(nq)
         q_dev = self._stage_queries(queries, block_rows)
 
-        fused, mode = self._fused_kernel(
+        fused, mode, pool = self._fused_kernel(
             q_dev, nq, kappa, approx_candidates, k_eff
         )
+        amb = None
         if fused is not None:
             # Single-dispatch path: candidates + verify counts (pool
             # counts for the pooled mode, exact corpus counts
             # otherwise) + τ in one packed buffer.
-            all_s, all_i, counts, tau = _unpack_candidates(
-                np.asarray(fused), nq, kappa, with_counts=True
+            all_s, all_i, counts, tau, amb = _unpack_candidates(
+                np.asarray(fused), nq, kappa, with_counts=True,
+                with_amb=mode == "pooled",
             )
         else:
             # Rare fallback for unexpected staging: exact per-row top-κ
@@ -1246,7 +1322,7 @@ class SimilaritySearcher:
 
         return self._finalize_global_topk(
             all_s, all_i, counts, tau, queries, q_dev, nq, kappa,
-            k_eff, mode, block_rows,
+            k_eff, mode, block_rows, amb=amb, pool=pool,
         )
 
     def _plan(self, nq: int, k: int, kappa: Optional[int] = None):
@@ -1283,61 +1359,105 @@ class SimilaritySearcher:
         idx[: rows.size] = rows
         return jnp.take(q_dev, jnp.asarray(idx), axis=0)
 
+    def _repair_chunk(self) -> int:
+        """Row-chunk ceiling for corpus-scan repair dispatches: score
+        intermediates ≤ ~1.5 GB."""
+        n_pad = self._refs.shape[0]
+        return max(8, min(
+            self.row_block,
+            ((3 << 29) // (4 * max(n_pad, 1))) // 8 * 8 or 8,
+        ))
+
+    def _corpus_counts(self, q_dev, rows: np.ndarray, tau: float):
+        """Exact per-row corpus counts of entries ≥ τ (one streamed
+        count dispatch per row chunk)."""
+        n_blocks = self._refs.shape[0] // self.col_block
+        chunk = self._repair_chunk()
+        pending = []
+        for start in range(0, rows.size, chunk):
+            part = rows[start : start + chunk]
+            # Pow-2 padding bounds the executable count (remote
+            # compiles cost ~30-60 s on relay-attached hosts).
+            n_fix = max(8, 1 << (part.size - 1).bit_length())
+            idx = np.zeros(n_fix, dtype=np.int32)
+            idx[: part.size] = part
+            pending.append((start, part.size, n_fix, _repair_block_counts_packed(
+                q_dev, jnp.asarray(idx), self._refs, self._n_valid,
+                self._ref_sq, jnp.float32(tau),
+                col_block=self.col_block,
+                metric=self.metric, precision=self.precision,
+            )))
+        totals = np.empty(rows.size, np.int64)
+        for start, n, n_fix, dev in pending:
+            cb = np.asarray(dev).reshape(n_fix, n_blocks)[:n]
+            totals[start : start + n] = cb.sum(axis=1)
+        return totals
+
+    @staticmethod
+    def _bucket_dispatch(rows, need, chunk, k_cap, dispatch_fn):
+        """Count-bucketed extraction: rows grouped by pow2(need), each
+        bucket ONE dispatch with κ_b = the bucket ceiling (≥ every
+        member's need, so nothing is dropped). Device work and pull
+        volume scale with the rows' ACTUAL needs. All buckets dispatch
+        async before any pull."""
+        bucket_of = np.maximum(
+            np.ceil(np.log2(np.maximum(need, 1))).astype(np.int64), 5
+        )  # κ_b ≥ 32 merges the small buckets into one executable
+        pending = []
+        for b in np.unique(bucket_of):
+            sel = bucket_of == b
+            kb = min(int(1 << b), k_cap)
+            brows = rows[sel]
+            for start in range(0, brows.size, chunk):
+                part = brows[start : start + chunk]
+                n_fix = max(8, 1 << (part.size - 1).bit_length())
+                idx = np.zeros(n_fix, dtype=np.int32)
+                idx[: part.size] = part
+                pending.append(
+                    (part, n_fix, kb, dispatch_fn(idx, kb))
+                )
+        return pending
+
+    @staticmethod
+    def _drain_extractions(pending, tau, parts_s, parts_q, parts_r):
+        """Pull bucketed (vals, ids) packed buffers; keep entries ≥ τ."""
+        for rows, n_fix, kb, dev_buf in pending:
+            buf = np.asarray(dev_buf)
+            v = buf[: n_fix * kb].view(np.float32)
+            v = v.reshape(n_fix, kb)[: rows.size]
+            i = buf[n_fix * kb :].reshape(n_fix, kb)[: rows.size]
+            si, sj = np.nonzero((v >= tau) & np.isfinite(v))
+            parts_s.append(v[si, sj])
+            parts_q.append(rows[si])
+            parts_r.append(i[si, sj].astype(np.int64))
+
     def _collect_repairs(
         self, queries, q_dev, saturated: np.ndarray, tau: float,
         kept_above: np.ndarray,
         exact_counts: Optional[np.ndarray] = None,
     ):
         """All (score, query, ref) entries ≥ τ for the truly deficient
-        rows among the flagged ones.
+        rows among the flagged ones — by corpus rescan (streaming
+        collection, or pooled when no pool survived).
 
         1. Resolve exact per-row ≥τ counts. The streaming verify ships
-           them in the packed buffer (``exact_counts``); the pooled
-           verify's pool counts are not corpus counts, so a count
-           dispatch over just the flagged rows resolves them — and
-           prunes the multiplicity rule's birthday-collision false
-           alarms (∝ κ²/segments: 6130 of 9000 rows flagged at a 61k
-           corpus while almost none are deficient).
-        2. Count-bucketed extraction: deficient rows are grouped by
-           pow2(count) and each bucket runs ONE exact streaming
-           top-κ_b dispatch (κ_b = the bucket's count ceiling ≥ every
-           member's need, so nothing is dropped) with one packed pull.
-           Device work and pull volume scale with the rows' ACTUAL
-           needs — a tail row needing 354 entries no longer forces a
-           354-entry budget onto thousands of 40-entry rows. (Two
-           rejected designs, both measured on the skewed bench
-           workload with 3241 genuinely deficient rows: per-(row,
-           block) tile sorts — a 537 MB tile gather + [16k, 512] sort,
-           ~1.2 s; flat nonzero compaction — TPU lowers the 268M-
-           element masked cumsum catastrophically, ~2.5 s.)
+           them in the packed buffer (``exact_counts``); otherwise a
+           count dispatch over just the flagged rows resolves them and
+           prunes false alarms.
+        2. Count-bucketed extraction over the corpus (κ_b per bucket;
+           see _bucket_dispatch). Two rejected designs, both measured
+           on the skewed bench workload with 3241 genuinely deficient
+           rows: per-(row, block) tile sorts — a 537 MB tile gather +
+           [16k, 512] sort, ~1.2 s; flat nonzero compaction — TPU
+           lowers the 268M-element masked cumsum catastrophically,
+           ~2.5 s.
 
         Returns (scores, q_rows, ref_ids, repaired_rows): the caller
         replaces candidates only for ``repaired_rows``. The sharded
         searcher overrides this (its refs live sharded)."""
-        n_pad = self._refs.shape[0]
-        n_blocks = n_pad // self.col_block
-        # Row-chunk ceiling: score intermediates ≤ ~1.5 GB.
-        chunk = max(8, min(
-            self.row_block,
-            ((3 << 29) // (4 * max(n_pad, 1))) // 8 * 8 or 8,
-        ))
-
+        chunk = self._repair_chunk()
         if exact_counts is None:
-            totals = np.empty(saturated.size, np.int64)
-            for start in range(0, saturated.size, chunk):
-                rows = saturated[start : start + chunk]
-                # Pow-2 padding bounds the executable count (remote
-                # compiles cost ~30-60 s on relay-attached hosts).
-                n_fix = max(8, 1 << (rows.size - 1).bit_length())
-                idx = np.zeros(n_fix, dtype=np.int32)
-                idx[: rows.size] = rows
-                cb = np.asarray(_repair_block_counts_packed(
-                    q_dev, jnp.asarray(idx), self._refs, self._n_valid,
-                    self._ref_sq, jnp.float32(tau),
-                    col_block=self.col_block,
-                    metric=self.metric, precision=self.precision,
-                )).reshape(n_fix, n_blocks)[: rows.size]
-                totals[start : start + rows.size] = cb.sum(axis=1)
+            totals = self._corpus_counts(q_dev, saturated, tau)
         else:
             totals = np.asarray(exact_counts, np.int64)
 
@@ -1350,34 +1470,94 @@ class SimilaritySearcher:
             )
         need = np.maximum(totals[deficient], 1)
         parts_s, parts_q, parts_r = [], [], []
-        bucket_of = np.maximum(
-            np.ceil(np.log2(need)).astype(np.int64), 5
-        )  # κ_b ≥ 32 merges the small buckets into one executable
-        pending = []  # dispatch every bucket async, then pull: the
-        # device works through the queue while earlier pulls drain.
-        for b in np.unique(bucket_of):
-            sel = bucket_of == b
-            kb = min(int(1 << b), self.n_refs)
-            brows = repaired_rows[sel]
-            for start in range(0, brows.size, chunk):
-                rows = brows[start : start + chunk]
-                n_fix = max(8, 1 << (rows.size - 1).bit_length())
-                idx = np.zeros(n_fix, dtype=np.int32)
-                idx[: rows.size] = rows
-                pending.append((rows, n_fix, kb, _repair_rows_topk_packed(
+        pending = self._bucket_dispatch(
+            repaired_rows, need, chunk, self.n_refs,
+            lambda idx, kb: _repair_rows_topk_packed(
+                q_dev, jnp.asarray(idx), self._refs, self._n_valid,
+                self._ref_sq, k=kb, col_block=self.col_block,
+                metric=self.metric, precision=self.precision,
+            ),
+        )
+        self._drain_extractions(pending, tau, parts_s, parts_q, parts_r)
+        return (
+            np.concatenate(parts_s),
+            np.concatenate(parts_q),
+            np.concatenate(parts_r),
+            repaired_rows,
+        )
+
+    def _collect_repairs_pooled(
+        self, pool, q_dev, saturated: np.ndarray, tau: float,
+        kept_above: np.ndarray, pool_counts: np.ndarray,
+        amb_counts: np.ndarray,
+    ):
+        """Pool-resident repair (pooled collection): most deficits are
+        extraction misses whose every missing entry still sits in the
+        device-resident winner pool, so they re-extract from the pool
+        — a [rows, P] gather + narrow top-κ_b, NO corpus rescan. Only
+        rows with amb > 0 (some segment's both slots ≥ τ — the only
+        way a corpus entry ≥ τ can be missing from the pool) pay a
+        corpus count, and only counts exceeding the pool count (≥3
+        entries ≥ τ in one 128-lane segment, birthday-rare) fall back
+        to the corpus re-search. At the 1M bench point this replaced
+        a 1.75 s 9-dispatch corpus-rescan repair (1815 deficient rows,
+        mean need 60 > κ=32) with pool-local work.
+
+        Returns (scores, q_rows, ref_ids, repaired_rows)."""
+        pv, pi = pool
+        ambiguous = amb_counts > 0
+        # amb == 0 ⇒ pool_count is the exact corpus count: flagged ⇒
+        # kept ≠ pool_count ⇒ deficient; need = pool_count.
+        pool_rows = saturated[~ambiguous]
+        pool_need = np.maximum(pool_counts[~ambiguous], 1)
+        parts_s, parts_q, parts_r = [], [], []
+        p_total = int(pv.shape[1])
+        pool_chunk = max(8, min(
+            self.row_block, ((1 << 30) // (8 * max(p_total, 1))) // 8 * 8 or 8,
+        ))
+        pending_pool = self._bucket_dispatch(
+            pool_rows, pool_need, pool_chunk, p_total,
+            lambda idx, kb: _pool_rows_topk_packed(
+                pv, pi, jnp.asarray(idx), k=kb
+            ),
+        )
+        corpus_rows = np.empty(0, np.int64)
+        corpus_need = np.empty(0, np.int64)
+        pruned = np.empty(0, np.int64)
+        if ambiguous.any():
+            amb_rows = saturated[ambiguous]
+            totals = self._corpus_counts(q_dev, amb_rows, tau)
+            complete = totals == kept_above[ambiguous]
+            hidden = totals > pool_counts[ambiguous]
+            pool_ok = ~complete & ~hidden  # totals == pool_count > kept
+            pruned = amb_rows[complete]
+            corpus_rows = amb_rows[hidden & ~complete]
+            corpus_need = totals[hidden & ~complete]
+            pending_pool += self._bucket_dispatch(
+                amb_rows[pool_ok], np.maximum(totals[pool_ok], 1),
+                pool_chunk, p_total,
+                lambda idx, kb: _pool_rows_topk_packed(
+                    pv, pi, jnp.asarray(idx), k=kb
+                ),
+            )
+        if corpus_rows.size:
+            pending_corpus = self._bucket_dispatch(
+                corpus_rows, corpus_need, self._repair_chunk(),
+                self.n_refs,
+                lambda idx, kb: _repair_rows_topk_packed(
                     q_dev, jnp.asarray(idx), self._refs, self._n_valid,
                     self._ref_sq, k=kb, col_block=self.col_block,
                     metric=self.metric, precision=self.precision,
-                )))
-        for rows, n_fix, kb, dev_buf in pending:
-            buf = np.asarray(dev_buf)
-            v = buf[: n_fix * kb].view(np.float32)
-            v = v.reshape(n_fix, kb)[: rows.size]
-            i = buf[n_fix * kb :].reshape(n_fix, kb)[: rows.size]
-            si, sj = np.nonzero((v >= tau) & np.isfinite(v))
-            parts_s.append(v[si, sj])
-            parts_q.append(rows[si])
-            parts_r.append(i[si, sj].astype(np.int64))
+                ),
+            )
+            pending_pool += pending_corpus
+        self._drain_extractions(pending_pool, tau, parts_s, parts_q, parts_r)
+        repaired_rows = np.setdiff1d(saturated, pruned, assume_unique=True)
+        if not parts_s:
+            return (
+                np.empty(0, np.float32), np.empty(0, np.int64),
+                np.empty(0, np.int64), repaired_rows,
+            )
         return (
             np.concatenate(parts_s),
             np.concatenate(parts_q),
@@ -1401,7 +1581,7 @@ class SimilaritySearcher:
         return (segids[:, t - 1 :] == segids[:, : 1 - t]).any(axis=1)
 
     def _flag_deficient_rows(
-        self, all_s, all_i, counts, tau, kappa: int, mode
+        self, all_s, all_i, counts, tau, kappa: int, mode, amb=None
     ) -> np.ndarray:
         """Rows that could be missing an entry ≥ τ:
 
@@ -1415,12 +1595,10 @@ class SimilaritySearcher:
         * pooled collection — ``counts`` are pool counts: an
           extraction miss shows as kept ≠ pool count; a corpus entry
           missing from the pool implies all ``POOL_SEG_KEEP`` pool
-          entries of its segment are ≥ τ, witnessed either by the
-          segment-multiplicity rule (all extracted) or by the count
-          mismatch (some not extracted). The multiplicity rule has
-          birthday-collision false alarms ∝ κ²/segments — tolerable at
-          pool-scale corpora, and the repair's count dispatch prunes
-          them before any tile extraction.
+          entries of its segment are ≥ τ, witnessed exactly by the
+          in-dispatch per-row ambiguity count (``amb`` > 0). Without
+          amb (legacy tools), the segment-multiplicity rule over the
+          extracted candidates is the coarser witness.
         * no counts (loop fallback; exact per-block top-κ): truncation
           only — every dropped candidate is ≤ the row's κ-th kept
           score, so a row is suspect iff that score ≥ τ.
@@ -1432,15 +1610,19 @@ class SimilaritySearcher:
             kept_above = ((all_s >= tau) & np.isfinite(all_s)).sum(axis=1)
             flagged = kept_above != counts
             if mode == "pooled":
-                flagged |= self._segment_multiplicity(
-                    all_s, all_i, tau, POOL_SEG_LANES, POOL_SEG_KEEP
-                )
+                if amb is not None:
+                    flagged |= amb > 0
+                else:
+                    flagged |= self._segment_multiplicity(
+                        all_s, all_i, tau, POOL_SEG_LANES, POOL_SEG_KEEP
+                    )
             return np.where(flagged)[0]
         return np.where(all_s[:, -1] >= tau)[0]
 
     def _finalize_global_topk(
         self, all_s, all_i, counts, tau, queries, q_dev, nq: int,
         kappa: int, k_eff: int, mode, block_rows: int,
+        amb=None, pool=None,
     ):
         """Host finalization of the candidate phase: structural verify
         (exact recompute of any row that could be missing an entry
@@ -1461,25 +1643,39 @@ class SimilaritySearcher:
                 else:
                     tau = NEG_INF
             saturated = self._flag_deficient_rows(
-                all_s, all_i, counts, tau, kappa, mode
+                all_s, all_i, counts, tau, kappa, mode, amb
             )
             if saturated.size:
                 # Exact recompute over just the flagged rows. The
                 # streaming verify's counts are corpus-exact and ride
-                # the packed buffer; the pooled mode's are pool counts,
-                # so the repair resolves (and prunes) them itself.
+                # the packed buffer; the pooled mode repairs from the
+                # device-resident pool (corpus rescan only for the
+                # birthday-rare hidden entries).
                 kept_above = (
                     (all_s[saturated] >= tau)
                     & np.isfinite(all_s[saturated])
                 ).sum(axis=1)
-                exact_counts = (
-                    counts[saturated]
-                    if counts is not None and mode != "pooled" else None
-                )
-                rep_s, rep_q, rep_r, repaired = self._collect_repairs(
-                    queries, q_dev, saturated, tau, kept_above,
-                    exact_counts,
-                )
+                if (
+                    mode == "pooled" and pool is not None
+                    and amb is not None and tau > NEG_INF
+                ):
+                    rep_s, rep_q, rep_r, repaired = (
+                        self._collect_repairs_pooled(
+                            pool, q_dev, saturated, tau, kept_above,
+                            np.asarray(counts)[saturated],
+                            np.asarray(amb)[saturated],
+                        )
+                    )
+                else:
+                    exact_counts = (
+                        counts[saturated]
+                        if counts is not None and mode != "pooled"
+                        else None
+                    )
+                    rep_s, rep_q, rep_r, repaired = self._collect_repairs(
+                        queries, q_dev, saturated, tau, kept_above,
+                        exact_counts,
+                    )
                 if repaired.size:
                     keep_mask = ~np.isin(flat_q, repaired)
                     flat_s = np.concatenate([flat_s[keep_mask], rep_s])

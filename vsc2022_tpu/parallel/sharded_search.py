@@ -295,7 +295,7 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         n_rb = max(1, -(-m // self.row_block))
         if m % n_rb:
             if m > self.row_block:
-                return None, approx  # unexpected staging: loop path
+                return None, approx, None  # unexpected staging: loop
             rb = m
         else:
             rb = m // n_rb
@@ -306,4 +306,4 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             q_dev.astype(self._refs.dtype), self._refs, self._ref_sq,
             self._n_valid, jnp.asarray(nq, jnp.int32),
             jnp.asarray(k_eff, jnp.int32),
-        ), bool(approx)
+        ), bool(approx), None

@@ -101,7 +101,7 @@ class ScoreNormalizedSearcher:
             ns = self.noise_searcher
             q_dev = ns._stage_queries(queries, rb)
             mode = s._collection_mode(q_dev.shape[0], kappa_eff, True)
-            packed, q_sn = _fused_sn_candidates_packed(
+            packed, q_sn, pv, pi = _fused_sn_candidates_packed(
                 q_dev,
                 ns._refs, ns._n_valid, ns._ref_sq,
                 s._refs, s._n_valid, s._ref_sq,
@@ -115,12 +115,14 @@ class ScoreNormalizedSearcher:
                 approx=mode,
                 row_block=rb,
             )
-            all_s, all_i, counts, tau = _unpack_candidates(
+            all_s, all_i, counts, tau, amb = _unpack_candidates(
                 np.asarray(packed), nq, kappa_eff, with_counts=True,
+                with_amb=mode == "pooled",
             )
             return s._finalize_global_topk(
                 all_s, all_i, counts, tau, q_sn, q_sn, nq, kappa_eff,
-                k_eff, mode, rb,
+                k_eff, mode, rb, amb=amb,
+                pool=None if pv is None else (pv, pi),
             )
         return s.global_topk(
             self.normalize_queries(queries), k, kappa=kappa
