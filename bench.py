@@ -335,12 +335,32 @@ def bench_inference(results):
         np.asarray(embed_folded(vars_folded, frames_512))
         b512_s = min(b512_s, time.perf_counter() - t0)
 
+    # Steady-state throughput, the production extractor's dispatch
+    # pattern: inference/pipeline.py issues batch n+1 before pulling
+    # batch n's descriptors (lag-1), so the per-batch RPC floor and
+    # the D2H pull overlap device compute instead of serializing with
+    # it. Dispatch all batches async, then drain the pulls.
+    n_pipe = 6
+    np.asarray(embed_folded(vars_folded, frames_512))
+    pipe_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [
+            embed_folded(vars_folded, frames_512) for _ in range(n_pipe)
+        ]
+        for o in outs:
+            np.asarray(o)
+        pipe_s = min(pipe_s, (time.perf_counter() - t0) / n_pipe)
+
     results["inference_fps"] = round(INF_BATCH / e2e_s, 2)
     results["inference_fps_device"] = round(INF_BATCH / dev_s, 2)
     results["inference_fps_device_bf16"] = round(INF_BATCH / bf16_s, 2)
     results["inference_fps_device_b128"] = round(big / big_s, 2)
     results["inference_fps_device_b256_bf16"] = round(256 / b256_s, 2)
     results["inference_fps_device_b512_bf16"] = round(512 / b512_s, 2)
+    results["inference_fps_device_b512_bf16_pipelined"] = round(
+        512 / pipe_s, 2
+    )
     results["inference_tflops"] = round(
         gflop_per_frame * (INF_BATCH / dev_s) / 1e3, 3
     )

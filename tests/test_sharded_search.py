@@ -189,6 +189,97 @@ class TestMeshShardedLocalization:
         assert len(got) >= 5  # every planted pair localized
 
 
+class TestShardedPooledCollection:
+    """The pooled collection over the mesh (per-shard winner pools,
+    psum'd selection counts, all-gather extraction merge) must be
+    exact against the single-device searcher, including both repair
+    paths — and must never touch the base class's single-device
+    repair kernels (the refs live sharded)."""
+
+    def _guard_single_device_kernels(self, monkeypatch):
+        import vsc2022_tpu.ops.similarity as S
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "single-device corpus kernel called on sharded refs"
+            )
+
+        monkeypatch.setattr(S, "_repair_rows_topk_packed", boom)
+        monkeypatch.setattr(S, "_repair_block_counts_packed", boom)
+
+    def test_pooled_matches_single_device(self, mesh, monkeypatch):
+        rng = np.random.RandomState(17)
+        q = rng.randint(-3, 4, size=(23, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(16384, 16)).astype(np.float32)
+        ks = [1, 50, 700, 5000]
+        single = SimilaritySearcher(r)
+        expect = {k: single.global_topk(q, k) for k in ks}
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
+        self._guard_single_device_kernels(monkeypatch)
+        sharded = ShardedSimilaritySearcher(r, mesh)
+        assert sharded._collection_mode(24, 32, True) == "pooled"
+        for k in ks:
+            sq, sr, ss = expect[k]
+            hq, hr, hs = sharded.global_topk(q, k)
+            np.testing.assert_array_equal(hq, sq)
+            np.testing.assert_array_equal(hr, sr)
+            np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+    def test_clustered_hits_cross_shard(self, mesh, monkeypatch):
+        # >POOL_SEG_KEEP entries ≥ τ inside single 128-lane segments,
+        # planted on two different shards: amb > 0 rows must resolve
+        # through the mesh count kernel and the sharded corpus
+        # re-search, and exactness must hold.
+        rng = np.random.RandomState(19)
+        q = rng.randint(-2, 3, size=(9, 16)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(16384, 16)).astype(np.float32)
+        hot = rng.randint(-2, 3, size=16).astype(np.float32)
+        q[4] = hot * 8
+        r[300:360] += hot       # shard 0 (shard_rows = 2048)
+        r[4096 + 128 : 4096 + 180] += hot  # shard 2
+        ks = [40, 300]
+        single = SimilaritySearcher(r)
+        expect = {k: single.global_topk(q, k, kappa=32) for k in ks}
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
+        self._guard_single_device_kernels(monkeypatch)
+        sharded = ShardedSimilaritySearcher(r, mesh)
+        for k in ks:
+            sq, sr, ss = expect[k]
+            hq, hr, hs = sharded.global_topk(q, k, kappa=32)
+            np.testing.assert_array_equal(hq, sq)
+            np.testing.assert_array_equal(hr, sr)
+            np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+    def test_pooled_l2_matches(self, mesh, monkeypatch):
+        rng = np.random.RandomState(23)
+        q = rng.randint(-3, 4, size=(11, 12)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(16384, 12)).astype(np.float32)
+        single = SimilaritySearcher(r, metric="L2")
+        sq, sr, ss = single.global_topk(q, 900)
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
+        self._guard_single_device_kernels(monkeypatch)
+        sharded = ShardedSimilaritySearcher(r, mesh, metric="L2")
+        hq, hr, hs = sharded.global_topk(q, 900)
+        np.testing.assert_array_equal(hq, sq)
+        np.testing.assert_array_equal(hr, sr)
+        np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+    def test_infeasible_pool_falls_back_to_stream(self, mesh, monkeypatch):
+        # Tiny shards (p_shard too narrow for κ): the forced pooled
+        # mode must degrade to the streaming collection, still exact.
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
+        rng = np.random.RandomState(29)
+        q = rng.randint(-3, 4, size=(8, 8)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(600, 8)).astype(np.float32)
+        single = SimilaritySearcher(r)
+        sharded = ShardedSimilaritySearcher(r, mesh)
+        assert sharded._collection_mode(8, 32, True) is True
+        sq, sr, ss = single.global_topk(q, 200)
+        hq, hr, hs = sharded.global_topk(q, 200)
+        np.testing.assert_array_equal(hq, sq)
+        np.testing.assert_array_equal(hr, sr)
+
+
 class TestShardedMultiRowBlock:
     def test_row_blocked_fused_matches_single(self, mesh):
         """Sharded query sets beyond one row block stream through the

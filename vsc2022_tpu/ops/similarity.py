@@ -428,11 +428,7 @@ def pooled_candidates(
     """
     m = q.shape[0]
     n_pad = refs.shape[0]
-    n_blocks = n_pad // col_block
-    seg = col_block // seg_lanes
-    pool_per_block = seg_keep * seg
-    p_total = n_blocks * pool_per_block
-    prec = jax.lax.Precision(precision)
+    pool_per_block = seg_keep * (col_block // seg_lanes)
 
     # The fused Pallas pool writer (VSC2022_TPU_POOL_PALLAS=1 on TPU;
     # =interpret runs it through the Pallas interpreter on any backend,
@@ -472,6 +468,44 @@ def pooled_candidates(
             2 * (POOL_COL_TILE // seg_lanes), debug_stage,
         )
         return (*sel, pv, pi) if not debug_stage else sel
+
+    pv, pi = pool_build_xla(
+        q, refs, n_valid, ref_sq, col_block=col_block, metric=metric,
+        precision=precision, row_block=row_block, seg_lanes=seg_lanes,
+        seg_keep=seg_keep,
+    )
+    sel = _pool_select(
+        pv, pi, m, n_rows, k_eff, kappa, pool_per_block, debug_stage
+    )
+    return (*sel, pv, pi) if not debug_stage else sel
+
+
+def pool_build_xla(
+    q: jax.Array,  # [M, D]
+    refs: jax.Array,  # [N_pad, D] (a corpus shard under shard_map)
+    n_valid: jax.Array,  # scalar int32: valid rows of THIS refs array
+    ref_sq: jax.Array,  # [N_pad] (L2 only)
+    col_block: int,
+    metric: str,
+    precision: str,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    base: "int | jax.Array" = 0,  # global index offset (corpus sharding)
+    varying_axes: Tuple[str, ...] = (),
+    seg_lanes: int = POOL_SEG_LANES,
+    seg_keep: int = POOL_SEG_KEEP,
+) -> Tuple[jax.Array, jax.Array]:
+    """The winner-pool build: one streamed pass keeping the best-2
+    (value, global id) of every ``seg_lanes``-lane segment in an HBM
+    pool [M, P]. Traceable (no jit) so it runs inside shard_map —
+    ``base`` offsets ids for corpus shards, ``varying_axes`` marks the
+    scan carry device-varying. Query rows stream through row blocks
+    (still one traced graph)."""
+    n_pad = refs.shape[0]
+    n_blocks = n_pad // col_block
+    seg = col_block // seg_lanes
+    pool_per_block = seg_keep * seg
+    p_total = n_blocks * pool_per_block
+    prec = jax.lax.Precision(precision)
 
     def seg_top2(s3, gid3):
         """Best-2 (value, id) per segment in ONE pass: an 8-ary
@@ -526,7 +560,7 @@ def pooled_candidates(
             ) < (n_valid - start)
             s = jnp.where(in_range, s, NEG_INF)
             s3 = s.reshape(mb, seg, seg_lanes)
-            gid3 = start + (
+            gid3 = base + start + (
                 jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) * seg_lanes
                 + jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
             )
@@ -545,20 +579,20 @@ def pooled_candidates(
             jnp.full((mb, p_total), NEG_INF, jnp.float32),
             jnp.zeros((mb, p_total), jnp.int32),
         )
+        if varying_axes:
+            init = tuple(
+                jax.lax.pcast(x, varying_axes, to="varying") for x in init
+            )
         (pv_b, pi_b), _ = jax.lax.scan(
             col_body, init, jnp.arange(n_blocks)
         )
         return pv_b, pi_b
 
-    pv, pi = _scan_row_blocks(pool_block, q, row_block)
-    sel = _pool_select(
-        pv, pi, m, n_rows, k_eff, kappa, pool_per_block, debug_stage
-    )
-    return (*sel, pv, pi) if not debug_stage else sel
+    return _scan_row_blocks(pool_block, q, row_block)
 
 
 def _pool_select(pv, pi, m, n_rows, k_eff, kappa, pair_chunk,
-                 debug_stage=""):
+                 debug_stage="", axis_name=None):
     """Selection over an HBM-resident winner pool [M, P]: the exact
     global k-th threshold (bit-level binary search, no sort), exact
     per-row ≥τ counts, per-row ambiguity counts, and candidate
@@ -574,8 +608,21 @@ def _pool_select(pv, pi, m, n_rows, k_eff, kappa, pair_chunk,
     have been displaced from the pool (displacement needs two better
     entries, themselves then ≥ τ). Rows with amb == 0 have pool_count
     == exact corpus count, so any deficit repairs from the pool alone
-    with no corpus rescan."""
+    with no corpus rescan.
+
+    ``axis_name`` runs the same selection across a corpus mesh inside
+    shard_map, with ``pv``/``pi`` the local shard pool: the segments
+    partition the global corpus, so every count (binary-search counts,
+    per-row counts, ambiguity) psums over ICI, and the extraction
+    merges per-shard top-κ with one all-gather — exactly the streaming
+    merge's traffic shape, O(M·κ·n_dev)."""
     p_total = pv.shape[1]
+    if axis_name is None:
+        _allsum = lambda x, **kw: jnp.sum(x, **kw)  # noqa: E731
+    else:
+        _allsum = lambda x, **kw: jax.lax.psum(  # noqa: E731
+            jnp.sum(x, **kw), axis_name
+        )
     if debug_stage == "pool":
         z = jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
         return z, z, z, z, z
@@ -588,13 +635,13 @@ def _pool_select(pv, pi, m, n_rows, k_eff, kappa, pair_chunk,
     def valid_mask():
         return (pv > NEG_INF) & row_valid
 
-    total_valid = jnp.sum(valid_mask(), dtype=jnp.int32)
+    total_valid = _allsum(valid_mask(), dtype=jnp.int32)
 
     def search_body(_, carry):
         # uint32 bounds; hi starts at +inf's key so hi−lo+1 never wraps.
         lo, hi = carry
         mid = lo + (hi - lo + jnp.uint32(1)) // jnp.uint32(2)
-        cnt = jnp.sum(
+        cnt = _allsum(
             (_f32_sort_key(pv) >= mid) & valid_mask(), dtype=jnp.int32
         )
         take = cnt >= k_eff
@@ -614,7 +661,7 @@ def _pool_select(pv, pi, m, n_rows, k_eff, kappa, pair_chunk,
     tau = jnp.where(
         total_valid < k_eff, NEG_INF, _key_to_f32(tau_key)
     )
-    counts = jnp.sum(
+    counts = _allsum(
         (_f32_sort_key(pv) >= tau_key) & valid_mask(),
         axis=1, dtype=jnp.int32,
     )
@@ -623,7 +670,7 @@ def _pool_select(pv, pi, m, n_rows, k_eff, kappa, pair_chunk,
     above = ((_f32_sort_key(pv) >= tau_key) & valid_mask()).reshape(
         m, p_total // pair_chunk, POOL_SEG_KEEP, pair_chunk // POOL_SEG_KEEP
     )
-    amb = jnp.sum(jnp.all(above, axis=2), axis=(1, 2), dtype=jnp.int32)
+    amb = _allsum(jnp.all(above, axis=2), axis=(1, 2), dtype=jnp.int32)
     if debug_stage == "tau":
         return tau, tau, counts.astype(jnp.float32).sum(), tau, amb.sum()
 
@@ -667,6 +714,18 @@ def _pool_select(pv, pi, m, n_rows, k_eff, kappa, pair_chunk,
         # positions beyond p_total hold −inf scores, id 0 is harmless).
         top_pos = jnp.minimum(top_pos, p_total - 1)
         top_i = jnp.take_along_axis(pi, top_pos, axis=1)
+    if axis_name is not None:
+        # Per-shard extractions merge over ICI like the streaming path:
+        # a shard entry ≥ τ dropped here (> kx on one shard, or > κ in
+        # the union) always shows as kept < count on the host, so the
+        # merged extraction keeps the pool-repair contract.
+        all_s = jax.lax.all_gather(top_s, axis_name)
+        all_i = jax.lax.all_gather(top_i, axis_name)
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(m, -1)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(m, -1)
+        kx = min(kappa, all_s.shape[1])
+        top_s, sel = jax.lax.top_k(all_s, kx)
+        top_i = jnp.take_along_axis(all_i, sel, axis=1)
     if kx < kappa:
         top_s = jnp.pad(
             top_s, ((0, 0), (0, kappa - kx)), constant_values=NEG_INF
@@ -1418,6 +1477,17 @@ class SimilaritySearcher:
                 )
         return pending
 
+    def _corpus_rows_topk_packed(self, q_dev, idx, kb: int):
+        """One corpus-rescan extraction dispatch for the repair: the
+        exact top-kb over the full corpus for the gathered query rows,
+        packed [vals, ids] for _drain_extractions. The sharded searcher
+        overrides this with its mesh kernel."""
+        return _repair_rows_topk_packed(
+            q_dev, jnp.asarray(idx), self._refs, self._n_valid,
+            self._ref_sq, k=kb, col_block=self.col_block,
+            metric=self.metric, precision=self.precision,
+        )
+
     @staticmethod
     def _drain_extractions(pending, tau, parts_s, parts_q, parts_r):
         """Pull bucketed (vals, ids) packed buffers; keep entries ≥ τ."""
@@ -1472,11 +1542,7 @@ class SimilaritySearcher:
         parts_s, parts_q, parts_r = [], [], []
         pending = self._bucket_dispatch(
             repaired_rows, need, chunk, self.n_refs,
-            lambda idx, kb: _repair_rows_topk_packed(
-                q_dev, jnp.asarray(idx), self._refs, self._n_valid,
-                self._ref_sq, k=kb, col_block=self.col_block,
-                metric=self.metric, precision=self.precision,
-            ),
+            lambda idx, kb: self._corpus_rows_topk_packed(q_dev, idx, kb),
         )
         self._drain_extractions(pending, tau, parts_s, parts_q, parts_r)
         return (
@@ -1541,16 +1607,13 @@ class SimilaritySearcher:
                 ),
             )
         if corpus_rows.size:
-            pending_corpus = self._bucket_dispatch(
+            pending_pool += self._bucket_dispatch(
                 corpus_rows, corpus_need, self._repair_chunk(),
                 self.n_refs,
-                lambda idx, kb: _repair_rows_topk_packed(
-                    q_dev, jnp.asarray(idx), self._refs, self._n_valid,
-                    self._ref_sq, k=kb, col_block=self.col_block,
-                    metric=self.metric, precision=self.precision,
+                lambda idx, kb: self._corpus_rows_topk_packed(
+                    q_dev, idx, kb
                 ),
             )
-            pending_pool += pending_corpus
         self._drain_extractions(pending_pool, tau, parts_s, parts_q, parts_r)
         repaired_rows = np.setdiff1d(saturated, pruned, assume_unique=True)
         if not parts_s:

@@ -17,6 +17,8 @@ global-k logic (threshold + saturation fallback) applies unchanged.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,14 +27,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vsc2022_tpu.ops.similarity import (
     NEG_INF,
+    POOL_BYTES_BUDGET,
+    POOL_MIN_CORPUS,
+    POOL_SEG_KEEP,
+    POOL_SEG_LANES,
     SimilaritySearcher,
     _ceil_to,
     _pack_candidates,
     _pad_axis0,
+    _pool_select,
     _scan_row_blocks,
+    _use_pallas_kernels,
+    pool_build_xla,
     streaming_count_above,
     streaming_topk,
 )
+
+
+@jax.jit
+def _pack_vals_ids(s: jax.Array, i: jax.Array) -> jax.Array:
+    """[vals, ids] packed int32 buffer in the _drain_extractions
+    layout (one D2H pull per repair bucket)."""
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(
+            s.astype(jnp.float32), jnp.int32
+        ).reshape(-1),
+        i.astype(jnp.int32).reshape(-1),
+    ])
 
 
 class ShardedSimilaritySearcher(SimilaritySearcher):
@@ -285,10 +306,99 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             repaired_rows,
         )
 
+    def _build_fused_pooled(self, kappa: int, rb: int):
+        """The pooled candidate phase across the mesh in ONE dispatch:
+        each shard builds its winner pool over its own corpus shard
+        (ids already global via the shard base offset), the bit-level
+        k-th search and the per-row/ambiguity counts psum over ICI,
+        per-shard extractions merge with one all-gather (the streaming
+        merge's traffic shape, O(M·κ·n_dev)), and the packed buffer
+        comes back replicated for a single D2H pull. The pools stay
+        device-resident AND corpus-sharded on their position axis —
+        the host repair reaches flagged rows through GSPMD."""
+        axis, shard_rows = self.axis, self.shard_rows
+        col_block, metric, precision = (
+            self.col_block, self.metric, self.precision,
+        )
+        pool_per_block = POOL_SEG_KEEP * (col_block // POOL_SEG_LANES)
+
+        def local_fn(q, refs_local, ref_sq_local, n_valid, nq, k_eff):
+            base = jax.lax.axis_index(axis) * shard_rows
+            local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+            pv, pi = pool_build_xla(
+                q, refs_local, local_valid, ref_sq_local,
+                col_block=col_block, metric=metric, precision=precision,
+                row_block=rb, base=base, varying_axes=(axis,),
+            )
+            top_s, top_i, counts, tau, amb = _pool_select(
+                pv, pi, q.shape[0], nq, k_eff, kappa, pool_per_block,
+                axis_name=axis,
+            )
+            return _pack_candidates(top_s, top_i, tau, counts, amb), pv, pi
+
+        fn = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis, None), P(self.axis), P(), P(), P()),
+            out_specs=(P(), P(None, self.axis), P(None, self.axis)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _corpus_counts(self, q_dev, rows: np.ndarray, tau: float):
+        """Exact ≥τ corpus counts for flagged rows over the mesh (the
+        base class's streamed count kernel cannot see sharded refs):
+        gather the rows, per-shard streamed counts, psum over ICI."""
+        chunk = self.row_block
+        pending = []
+        for start in range(0, rows.size, chunk):
+            part = rows[start : start + chunk]
+            n_fix = max(8, 1 << (part.size - 1).bit_length())
+            idx = np.zeros(n_fix, dtype=np.int32)
+            idx[: part.size] = part
+            block = jnp.take(q_dev, jnp.asarray(idx), axis=0)
+            pending.append(
+                (start, part.size, self._count_kernel(block, tau))
+            )
+        totals = np.empty(rows.size, np.int64)
+        for start, n, dev in pending:
+            totals[start : start + n] = np.asarray(dev)[:n]
+        return totals
+
+    def _corpus_rows_topk_packed(self, q_dev, idx, kb: int):
+        """Corpus re-search for the pooled repair's hidden rows: gather
+        the rows, exact sharded top-kb, pack [vals, ids] in the
+        _drain_extractions layout."""
+        block = jnp.take(
+            q_dev, jnp.asarray(np.asarray(idx, np.int32)), axis=0
+        )
+        s, i = self._topk_kernel(block, kb, approx=False)
+        return _pack_vals_ids(s, i)
+
     def _collection_mode(self, m: int, kappa: int, approx: bool):
-        """The sharded collection always streams per shard (pools and
-        their collective selection are a single-device design)."""
-        return bool(approx)
+        """Pooled collection when each corpus SHARD is at the scale
+        where the pool beats the streaming merges (the single-device
+        crossover, measured ~256k rows) and the per-device pool fits
+        the budget; chunked streaming merges otherwise.
+        VSC2022_TPU_COLLECTION forces a path (tests pin both)."""
+        if not approx:
+            return False
+        p_shard = POOL_SEG_KEEP * (self.shard_rows // POOL_SEG_LANES)
+        pool_ok = (
+            self.col_block % POOL_SEG_LANES == 0
+            and p_shard >= POOL_SEG_KEEP
+            and 8 * m * p_shard <= POOL_BYTES_BUDGET
+            and 4 * kappa <= p_shard * self.n_dev
+            and not (self.metric == "IP" and _use_pallas_kernels())
+        )
+        forced = os.environ.get("VSC2022_TPU_COLLECTION", "")
+        if forced == "stream":
+            return True
+        if forced == "pooled":
+            return "pooled" if pool_ok else True
+        if pool_ok and self.shard_rows >= POOL_MIN_CORPUS:
+            return "pooled"
+        return True
 
     def _fused_kernel(self, q_dev, nq, kappa, approx, k_eff):
         m = q_dev.shape[0]
@@ -299,11 +409,19 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             rb = m
         else:
             rb = m // n_rb
-        key = ("fused", kappa, approx, m, rb)
-        if key not in self._topk_fns:
-            self._topk_fns[key] = self._build_fused(kappa, approx, rb)
-        return self._topk_fns[key](
+        mode = self._collection_mode(m, kappa, approx)
+        args = (
             q_dev.astype(self._refs.dtype), self._refs, self._ref_sq,
             self._n_valid, jnp.asarray(nq, jnp.int32),
             jnp.asarray(k_eff, jnp.int32),
-        ), bool(approx), None
+        )
+        if mode == "pooled":
+            key = ("fused_pooled", kappa, m, rb)
+            if key not in self._topk_fns:
+                self._topk_fns[key] = self._build_fused_pooled(kappa, rb)
+            packed, pv, pi = self._topk_fns[key](*args)
+            return packed, "pooled", (pv, pi)
+        key = ("fused", kappa, bool(mode), m, rb)
+        if key not in self._topk_fns:
+            self._topk_fns[key] = self._build_fused(kappa, bool(mode), rb)
+        return self._topk_fns[key](*args), bool(mode), None
