@@ -86,6 +86,49 @@ class TestShardedScoreNormSearch:
         np.testing.assert_allclose(hs, ss, rtol=1e-6)
 
 
+class TestShardedScoreNormFused:
+    def test_fused_path_used_and_matches(self, mesh, monkeypatch):
+        # The sharded SN searcher must run its ONE-dispatch pipeline
+        # (bias + append + candidates fused over the mesh), not the
+        # two-dispatch normalize-then-search fallback.
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(41)
+        q = rng.randint(-3, 4, size=(13, 12)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(200, 12)).astype(np.float32)
+        noise = rng.randint(-3, 4, size=(90, 12)).astype(np.float32)
+        single = ScoreNormalizedSearcher(r, noise)
+        sq, sr, ss = single.global_topk(q, 40)
+        sharded = ScoreNormalizedSearcher(r, noise, mesh=mesh)
+        monkeypatch.setattr(
+            ScoreNormalizedSearcher, "normalize_queries",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("fallback path used")
+            ),
+        )
+        hq, hr, hs = sharded.global_topk(q, 40)
+        np.testing.assert_array_equal(hq, sq)
+        np.testing.assert_array_equal(hr, sr)
+        np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+    def test_sharded_sn_pooled_matches_single(self, mesh, monkeypatch):
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(43)
+        q = rng.randint(-3, 4, size=(17, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(16384, 16)).astype(np.float32)
+        noise = rng.randint(-3, 4, size=(512, 16)).astype(np.float32)
+        single = ScoreNormalizedSearcher(r, noise)
+        sq, sr, ss = single.global_topk(q, 900)
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
+        sharded = ScoreNormalizedSearcher(r, noise, mesh=mesh)
+        assert sharded.searcher._collection_mode(24, 32, True) == "pooled"
+        hq, hr, hs = sharded.global_topk(q, 900)
+        np.testing.assert_array_equal(hq, sq)
+        np.testing.assert_array_equal(hr, sr)
+        np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+
 class TestShardedFuzz:
     def test_random_float_workloads_match_single(self, mesh):
         rng = np.random.RandomState(21)

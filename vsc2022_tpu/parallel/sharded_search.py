@@ -162,72 +162,157 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         )
         return jax.jit(fn)
 
-    def _build_fused(self, kappa: int, approx: bool, rb: int):
-        """Whole candidate phase in ONE dispatch across the mesh:
-        per-shard top-κ, ICI all-gather merge, the global k-th
-        threshold τ, packed for a single D2H pull — the sharded twin
-        of _fused_candidates_packed. Query sets larger than one row
-        block stream through the in-dispatch scan; nq and k_eff are
-        traced scalars (recompiles only per padded shape)."""
+    def _local_candidate_phase(
+        self, q, refs_local, ref_sq_local, n_valid, nq, k_eff,
+        kappa: int, rb: int, mode,
+    ):
+        """Traceable per-shard candidate phase (runs inside shard_map;
+        the shared body of every fused builder): collect — streaming
+        per-shard top-κ merged over ICI, or a per-shard winner pool
+        with psum'd selection — then the global k-th threshold τ and
+        the verify counts. Returns (packed, pool_v, pool_i); the pool
+        is None for the streaming modes. nq and k_eff are traced
+        scalars (recompiles only per padded shape)."""
         axis, shard_rows = self.axis, self.shard_rows
         col_block, metric, precision = (
             self.col_block, self.metric, self.precision,
         )
+        base = jax.lax.axis_index(axis) * shard_rows
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+
+        if mode == "pooled":
+            pv, pi = pool_build_xla(
+                q, refs_local, local_valid, ref_sq_local,
+                col_block=col_block, metric=metric, precision=precision,
+                row_block=rb, base=base, varying_axes=(axis,),
+            )
+            pool_per_block = POOL_SEG_KEEP * (col_block // POOL_SEG_LANES)
+            top_s, top_i, counts, tau, amb = _pool_select(
+                pv, pi, q.shape[0], nq, k_eff, kappa, pool_per_block,
+                axis_name=axis,
+            )
+            return _pack_candidates(top_s, top_i, tau, counts, amb), pv, pi
+
         local_kappa = min(kappa, shard_rows)
 
-        def local_fn(q, refs_local, ref_sq_local, n_valid, nq, k_eff):
-            base = jax.lax.axis_index(axis) * shard_rows
-            local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+        def collect(qb):
+            top_s, top_i = streaming_topk(
+                qb, refs_local, local_valid, ref_sq_local,
+                kappa=local_kappa, col_block=col_block, metric=metric,
+                precision=precision, base=base, varying_axes=(axis,),
+                approx=bool(mode),
+            )
+            all_s = jax.lax.all_gather(top_s, axis)
+            all_i = jax.lax.all_gather(top_i, axis)
+            mb = qb.shape[0]
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(mb, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(mb, -1)
+            km = min(kappa, all_s.shape[1])
+            blk_s, sel = jax.lax.top_k(all_s, km)
+            return blk_s, jnp.take_along_axis(all_i, sel, axis=1)
 
-            def collect(qb):
-                top_s, top_i = streaming_topk(
-                    qb, refs_local, local_valid, ref_sq_local,
-                    kappa=local_kappa, col_block=col_block, metric=metric,
-                    precision=precision, base=base, varying_axes=(axis,),
-                    approx=approx,
-                )
-                all_s = jax.lax.all_gather(top_s, axis)
-                all_i = jax.lax.all_gather(top_i, axis)
-                mb = qb.shape[0]
-                all_s = jnp.moveaxis(all_s, 0, 1).reshape(mb, -1)
-                all_i = jnp.moveaxis(all_i, 0, 1).reshape(mb, -1)
-                km = min(kappa, all_s.shape[1])
-                blk_s, sel = jax.lax.top_k(all_s, km)
-                return blk_s, jnp.take_along_axis(all_i, sel, axis=1)
+        merged_s, merged_i = _scan_row_blocks(collect, q, rb)
 
-            merged_s, merged_i = _scan_row_blocks(collect, q, rb)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, merged_s.shape, 0)
+        masked = jnp.where(row_ids < nq, merged_s, NEG_INF)
+        flat = jnp.sort(masked.reshape(-1))[::-1]
+        km = merged_s.shape[1]
+        k_idx = jnp.clip(k_eff, 1, flat.shape[0]) - 1
+        tau = jnp.where(
+            k_eff > nq * km, NEG_INF,
+            jax.lax.dynamic_index_in_dim(flat, k_idx, keepdims=False),
+        )
 
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, merged_s.shape, 0)
-            masked = jnp.where(row_ids < nq, merged_s, NEG_INF)
-            flat = jnp.sort(masked.reshape(-1))[::-1]
-            km = merged_s.shape[1]
-            k_idx = jnp.clip(k_eff, 1, flat.shape[0]) - 1
-            tau = jnp.where(
-                k_eff > nq * km, NEG_INF,
-                jax.lax.dynamic_index_in_dim(flat, k_idx, keepdims=False),
+        # Exact verify counts: per-shard ≥τ counts, psum'd over ICI
+        # — the host's kept≠count rule then flags exactly the
+        # deficient rows (see ops/similarity._flag_deficient_rows).
+        def count_rows(qb):
+            return jax.lax.psum(
+                streaming_count_above(
+                    qb, refs_local, local_valid, ref_sq_local, tau,
+                    col_block=col_block, metric=metric,
+                    precision=precision, varying_axes=(axis,),
+                ),
+                axis,
             )
 
-            # Exact verify counts: per-shard ≥τ counts, psum'd over ICI
-            # — the host's kept≠count rule then flags exactly the
-            # deficient rows (see ops/similarity._flag_deficient_rows).
-            def count_rows(qb):
-                return jax.lax.psum(
-                    streaming_count_above(
-                        qb, refs_local, local_valid, ref_sq_local, tau,
-                        col_block=col_block, metric=metric,
-                        precision=precision, varying_axes=(axis,),
-                    ),
-                    axis,
-                )
+        counts = _scan_row_blocks(count_rows, q, rb)
+        return _pack_candidates(merged_s, merged_i, tau, counts), None, None
 
-            counts = _scan_row_blocks(count_rows, q, rb)
-            return _pack_candidates(merged_s, merged_i, tau, counts)
+    def _build_fused(self, kappa: int, approx: bool, rb: int):
+        """Whole candidate phase in ONE dispatch across the mesh,
+        packed for a single D2H pull — the sharded twin of
+        _fused_candidates_packed."""
+
+        def local_fn(q, refs_local, ref_sq_local, n_valid, nq, k_eff):
+            packed, _, _ = self._local_candidate_phase(
+                q, refs_local, ref_sq_local, n_valid, nq, k_eff,
+                kappa, rb, bool(approx),
+            )
+            return packed
 
         fn = shard_map(
             local_fn,
             mesh=self.mesh,
             in_specs=(P(), P(self.axis, None), P(self.axis), P(), P(), P()),
             out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_fused_sn(self, noise_searcher, beta: float, kappa: int,
+                        rb: int, mode):
+        """The ENTIRE sharded score-norm query pipeline in ONE mesh
+        dispatch — the sharded twin of _fused_sn_candidates_packed:
+        per-shard noise-NN bias (k=1 row max, pmax over ICI), CSLS
+        bias-dimension append, then the shared per-shard candidate
+        phase. Returns the packed buffer plus the bias-augmented
+        queries (device-resident, for the flagged-row recompute) and,
+        in pooled mode, the sharded winner pools."""
+        axis = self.axis
+        ns_rows, ns_cb, ns_prec = (
+            noise_searcher.shard_rows, noise_searcher.col_block,
+            noise_searcher.precision,
+        )
+
+        def local_fn(q, nrefs, nsq, n_nvalid, refs_local, ref_sq_local,
+                     n_valid, nq, k_eff):
+            nbase = jax.lax.axis_index(axis) * ns_rows
+            n_lv = jnp.clip(n_nvalid - nbase, 0, ns_rows)
+
+            def bias_append(qb):
+                b, _ = streaming_topk(
+                    qb, nrefs, n_lv, nsq, kappa=1, col_block=ns_cb,
+                    metric="IP", precision=ns_prec, varying_axes=(axis,),
+                )
+                b = jax.lax.pmax(b[:, 0], axis)
+                return jnp.concatenate(
+                    [qb, (-beta * b)[:, None].astype(qb.dtype)], axis=1
+                )
+
+            q_sn = _scan_row_blocks(bias_append, q, rb)
+            packed, pv, pi = self._local_candidate_phase(
+                q_sn, refs_local, ref_sq_local, n_valid, nq, k_eff,
+                kappa, rb, mode,
+            )
+            if mode == "pooled":
+                return packed, q_sn, pv, pi
+            return packed, q_sn
+
+        if mode == "pooled":
+            out_specs = (
+                P(), P(), P(None, self.axis), P(None, self.axis),
+            )
+        else:
+            out_specs = (P(), P())
+        fn = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(
+                P(), P(self.axis, None), P(self.axis), P(),
+                P(self.axis, None), P(self.axis), P(), P(), P(),
+            ),
+            out_specs=out_specs,
             check_vma=False,
         )
         return jax.jit(fn)
@@ -316,25 +401,11 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         comes back replicated for a single D2H pull. The pools stay
         device-resident AND corpus-sharded on their position axis —
         the host repair reaches flagged rows through GSPMD."""
-        axis, shard_rows = self.axis, self.shard_rows
-        col_block, metric, precision = (
-            self.col_block, self.metric, self.precision,
-        )
-        pool_per_block = POOL_SEG_KEEP * (col_block // POOL_SEG_LANES)
-
         def local_fn(q, refs_local, ref_sq_local, n_valid, nq, k_eff):
-            base = jax.lax.axis_index(axis) * shard_rows
-            local_valid = jnp.clip(n_valid - base, 0, shard_rows)
-            pv, pi = pool_build_xla(
-                q, refs_local, local_valid, ref_sq_local,
-                col_block=col_block, metric=metric, precision=precision,
-                row_block=rb, base=base, varying_axes=(axis,),
+            return self._local_candidate_phase(
+                q, refs_local, ref_sq_local, n_valid, nq, k_eff,
+                kappa, rb, "pooled",
             )
-            top_s, top_i, counts, tau, amb = _pool_select(
-                pv, pi, q.shape[0], nq, k_eff, kappa, pool_per_block,
-                axis_name=axis,
-            )
-            return _pack_candidates(top_s, top_i, tau, counts, amb), pv, pi
 
         fn = shard_map(
             local_fn,

@@ -65,6 +65,7 @@ class ScoreNormalizedSearcher:
             self.noise_searcher = SimilaritySearcher(
                 noise_f32, precision=precision, dtype=dtype
             )
+        self._sharded_fns = {}
 
     def normalize_queries(self, queries: np.ndarray) -> jax.Array:
         """Stage queries and append the −β·NN-similarity bias dimension,
@@ -85,14 +86,18 @@ class ScoreNormalizedSearcher:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         s = self.searcher
         nq = queries.shape[0]
-        if (
-            type(s) is SimilaritySearcher
-            and s.metric == "IP"
+        fusable = (
+            s.metric == "IP"
             and nq > 0
             and k > 0
             and s.n_refs > 0
             and self.noise_searcher.n_refs > 0
-        ):
+        )
+        if fusable and type(s) is not SimilaritySearcher:
+            out = self._sharded_fused_topk(queries, nq, k, kappa)
+            if out is not None:
+                return out
+        if fusable and type(s) is SimilaritySearcher:
             # Whole pipeline — noise-NN bias, bias append, candidate
             # top-κ, τ, verify counts — in ONE device dispatch and ONE
             # packed D2H pull (row blocks stream inside the dispatch).
@@ -126,4 +131,52 @@ class ScoreNormalizedSearcher:
             )
         return s.global_topk(
             self.normalize_queries(queries), k, kappa=kappa
+        )
+
+    def _sharded_fused_topk(self, queries, nq, k, kappa):
+        """The sharded one-dispatch SN pipeline (bias + append +
+        candidates + τ + counts over the corpus mesh). None when the
+        two searchers don't share a mesh — the caller then falls back
+        to the two-dispatch path."""
+        from vsc2022_tpu.parallel.sharded_search import (
+            ShardedSimilaritySearcher,
+        )
+
+        s, ns = self.searcher, self.noise_searcher
+        if not (
+            isinstance(s, ShardedSimilaritySearcher)
+            and isinstance(ns, ShardedSimilaritySearcher)
+            and s.mesh is ns.mesh
+        ):
+            return None
+        kappa_eff, k_eff = s._plan(nq, k, kappa)
+        rb = s._plan_row_block(nq)
+        q_dev = ns._stage_queries(queries, rb)
+        m = q_dev.shape[0]
+        if m > rb and m % rb:
+            return None  # unexpected staging: the loop path handles it
+        mode = s._collection_mode(m, kappa_eff, True)
+        key = ("sn", kappa_eff, mode, m, rb)
+        if key not in self._sharded_fns:
+            self._sharded_fns[key] = s._build_fused_sn(
+                ns, float(self.beta), kappa_eff, rb, mode
+            )
+        out = self._sharded_fns[key](
+            q_dev, ns._refs, ns._ref_sq, ns._n_valid,
+            s._refs, s._ref_sq, s._n_valid,
+            jnp.asarray(nq, jnp.int32), jnp.asarray(k_eff, jnp.int32),
+        )
+        if mode == "pooled":
+            packed, q_sn, pv, pi = out
+            pool = (pv, pi)
+        else:
+            packed, q_sn = out
+            pool = None
+        all_s, all_i, counts, tau, amb = _unpack_candidates(
+            np.asarray(packed), nq, kappa_eff, with_counts=True,
+            with_amb=mode == "pooled",
+        )
+        return s._finalize_global_topk(
+            all_s, all_i, counts, tau, q_sn, q_sn, nq, kappa_eff,
+            k_eff, mode, rb, amb=amb, pool=pool,
         )
