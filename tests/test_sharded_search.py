@@ -307,6 +307,31 @@ class TestShardedPooledCollection:
         np.testing.assert_array_equal(hr, sr)
         np.testing.assert_allclose(hs, ss, rtol=1e-6)
 
+    def test_cross_shard_duplicate_ties(self, mesh, monkeypatch):
+        # Exact duplicate corpus rows planted on DIFFERENT shards
+        # produce equal scores whose global order is broken by
+        # (q, r) — r being a GLOBAL id built from per-shard base
+        # offsets. Any off-by-one in those offsets, or a dropped
+        # duplicate at the extraction merge, breaks bit-equality.
+        rng = np.random.RandomState(31)
+        q = rng.randint(-2, 3, size=(8, 16)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(16384, 16)).astype(np.float32)
+        dup = rng.randint(-2, 3, size=(16, 16)).astype(np.float32)
+        for s in range(8):  # same 16 rows at the head of every shard
+            r[s * 2048 : s * 2048 + 16] = dup
+        ks = [10, 120, 2000]
+        single = SimilaritySearcher(r)
+        expect = {k: single.global_topk(q, k) for k in ks}
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
+        self._guard_single_device_kernels(monkeypatch)
+        sharded = ShardedSimilaritySearcher(r, mesh)
+        for k in ks:
+            sq, sr, ss = expect[k]
+            hq, hr, hs = sharded.global_topk(q, k)
+            np.testing.assert_array_equal(hq, sq)
+            np.testing.assert_array_equal(hr, sr)
+            np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
     def test_infeasible_pool_falls_back_to_stream(self, mesh, monkeypatch):
         # Tiny shards (p_shard too narrow for κ): the forced pooled
         # mode must degrade to the streaming collection, still exact.
