@@ -1,0 +1,222 @@
+"""Resident retrieval serving: the ScoreNormalizedVideoIndex must
+reproduce the reference-shaped score_normalize → CandidateGeneration
+pipeline, and the serve CLI must answer repeated stdin requests from
+one staged corpus (including the keep-serving error contract)."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from vsc2022_tpu.metrics import Dataset
+from vsc2022_tpu.retrieval import (
+    CandidateGeneration,
+    MaxScoreAggregation,
+    ScoreNormalizedVideoIndex,
+)
+from vsc2022_tpu.retrieval.candidates import rank_candidates
+from vsc2022_tpu.retrieval.score_norm import score_normalize
+from vsc2022_tpu.storage import store_features
+from vsc2022_tpu.types import VideoFeature
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def l2n(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _make_data(rng, d=24, n_refs=10, n_noise=6, n_queries=3, plant=2):
+    refs = [
+        VideoFeature(
+            video_id=i,
+            timestamps=np.arange(n := int(rng.randint(20, 40)), dtype=np.float64),
+            feature=l2n(rng.randn(n, d)).astype(np.float32),
+        )
+        for i in range(n_refs)
+    ]
+    noise = [
+        VideoFeature(
+            video_id=1000 + i,
+            timestamps=np.arange(25, dtype=np.float64),
+            feature=l2n(rng.randn(25, d)).astype(np.float32),
+        )
+        for i in range(n_noise)
+    ]
+    queries = []
+    for i in range(n_queries):
+        f = l2n(rng.randn(30, d)).astype(np.float32)
+        if i < plant:
+            f[10:18] = refs[i].feature[5:13]
+        queries.append(
+            VideoFeature(
+                video_id=i, timestamps=np.arange(30, dtype=np.float64),
+                feature=f,
+            )
+        )
+    return queries, refs, noise
+
+
+class TestScoreNormalizedVideoIndex:
+    def test_matches_list_level_pipeline(self):
+        # Path A, the reference shape: transform every VideoFeature
+        # via score_normalize, then search the transformed corpus.
+        # Path B, the serving shape: a persistent index that applies
+        # the same transforms device-side inside the fused search.
+        rng = np.random.RandomState(3)
+        queries, refs, noise = _make_data(rng)
+        k = 400
+
+        qn, rn = score_normalize(queries, refs, noise, beta=1.2)
+        expect = CandidateGeneration(rn, MaxScoreAggregation()).query(
+            qn, global_k=k
+        )
+
+        index = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2
+        )
+        index.add(refs)
+        got = rank_candidates(
+            index.search(queries, global_k=k), MaxScoreAggregation()
+        )
+
+        assert {(c.query_id, c.ref_id) for c in got} == {
+            (c.query_id, c.ref_id) for c in expect
+        }
+        gmap = {(c.query_id, c.ref_id): c.score for c in got}
+        for c in expect:
+            assert gmap[(c.query_id, c.ref_id)] == pytest.approx(
+                c.score, abs=1e-5
+            )
+
+    def test_staged_corpus_reused_across_searches(self):
+        # The searcher (device-staged corpus) must build once; repeat
+        # query batches must not restage.
+        rng = np.random.RandomState(5)
+        queries, refs, noise = _make_data(rng)
+        index = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2
+        )
+        index.add(refs)
+        index.search(queries[:1], global_k=50)
+        searcher = index._searcher
+        assert searcher is not None
+        index.search(queries[1:], global_k=50)
+        assert index._searcher is searcher
+
+    def test_noise_overlap_rejected(self):
+        rng = np.random.RandomState(7)
+        queries, refs, noise = _make_data(rng)
+        noise[0] = VideoFeature(
+            video_id=refs[0].video_id,
+            timestamps=noise[0].timestamps,
+            feature=noise[0].feature,
+        )
+        index = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2
+        )
+        index.add(refs)
+        with pytest.raises(Exception, match="independent"):
+            index.search(queries, global_k=10)
+
+    def test_knn_mode(self):
+        # KNN (global_k < 0) on the SN index: per-frame top-k over the
+        # bias-augmented similarity; planted query frames must hit
+        # their source videos.
+        rng = np.random.RandomState(9)
+        queries, refs, noise = _make_data(rng)
+        index = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2
+        )
+        index.add(refs)
+        matches = index.search(queries[:1], global_k=-2)
+        pair_ids = {(m.query_id, m.ref_id) for m in matches}
+        assert (0, 0) in pair_ids  # raw int ids: no npz round trip here
+
+
+class TestServeCLI:
+    @pytest.fixture(scope="class")
+    def served(self):
+        tmp = tempfile.mkdtemp()
+        rng = np.random.RandomState(11)
+        queries, refs, noise = _make_data(rng)
+        store_features(os.path.join(tmp, "q.npz"), queries, Dataset.QUERIES)
+        store_features(
+            os.path.join(tmp, "q2.npz"), queries[:2], Dataset.QUERIES
+        )
+        store_features(os.path.join(tmp, "r.npz"), refs, Dataset.REFS)
+        store_features(os.path.join(tmp, "noise.npz"), noise, Dataset.REFS)
+        return tmp, queries, refs, noise
+
+    def _spawn(self, *args):
+        env = dict(os.environ, VSC2022_TPU_FORCE_CPU="1")
+        return subprocess.Popen(
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve", *args],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+        )
+
+    def test_serves_repeated_requests_and_errors(self, served):
+        tmp, queries, refs, noise = served
+        proc = self._spawn(
+            "--ref_features", os.path.join(tmp, "r.npz"),
+            "--score_norm_features", os.path.join(tmp, "noise.npz"),
+        )
+        try:
+            ready = proc.stdout.readline().strip().split("\t")
+            assert ready[0] == "ready" and int(ready[1]) == len(refs)
+
+            out1 = os.path.join(tmp, "c1.csv")
+            proc.stdin.write(f"{os.path.join(tmp, 'q.npz')}\t{out1}\n")
+            proc.stdin.flush()
+            resp = proc.stdout.readline().strip().split("\t")
+            assert resp[0] == "ok" and resp[1] == out1, resp
+
+            # A bad request must answer "error" and keep the server up.
+            proc.stdin.write("/nonexistent/query.npz\tx.csv\n")
+            proc.stdin.flush()
+            resp = proc.stdout.readline().strip().split("\t")
+            assert resp[0] == "error", resp
+
+            # Second good request (different query count → new padded
+            # shape) against the same staged corpus.
+            out2 = os.path.join(tmp, "c2.csv")
+            proc.stdin.write(f"{os.path.join(tmp, 'q2.npz')}\t{out2}\n")
+            proc.stdin.flush()
+            resp = proc.stdout.readline().strip().split("\t")
+            assert resp[0] == "ok", resp
+
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+        # Server responses must equal the in-process protocol result.
+        qn, rn = score_normalize(queries, refs, noise, beta=1.2)
+        expect = CandidateGeneration(rn, MaxScoreAggregation()).query(
+            qn, global_k=1200 * len(queries)
+        )[: 25 * len(queries)]
+        import pandas as pd
+
+        from vsc2022_tpu.metrics import format_video_id
+
+        df = pd.read_csv(out1)
+        assert list(df.columns) == ["query_id", "ref_id", "score"]
+        # The server saw npz-normalized ids (Q%06d/R%06d); the
+        # in-process features carry raw ints — format to compare.
+        assert [(r.query_id, r.ref_id) for r in df.itertuples()] == [
+            (
+                format_video_id(c.query_id, Dataset.QUERIES),
+                format_video_id(c.ref_id, Dataset.REFS),
+            )
+            for c in expect
+        ]
+        np.testing.assert_allclose(
+            df.score.to_numpy(),
+            np.array([c.score for c in expect]),
+            atol=1e-5,
+        )

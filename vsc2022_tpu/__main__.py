@@ -22,6 +22,10 @@ COMMANDS = {
         "Convert torch weights to Flax checkpoints",
     ),
     "train": ("vsc2022_tpu.train.cli", "Self-supervised descriptor training"),
+    "serve": (
+        "vsc2022_tpu.retrieval.serve",
+        "Resident retrieval server (corpus staged once)",
+    ),
 }
 
 

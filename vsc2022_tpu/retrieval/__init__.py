@@ -5,4 +5,7 @@ from vsc2022_tpu.retrieval.candidates import (  # noqa: F401
     MaxScoreAggregation,
     ScoreAggregation,
 )
-from vsc2022_tpu.retrieval.index import VideoIndex  # noqa: F401
+from vsc2022_tpu.retrieval.index import (  # noqa: F401
+    ScoreNormalizedVideoIndex,
+    VideoIndex,
+)

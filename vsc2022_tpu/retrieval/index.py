@@ -106,7 +106,9 @@ class VideoIndex:
             query_ids.extend([q.video_id] * len(q))
             query_indices.extend(range(len(q)))
         query_metadatas = {q.video_id: q.metadata() for q in queries}
-        query_features = np.concatenate([q.feature for q in queries])
+        query_features = self._prep_query_features(
+            np.concatenate([q.feature for q in queries])
+        )
 
         if global_k < 0:
             logger.warning(
@@ -138,16 +140,110 @@ class VideoIndex:
             for ((query_id, ref_id), matches) in pair_nns.items()
         ]
 
+    def _prep_query_features(self, q: np.ndarray) -> np.ndarray:
+        """Per-search query-matrix transform hook (identity here; the
+        score-normalized index applies its dimension drop + L2)."""
+        return q
+
     def _global_search(
         self, query_features: np.ndarray, global_k: int
     ) -> Iterable[SearchIndices]:
         qi, ri, scores = self._get_searcher().global_topk(query_features, global_k)
         return zip(qi.tolist(), ri.tolist(), scores.tolist())
 
+    @staticmethod
+    def _yield_rows(scores, ids) -> Iterable[SearchIndices]:
+        for i in range(ids.shape[0]):
+            for j in range(ids.shape[1]):
+                yield (i, int(ids[i, j]), float(scores[i, j]))
+
     def _knn_search(
         self, query_features: np.ndarray, k: int
     ) -> Iterable[SearchIndices]:
         scores, ids = self._get_searcher().row_topk(query_features, k)
-        for i in range(ids.shape[0]):
-            for j in range(ids.shape[1]):
-                yield (i, int(ids[i, j]), float(scores[i, j]))
+        return self._yield_rows(scores, ids)
+
+
+class ScoreNormalizedVideoIndex(VideoIndex):
+    """A persistent frame index whose searches are score-normalized on
+    device: the CSLS noise-NN bias rides an extra descriptor dimension
+    (retrieval/score_norm.py semantics; reference:
+    vsc/baseline/score_normalization.py:31-105), computed inside the
+    fused search dispatch rather than as a separate FAISS stage.
+
+    Built for resident serving (retrieval/serve.py): the reference
+    corpus AND the noise corpus stage to device HBM once; every
+    subsequent query batch pays only the fused bias+search dispatch.
+    The one-off transforms (min-variance dimension drop chosen on the
+    noise corpus, row L2 normalization) follow the reference exactly,
+    and the query side of those transforms is applied per search.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        noise_features: List[VideoFeature],
+        beta: float = 1.2,
+        l2_normalize: bool = True,
+        replace_dim: bool = True,
+        **kwargs,
+    ):
+        super().__init__(dim, **kwargs)
+        from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
+
+        self._l2 = l2_normalize_rows if l2_normalize else (lambda x: x)
+        self.beta = beta
+        noise_flat = np.concatenate(
+            [np.asarray(f.feature, dtype=np.float32) for f in noise_features],
+            axis=0,
+        )
+        self._noise_ids = {f.video_id for f in noise_features}
+        if replace_dim:
+            self._victim = int(noise_flat.var(axis=0).argmin())
+            logger.info(f"Dropping min-variance dimension {self._victim}")
+            noise_flat = np.delete(noise_flat, self._victim, axis=1)
+        else:
+            self._victim = None
+        self._noise_flat = self._l2(noise_flat)
+
+    def _prep_query_features(self, q: np.ndarray) -> np.ndarray:
+        q = np.asarray(q, dtype=np.float32)
+        if self._victim is not None:
+            q = np.delete(q, self._victim, axis=1)
+        return self._l2(q)
+
+    def _get_searcher(self):
+        if self._searcher is None:
+            overlap = set(self.video_metadata) & self._noise_ids
+            if overlap:
+                raise Exception(
+                    f"Noise corpus shares {len(overlap)} video(s) with "
+                    "the eval refs; VSC rules require score normalization "
+                    "against an independent dataset."
+                )
+            from vsc2022_tpu.retrieval.sn_search import (
+                ScoreNormalizedSearcher,
+            )
+
+            corpus = (
+                np.concatenate(self._feature_blocks, axis=0)
+                if self._feature_blocks
+                else np.zeros((0, self.dim), dtype=np.float32)
+            )
+            self._searcher = ScoreNormalizedSearcher(
+                self._prep_query_features(corpus),
+                self._noise_flat,
+                beta=self.beta,
+                precision=self.precision,
+                mesh=self.mesh,
+                dtype=self.dtype,
+            )
+        return self._searcher
+
+    def _knn_search(
+        self, query_features: np.ndarray, k: int
+    ) -> Iterable[SearchIndices]:
+        sn = self._get_searcher()
+        q_sn = np.asarray(sn.normalize_queries(query_features))
+        scores, ids = sn.searcher.row_topk(q_sn, k)
+        return self._yield_rows(scores, ids)

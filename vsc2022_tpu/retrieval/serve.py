@@ -1,0 +1,170 @@
+"""Resident retrieval server: stage the corpus once, serve query
+batches at search speed.
+
+The reference has no serving story — every eval/baseline invocation
+reloads the reference corpus and rebuilds its FAISS index from scratch
+(reference: vsc/descriptor_eval_lib.py:27-60, vsc/candidates.py:29-34).
+On a TPU that start-up cost dominates repeat usage: staging a 1M-frame
+corpus to HBM takes ~50-60 s on a thin host link, while one 9k-video
+query batch then searches in ~1 s (docs/performance.md). This
+long-lived process pays staging and compilation once; each request
+runs the standard candidate protocol — global top-k over all frame
+pairs, max-score aggregation to video pairs, per-query budgets
+(vsc/descriptor_eval_lib.py:23-24) — and writes a candidates CSV.
+
+Score normalization is served fused: with ``--score_norm_features``
+the noise corpus stages alongside the references and every request's
+CSLS bias rides the search dispatch (ScoreNormalizedVideoIndex), so
+"normalize then search" costs one device round trip, not two stages.
+
+Wire protocol (line-oriented stdin/stdout, so any language or a thin
+socket wrapper can drive it):
+
+    request:   <query_npz_path>[\t<output_csv_path>]\n
+    response:  ok\t<output_csv_path>\t<n_pairs>\t<seconds>\n
+    error:     error\t<message>\n        (the server keeps serving)
+    startup:   ready\t<n_ref_videos>\t<stage_seconds>\n
+
+Omitting the output path writes ``<query_npz_path>.candidates.csv``.
+``quit`` (or EOF) shuts down cleanly. Requests with new padded query
+shapes recompile once (the persistent compilation cache makes repeats
+across server restarts warm too).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+
+from vsc2022_tpu.metrics import CandidatePair, Dataset
+from vsc2022_tpu.retrieval.candidates import (
+    MaxScoreAggregation,
+    rank_candidates,
+)
+from vsc2022_tpu.retrieval.index import (
+    ScoreNormalizedVideoIndex,
+    VideoIndex,
+)
+from vsc2022_tpu.storage import load_features
+
+logger = logging.getLogger("retrieval.serve")
+
+parser = argparse.ArgumentParser(
+    description="Resident retrieval server over stdin/stdout"
+)
+parser.add_argument(
+    "--ref_features", required=True,
+    help="Reference descriptors npz, staged to device HBM once",
+)
+parser.add_argument(
+    "--score_norm_features",
+    help="Noise descriptors npz: serve fused score-normalized search",
+)
+parser.add_argument("--beta", type=float, default=1.2)
+parser.add_argument(
+    "--retrieval_per_query", type=int, default=1200,
+    help="Frame-hit budget per query video (challenge protocol: 1200)",
+)
+parser.add_argument(
+    "--pairs_per_query", type=int, default=25,
+    help="Aggregated pair budget per query video (protocol: 25)",
+)
+parser.add_argument(
+    "--sharded", action="store_true",
+    help="Shard the reference corpus across all local devices",
+)
+parser.add_argument(
+    "--bf16", action="store_true",
+    help="Store and search the corpus in bfloat16 (2x HBM capacity)",
+)
+parser.add_argument(
+    "--no_warmup", action="store_true",
+    help="Skip the staging/compile warm-up search before 'ready'",
+)
+
+
+def build_index(args):
+    refs = load_features(args.ref_features, Dataset.REFS)
+    dim = refs[0].dimensions()
+    mesh = None
+    if args.sharded:
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        mesh = corpus_mesh()
+    dtype = "bfloat16" if args.bf16 else "float32"
+    if args.score_norm_features:
+        noise = load_features(args.score_norm_features, Dataset.REFS)
+        index = ScoreNormalizedVideoIndex(
+            dim, noise, beta=args.beta, mesh=mesh, dtype=dtype
+        )
+    else:
+        index = VideoIndex(dim, mesh=mesh, dtype=dtype)
+    index.add(refs)
+    return index, refs, dim
+
+
+def serve_request(index, aggregation, line: str, args) -> str:
+    parts = line.split("\t")
+    query_path = parts[0]
+    out_csv = parts[1] if len(parts) > 1 else query_path + ".candidates.csv"
+    t0 = time.perf_counter()
+    queries = load_features(query_path, Dataset.QUERIES)
+    budget = args.retrieval_per_query * len(queries)
+    matches = index.search(queries, global_k=budget)
+    candidates = rank_candidates(matches, aggregation)
+    keep = args.pairs_per_query * len(queries)
+    candidates = candidates[:keep]
+    CandidatePair.write_csv(candidates, out_csv)
+    return f"ok\t{out_csv}\t{len(candidates)}\t{time.perf_counter() - t0:.3f}"
+
+
+def main(args):
+    t0 = time.perf_counter()
+    index, refs, dim = build_index(args)
+    if not args.no_warmup:
+        # Force corpus staging + compile one search shape so the first
+        # request doesn't pay them. 8 rows = the smallest padded shape.
+        from vsc2022_tpu.types import VideoFeature
+
+        warm = VideoFeature(
+            video_id="Q999999",
+            timestamps=np.arange(8, dtype=np.float64),
+            feature=np.zeros((8, dim), dtype=np.float32),
+        )
+        index.search([warm], global_k=8)
+    stage_s = time.perf_counter() - t0
+    aggregation = MaxScoreAggregation()
+    print(f"ready\t{len(refs)}\t{stage_s:.1f}", flush=True)
+    logger.info(
+        f"Serving {len(refs)} reference videos (staged in {stage_s:.1f}s)"
+    )
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        if line == "quit":
+            break
+        try:
+            response = serve_request(index, aggregation, line, args)
+        except Exception as exc:  # keep serving on request errors
+            response = "error\t" + str(exc).replace("\n", " ")
+        print(response, flush=True)
+
+
+if __name__ == "__main__":
+    logging.basicConfig(
+        format="%(asctime)s %(levelname)-8s %(message)s",
+        level=logging.INFO,
+        datefmt="%Y-%m-%d %H:%M:%S",
+        stream=sys.stderr,
+    )
+    main(parser.parse_args())
