@@ -122,6 +122,37 @@ class TestScoreNormalizedVideoIndex:
         with pytest.raises(Exception, match="independent"):
             index.search(queries, global_k=10)
 
+    def test_sharded_matches_unsharded(self):
+        # The serving index over a corpus mesh must return the same
+        # candidates as single-device (the sharded fused SN pipeline
+        # underneath).
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        assert len(jax.devices()) >= 8
+        rng = np.random.RandomState(13)
+        queries, refs, noise = _make_data(rng)
+        k = 300
+
+        def run(mesh):
+            index = ScoreNormalizedVideoIndex(
+                queries[0].dimensions(), noise, beta=1.2, mesh=mesh
+            )
+            index.add(refs)
+            return rank_candidates(
+                index.search(queries, global_k=k), MaxScoreAggregation()
+            )
+
+        expect = run(None)
+        got = run(corpus_mesh(8))
+        assert [(c.query_id, c.ref_id) for c in got] == [
+            (c.query_id, c.ref_id) for c in expect
+        ]
+        np.testing.assert_allclose(
+            [c.score for c in got], [c.score for c in expect], rtol=1e-5
+        )
+
     def test_knn_mode(self):
         # KNN (global_k < 0) on the SN index: per-frame top-k over the
         # bias-augmented similarity; planted query frames must hit
@@ -220,3 +251,70 @@ class TestServeCLI:
             np.array([c.score for c in expect]),
             atol=1e-5,
         )
+
+    def test_matching_track_serving(self, served):
+        # --matches must reproduce the sscd_baseline localization
+        # stage (score-norm mode) on top of the served candidates,
+        # with the ref frame table resident across requests.
+        from vsc2022_tpu.baseline.pipeline import align_candidates
+        from vsc2022_tpu.baseline.sscd_baseline import build_alignment
+        from vsc2022_tpu.metrics import Match
+
+        tmp, queries, refs, noise = served
+        proc = self._spawn(
+            "--ref_features", os.path.join(tmp, "r.npz"),
+            "--score_norm_features", os.path.join(tmp, "noise.npz"),
+            "--matches",
+        )
+        try:
+            assert proc.stdout.readline().startswith("ready")
+            out_c = os.path.join(tmp, "mc.csv")
+            out_m = os.path.join(tmp, "mm.csv")
+            proc.stdin.write(
+                f"{os.path.join(tmp, 'q.npz')}\t{out_c}\t{out_m}\n"
+            )
+            proc.stdin.flush()
+            resp = proc.stdout.readline().strip().split("\t")
+            assert resp[0] == "ok" and resp[3] == out_m, resp
+            # Second request: the resident localizer must serve a new
+            # query set (fresh set_queries) without error.
+            proc.stdin.write(
+                f"{os.path.join(tmp, 'q2.npz')}\t"
+                f"{os.path.join(tmp, 'mc2.csv')}\t"
+                f"{os.path.join(tmp, 'mm2.csv')}\n"
+            )
+            proc.stdin.flush()
+            resp2 = proc.stdout.readline().strip().split("\t")
+            assert resp2[0] == "ok", resp2
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+        # In-process oracle: the one-shot matching stage on the npz
+        # data (so ids match the server's npz-normalized view).
+        from vsc2022_tpu.storage import load_features
+
+        qd = load_features(os.path.join(tmp, "q.npz"), Dataset.QUERIES)
+        rd = load_features(os.path.join(tmp, "r.npz"), Dataset.REFS)
+        nd = load_features(os.path.join(tmp, "noise.npz"), Dataset.REFS)
+        qn, rn = score_normalize(qd, rd, nd, beta=1.2)
+        cands = CandidateGeneration(rn, MaxScoreAggregation()).query(
+            qn, global_k=1200 * len(qd)
+        )[: 25 * len(qd)]
+        alignment = build_alignment(qn, rn, score_normalization=True)
+        expect = align_candidates(alignment, cands[: 5 * len(qd)])
+
+        got = Match.read_csv(out_m)
+        assert len(got) == len(expect)
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end,
+        )
+        got_s, exp_s = sorted(got, key=key), sorted(expect, key=key)
+        for g, e in zip(got_s, exp_s):
+            assert key(g) == key(e)
+            assert g.score == pytest.approx(e.score, abs=1e-5)
+        # Planted copies must actually localize.
+        assert len(got) >= 2

@@ -198,6 +198,19 @@ class DnSLocalization(TNLocalizationMaxSim):
         self.symmetric = symmetric
         self.geometric_mean = geometric_mean
 
+    def set_queries(self, queries, queries_fine=None):
+        """Query replacement must swap the fine features too — the
+        base class's resident-ref optimization only covers the coarse
+        table, so the fine table rebuilds whole."""
+        if queries_fine is None:
+            raise ValueError(
+                "DnS localization needs fine features: pass queries_fine"
+            )
+        super().set_queries(queries)
+        self.queries_fine = dict(queries_fine)
+        self._fine_tab = None
+        self._fine_offsets = None
+
     def _fine(self, vf: VideoFeature) -> np.ndarray:
         f = np.asarray(vf.feature, dtype=np.float32)
         if "bin" in self.fg_type:

@@ -173,32 +173,62 @@ class TNLocalization(LocalizationWithMetadata):
             self.refs[candidate.ref_id].feature,
         )
 
+    def set_queries(self, queries: List[VideoFeature]) -> None:
+        """Replace the query set, keeping the reference frame rows
+        device-resident (resident serving: per-request queries are
+        small, the reference corpus is not — only the new query rows
+        cross the host link; the ref block is reused on device)."""
+        self.queries = {m.video_id: m for m in queries}
+        self._table = None
+        self._table_offsets = None
+
     def _feature_table(self):
         """All query/ref frame features concatenated on device, with
-        per-video row offsets — staged ONCE; per-batch inputs are then
-        built by on-device gathers instead of re-transferring features
-        for every candidate (videos recur across candidate pairs).
-
-        The table is built lazily at the first localize call and not
-        invalidated: mutating video features on a live localizer is
-        unsupported (construct a new one instead)."""
+        per-video row offsets — staged lazily at the first localize
+        call; per-batch inputs are then built by on-device gathers
+        instead of re-transferring features for every candidate
+        (videos recur across candidate pairs). The reference rows are
+        cached as their own device block so ``set_queries`` rebuilds
+        only the query side. Mutating video features on a live
+        localizer is otherwise unsupported (construct a new one)."""
         if getattr(self, "_table", None) is None:
+            if getattr(self, "_ref_block", None) is None:
+                r_offsets = {}
+                rows = []
+                cursor = 0
+                d = None
+                for vid, vf in self.refs.items():
+                    feat = np.asarray(vf.feature, dtype=np.float32)
+                    d = feat.shape[1]
+                    r_offsets[vid] = (cursor, feat.shape[0])
+                    rows.append(feat)
+                    cursor += feat.shape[0]
+                self._ref_block = jnp.asarray(
+                    np.concatenate(rows, axis=0)
+                    if rows else np.zeros((0, d or 1), np.float32)
+                )
+                self._ref_offsets = r_offsets
+            d = int(self._ref_block.shape[1])
             offsets = {}
             rows = []
             cursor = 1  # row 0 is a zero pad row for masked gathers
-            d = None
-            for source in (self.queries, self.refs):
-                for vid, vf in source.items():
-                    key = id(source), vid
-                    feat = np.asarray(vf.feature, dtype=np.float32)
-                    d = feat.shape[1]
-                    offsets[key] = (cursor, feat.shape[0])
-                    rows.append(feat)
-                    cursor += feat.shape[0]
-            table = np.concatenate(
-                [np.zeros((1, d), np.float32)] + rows, axis=0
+            for vid, vf in self.queries.items():
+                feat = np.asarray(vf.feature, dtype=np.float32)
+                d = feat.shape[1]
+                offsets[(id(self.queries), vid)] = (cursor, feat.shape[0])
+                rows.append(feat)
+                cursor += feat.shape[0]
+            q_block = (
+                np.concatenate(rows, axis=0)
+                if rows else np.zeros((0, d), np.float32)
             )
-            self._table = jnp.asarray(table)
+            for vid, (start, n) in self._ref_offsets.items():
+                offsets[(id(self.refs), vid)] = (cursor + start, n)
+            self._table = jnp.concatenate([
+                jnp.zeros((1, d), jnp.float32),
+                jnp.asarray(q_block),
+                self._ref_block,
+            ], axis=0)
             self._table_offsets = offsets
         return self._table, self._table_offsets
 

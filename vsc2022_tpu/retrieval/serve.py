@@ -17,18 +17,27 @@ the noise corpus stages alongside the references and every request's
 CSLS bias rides the search dispatch (ScoreNormalizedVideoIndex), so
 "normalize then search" costs one device round trip, not two stages.
 
+With ``--matches`` the server serves the FULL matching track: after
+candidate retrieval it runs the TN temporal localizer over the top
+``--localize_per_query`` pairs per query (the sscd_baseline stage with
+the same parameters) and writes a matches CSV as well. The localizer's
+reference frame rows stay device-resident across requests
+(TNLocalization.set_queries) — only each request's query rows cross
+the host link.
+
 Wire protocol (line-oriented stdin/stdout, so any language or a thin
 socket wrapper can drive it):
 
-    request:   <query_npz_path>[\t<output_csv_path>]\n
-    response:  ok\t<output_csv_path>\t<n_pairs>\t<seconds>\n
+    request:   <query_npz_path>[\t<candidates_csv>[\t<matches_csv>]]\n
+    response:  ok\t<candidates_csv>\t<n_pairs>\t<seconds>\n
+         or:   ok\t<candidates_csv>\t<n_pairs>\t<matches_csv>\t<n_matches>\t<seconds>\n
     error:     error\t<message>\n        (the server keeps serving)
     startup:   ready\t<n_ref_videos>\t<stage_seconds>\n
 
-Omitting the output path writes ``<query_npz_path>.candidates.csv``.
-``quit`` (or EOF) shuts down cleanly. Requests with new padded query
-shapes recompile once (the persistent compilation cache makes repeats
-across server restarts warm too).
+Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
+``.matches.csv``. ``quit`` (or EOF) shuts down cleanly. Requests with
+new padded query shapes recompile once (the persistent compilation
+cache makes repeats across server restarts warm too).
 """
 
 from __future__ import annotations
@@ -89,6 +98,18 @@ parser.add_argument(
     "--no_warmup", action="store_true",
     help="Skip the staging/compile warm-up search before 'ready'",
 )
+parser.add_argument(
+    "--matches", action="store_true",
+    help="Also localize (TN alignment) and write a matches CSV",
+)
+parser.add_argument(
+    "--localize_per_query", type=float, default=5,
+    help="Pairs per query to localize (sscd_baseline budget: 5)",
+)
+parser.add_argument(
+    "--vcsl_faithful_tn", action="store_true",
+    help="Published VCSL TN parity mode for the localizer",
+)
 
 
 def build_index(args):
@@ -111,7 +132,73 @@ def build_index(args):
     return index, refs, dim
 
 
-def serve_request(index, aggregation, line: str, args) -> str:
+def build_localizer(index, refs, args):
+    """Resident TN localizer over the (transformed) reference frames,
+    with the sscd_baseline stage parameters (reference:
+    vsc/baseline/sscd_baseline.py:117-135): score-norm features use
+    MaxSim over +0.5-biased similarity; raw features are L2-normalized
+    and inherit the candidate's retrieval score."""
+    import dataclasses
+
+    from vsc2022_tpu.localization import (
+        TNLocalizationCandidateScore,
+        TNLocalizationMaxSim,
+    )
+    from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
+
+    if args.score_norm_features:
+        refs_loc = []
+        for vf in refs:
+            f = index._prep_query_features(vf.feature)
+            f = np.concatenate([f, np.ones_like(f[:, :1])], axis=1)
+            refs_loc.append(dataclasses.replace(vf, feature=f))
+        return TNLocalizationMaxSim(
+            [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
+            similarity_bias=0.5, vcsl_faithful=args.vcsl_faithful_tn,
+        )
+    refs_loc = [
+        dataclasses.replace(vf, feature=l2_normalize_rows(vf.feature))
+        for vf in refs
+    ]
+    return TNLocalizationCandidateScore(
+        [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
+        vcsl_faithful=args.vcsl_faithful_tn,
+    )
+
+
+def _localizer_queries(index, queries, args):
+    """Per-request query features in the localizer's space: the full
+    score-norm transform incl. the device noise-NN bias dimension, or
+    plain row L2 for the raw pipeline."""
+    import dataclasses
+
+    from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
+
+    if args.score_norm_features:
+        sn = index._get_searcher()
+        flat = index._prep_query_features(
+            np.concatenate([q.feature for q in queries], axis=0)
+        )
+        q_sn = np.asarray(sn.normalize_queries(flat))
+        out = []
+        offset = 0
+        for q in queries:
+            out.append(
+                dataclasses.replace(
+                    q, feature=q_sn[offset : offset + len(q)]
+                )
+            )
+            offset += len(q)
+        return out
+    return [
+        dataclasses.replace(q, feature=l2_normalize_rows(q.feature))
+        for q in queries
+    ]
+
+
+def serve_request(index, aggregation, localizer, line: str, args) -> str:
+    from vsc2022_tpu.metrics import Match
+
     parts = line.split("\t")
     query_path = parts[0]
     out_csv = parts[1] if len(parts) > 1 else query_path + ".candidates.csv"
@@ -123,7 +210,24 @@ def serve_request(index, aggregation, line: str, args) -> str:
     keep = args.pairs_per_query * len(queries)
     candidates = candidates[:keep]
     CandidatePair.write_csv(candidates, out_csv)
-    return f"ok\t{out_csv}\t{len(candidates)}\t{time.perf_counter() - t0:.3f}"
+    if localizer is None:
+        return (
+            f"ok\t{out_csv}\t{len(candidates)}"
+            f"\t{time.perf_counter() - t0:.3f}"
+        )
+    from vsc2022_tpu.baseline.pipeline import align_candidates
+
+    matches_csv = (
+        parts[2] if len(parts) > 2 else query_path + ".matches.csv"
+    )
+    localizer.set_queries(_localizer_queries(index, queries, args))
+    to_localize = candidates[: int(args.localize_per_query * len(queries))]
+    found = align_candidates(localizer, to_localize)
+    Match.write_csv(found, matches_csv)
+    return (
+        f"ok\t{out_csv}\t{len(candidates)}\t{matches_csv}\t{len(found)}"
+        f"\t{time.perf_counter() - t0:.3f}"
+    )
 
 
 def main(args):
@@ -140,6 +244,7 @@ def main(args):
             feature=np.zeros((8, dim), dtype=np.float32),
         )
         index.search([warm], global_k=8)
+    localizer = build_localizer(index, refs, args) if args.matches else None
     stage_s = time.perf_counter() - t0
     aggregation = MaxScoreAggregation()
     print(f"ready\t{len(refs)}\t{stage_s:.1f}", flush=True)
@@ -154,7 +259,7 @@ def main(args):
         if line == "quit":
             break
         try:
-            response = serve_request(index, aggregation, line, args)
+            response = serve_request(index, aggregation, localizer, line, args)
         except Exception as exc:  # keep serving on request errors
             response = "error\t" + str(exc).replace("\n", " ")
         print(response, flush=True)
