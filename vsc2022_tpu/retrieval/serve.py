@@ -155,6 +155,7 @@ def build_localizer(index, refs, args):
         return TNLocalizationMaxSim(
             [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
             similarity_bias=0.5, vcsl_faithful=args.vcsl_faithful_tn,
+            mesh=index.mesh,
         )
     refs_loc = [
         dataclasses.replace(vf, feature=l2_normalize_rows(vf.feature))
@@ -162,7 +163,7 @@ def build_localizer(index, refs, args):
     ]
     return TNLocalizationCandidateScore(
         [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
-        vcsl_faithful=args.vcsl_faithful_tn,
+        vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
     )
 
 
