@@ -118,12 +118,18 @@ class TestShardedScoreNormFused:
         q = rng.randint(-3, 4, size=(17, 16)).astype(np.float32)
         r = rng.randint(-3, 4, size=(16384, 16)).astype(np.float32)
         noise = rng.randint(-3, 4, size=(512, 16)).astype(np.float32)
+        # k=700 plans κ=64, inside the 4κ ≤ p_shard·n_dev feasibility
+        # bound (κ=128 would silently fall back to streaming and this
+        # test would stop covering the pooled SN mesh branch).
         single = ScoreNormalizedSearcher(r, noise)
-        sq, sr, ss = single.global_topk(q, 900)
+        sq, sr, ss = single.global_topk(q, 700)
         monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
         sharded = ScoreNormalizedSearcher(r, noise, mesh=mesh)
-        assert sharded.searcher._collection_mode(24, 32, True) == "pooled"
-        hq, hr, hs = sharded.global_topk(q, 900)
+        kappa_eff, _ = sharded.searcher._plan(17, 700)
+        assert sharded.searcher._collection_mode(
+            24, kappa_eff, True
+        ) == "pooled"
+        hq, hr, hs = sharded.global_topk(q, 700)
         np.testing.assert_array_equal(hq, sq)
         np.testing.assert_array_equal(hr, sr)
         np.testing.assert_allclose(hs, ss, rtol=1e-6)
@@ -297,12 +303,16 @@ class TestShardedPooledCollection:
         rng = np.random.RandomState(23)
         q = rng.randint(-3, 4, size=(11, 12)).astype(np.float32)
         r = rng.randint(-3, 4, size=(16384, 12)).astype(np.float32)
+        # k=400 plans κ=64 — feasible for the pool (κ=128 would fall
+        # back to streaming, leaving the L2 mesh pool build untested).
         single = SimilaritySearcher(r, metric="L2")
-        sq, sr, ss = single.global_topk(q, 900)
+        sq, sr, ss = single.global_topk(q, 400)
         monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
         self._guard_single_device_kernels(monkeypatch)
         sharded = ShardedSimilaritySearcher(r, mesh, metric="L2")
-        hq, hr, hs = sharded.global_topk(q, 900)
+        kappa_eff, _ = sharded._plan(11, 400)
+        assert sharded._collection_mode(16, kappa_eff, True) == "pooled"
+        hq, hr, hs = sharded.global_topk(q, 400)
         np.testing.assert_array_equal(hq, sq)
         np.testing.assert_array_equal(hr, sr)
         np.testing.assert_allclose(hs, ss, rtol=1e-6)

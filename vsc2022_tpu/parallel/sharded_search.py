@@ -37,7 +37,6 @@ from vsc2022_tpu.ops.similarity import (
     _pad_axis0,
     _pool_select,
     _scan_row_blocks,
-    _use_pallas_kernels,
     pool_build_xla,
     streaming_count_above,
     streaming_topk,
@@ -454,13 +453,16 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         VSC2022_TPU_COLLECTION forces a path (tests pin both)."""
         if not approx:
             return False
+        # (No Pallas exclusion here, unlike the single-device gate:
+        # under shard_map the Pallas fused_topk never runs anyway —
+        # streaming_topk refuses it with varying_axes set — so
+        # disabling the pool would cost its win and buy nothing.)
         p_shard = POOL_SEG_KEEP * (self.shard_rows // POOL_SEG_LANES)
         pool_ok = (
             self.col_block % POOL_SEG_LANES == 0
             and p_shard >= POOL_SEG_KEEP
             and 8 * m * p_shard <= POOL_BYTES_BUDGET
             and 4 * kappa <= p_shard * self.n_dev
-            and not (self.metric == "IP" and _use_pallas_kernels())
         )
         forced = os.environ.get("VSC2022_TPU_COLLECTION", "")
         if forced == "stream":

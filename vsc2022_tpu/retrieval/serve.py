@@ -64,6 +64,14 @@ from vsc2022_tpu.retrieval.index import (
 )
 from vsc2022_tpu.storage import load_features
 
+# Module-level like the other CLIs: `python -m vsc2022_tpu serve`
+# dispatches through __main__.py, where __name__ is not "__main__".
+logging.basicConfig(
+    format="%(asctime)s %(levelname)-8s %(message)s",
+    level=logging.INFO,
+    datefmt="%Y-%m-%d %H:%M:%S",
+    stream=sys.stderr,
+)
 logger = logging.getLogger("retrieval.serve")
 
 parser = argparse.ArgumentParser(
@@ -177,10 +185,19 @@ def _localizer_queries(index, queries, args):
 
     if args.score_norm_features:
         sn = index._get_searcher()
-        flat = index._prep_query_features(
-            np.concatenate([q.feature for q in queries], axis=0)
-        )
-        q_sn = np.asarray(sn.normalize_queries(flat))
+        total = sum(len(q) for q in queries)
+        # The search dispatch this request just ran computed the
+        # bias-augmented queries on device (sn.last_q_sn, padded rows
+        # at the tail) — reuse them instead of paying a second
+        # noise-NN dispatch. Fallback recomputes if absent.
+        q_dev = sn.last_q_sn
+        if q_dev is not None and q_dev.shape[0] >= total:
+            q_sn = np.asarray(q_dev)[:total]
+        else:
+            flat = index._prep_query_features(
+                np.concatenate([q.feature for q in queries], axis=0)
+            )
+            q_sn = np.asarray(sn.normalize_queries(flat))
         out = []
         offset = 0
         for q in queries:
@@ -267,10 +284,4 @@ def main(args):
 
 
 if __name__ == "__main__":
-    logging.basicConfig(
-        format="%(asctime)s %(levelname)-8s %(message)s",
-        level=logging.INFO,
-        datefmt="%Y-%m-%d %H:%M:%S",
-        stream=sys.stderr,
-    )
     main(parser.parse_args())

@@ -66,6 +66,11 @@ class ScoreNormalizedSearcher:
                 noise_f32, precision=precision, dtype=dtype
             )
         self._sharded_fns = {}
+        # Device-resident bias-augmented queries from the most recent
+        # global_topk (the fused dispatches compute them anyway);
+        # serving reuses them for localization instead of paying a
+        # second noise-NN dispatch. Single-threaded use only.
+        self.last_q_sn = None
 
     def normalize_queries(self, queries: np.ndarray) -> jax.Array:
         """Stage queries and append the −β·NN-similarity bias dimension,
@@ -124,14 +129,15 @@ class ScoreNormalizedSearcher:
                 np.asarray(packed), nq, kappa_eff, with_counts=True,
                 with_amb=mode == "pooled",
             )
+            self.last_q_sn = q_sn
             return s._finalize_global_topk(
                 all_s, all_i, counts, tau, q_sn, q_sn, nq, kappa_eff,
                 k_eff, mode, rb, amb=amb,
                 pool=None if pv is None else (pv, pi),
             )
-        return s.global_topk(
-            self.normalize_queries(queries), k, kappa=kappa
-        )
+        q_sn = self.normalize_queries(queries)
+        self.last_q_sn = q_sn
+        return s.global_topk(q_sn, k, kappa=kappa)
 
     def _sharded_fused_topk(self, queries, nq, k, kappa):
         """The sharded one-dispatch SN pipeline (bias + append +
@@ -172,6 +178,7 @@ class ScoreNormalizedSearcher:
         else:
             packed, q_sn = out
             pool = None
+        self.last_q_sn = q_sn
         all_s, all_i, counts, tau, amb = _unpack_candidates(
             np.asarray(packed), nq, kappa_eff, with_counts=True,
             with_amb=mode == "pooled",
