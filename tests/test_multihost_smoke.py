@@ -100,6 +100,21 @@ hq, hr, hs = sharded.global_topk(q, 50)
 sq, sr, ss = SimilaritySearcher(r).global_topk(q, 50)
 assert np.array_equal(hq, sq) and np.array_equal(hr, sr)
 assert np.allclose(hs, ss, rtol=1e-6)
+
+# The POOLED mesh collection across the two processes: per-process
+# shard pools, psum'd selection over the global mesh, repairs through
+# the process-sharded pool. Both ranks run identical host logic (SPMD)
+# and must match the single-device result exactly.
+q2 = rng.randint(-3, 4, size=(21, 16)).astype(np.float32)
+r2 = rng.randint(-3, 4, size=(16384, 16)).astype(np.float32)
+sq2, sr2, ss2 = SimilaritySearcher(r2).global_topk(q2, 700)
+os.environ["VSC2022_TPU_COLLECTION"] = "pooled"
+pooled = ShardedSimilaritySearcher(r2, corpus_mesh())
+kappa_eff, _ = pooled._plan(21, 700)
+assert pooled._collection_mode(24, kappa_eff, True) == "pooled"
+hq2, hr2, hs2 = pooled.global_topk(q2, 700)
+assert np.array_equal(hq2, sq2) and np.array_equal(hr2, sr2)
+assert np.allclose(hs2, ss2, rtol=1e-6)
 print("SEARCH RANK", jax.process_index(), "OK", flush=True)
 """
 
