@@ -408,6 +408,117 @@ def oracle_tn_vcsl(sim, max_step=5, min_length=4, max_paths=10,
     return accepted
 
 
+def networkx_tn(sim, max_step=5, min_length=4, max_paths=10,
+                min_sim=0.2, top_k=5, max_iou=0.3):
+    """A LITERAL temporal-network implementation on networkx — the
+    library upstream VCSL's TN actually uses (vsc/baseline/
+    localization.py:44 → alipay/VCSL vta.py): gated cells become DiGraph
+    nodes, forward steps ≤ max_step in both axes become edges, and each
+    iteration extracts ``nx.dag_longest_path`` (default weights: most
+    nodes) and removes its nodes. Path-length TIES resolve by
+    networkx's internal iteration order, which is implementation-
+    defined — so exact-equality checks against it are only meaningful
+    on instances whose longest path is unique at every iteration."""
+    import networkx as nx
+
+    nq, nr = sim.shape
+    if top_k < nr:
+        kth = np.sort(sim, axis=1)[:, -top_k][:, None]
+        nodes = (sim >= kth) & (sim >= min_sim)
+    else:
+        nodes = sim >= min_sim
+    cells = {tuple(map(int, c)) for c in np.argwhere(nodes)}
+    graph = nx.DiGraph()
+    graph.add_nodes_from(cells)
+    for (i, j) in cells:
+        for di in range(1, max_step + 1):
+            for dj in range(1, max_step + 1):
+                if (i + di, j + dj) in cells:
+                    graph.add_edge((i, j), (i + di, j + dj))
+
+    def iou(a, b):
+        ix = max(0, min(a[2], b[2]) - max(a[0], b[0]) + 1)
+        iy = max(0, min(a[3], b[3]) - max(a[1], b[1]) + 1)
+        inter = ix * iy
+        area = lambda t: (t[2] - t[0] + 1) * (t[3] - t[1] + 1)  # noqa: E731
+        return inter / float(area(a) + area(b) - inter)
+
+    accepted = []
+    for _ in range(max_paths):
+        if graph.number_of_nodes() == 0:
+            break
+        path = nx.dag_longest_path(graph)
+        if len(path) < min_length:
+            break
+        graph.remove_nodes_from(path)
+        box = (
+            min(i for i, _ in path), min(j for _, j in path),
+            max(i for i, _ in path), max(j for _, j in path),
+        )
+        if all(iou(box, prev) <= max_iou for prev in accepted):
+            accepted.append(box)
+    return accepted
+
+
+class TestNetworkxCrossValidation:
+    """Three-way crosscheck of the VCSL-faithful TN on instances whose
+    longest path is UNIQUE at every iteration (so networkx's
+    implementation-defined tie order cannot differ): the literal
+    networkx implementation, the reconstructed parent-pointer oracle,
+    and the scan kernel must emit identical box sequences. This pins
+    the graph semantics (strict forward steps ≤ max_step in both axes,
+    longest-by-node-count extraction, node removal, IoU dedup) against
+    the actual library upstream delegates to."""
+
+    def test_planted_paths_three_way_fuzz(self):
+        rng = np.random.RandomState(77)
+        max_step, min_length = 3, 4
+        params = TNParams.vcsl_faithful(
+            max_step=max_step, min_length=min_length, max_paths=6
+        )
+        for trial in range(12):
+            n = 48
+            sim = np.zeros((n, n), dtype=np.float32)
+            n_paths = int(rng.randint(1, 4))
+            # Distinct lengths → a unique longest path each iteration;
+            # bands separated by > max_step in both axes → no cross
+            # edges between planted paths.
+            lengths = rng.choice(np.arange(4, 12), n_paths, replace=False)
+            row = col = 0
+            expected_spans = []
+            for ln in lengths:
+                row += int(rng.randint(0, 2))
+                for t in range(ln):
+                    sim[row + t, col + t] = 0.5 + 0.4 * rng.rand()
+                expected_spans.append((row, col, row + ln - 1, col + ln - 1))
+                row += int(ln) + max_step + 1
+                col += int(ln) + max_step + 1
+            kw = dict(
+                max_step=max_step, min_length=min_length, max_paths=6,
+                min_sim=params.min_sim, top_k=params.top_k_per_row,
+                max_iou=params.max_iou,
+            )
+            via_nx = networkx_tn(sim.astype(np.float64), **kw)
+            via_oracle = oracle_tn_vcsl(sim.astype(np.float64), **kw)
+            boxes, valid, _ = tn_align(
+                jnp.asarray(sim[None]),
+                jnp.asarray([n], jnp.int32),
+                jnp.asarray([n], jnp.int32),
+                params,
+            )
+            via_kernel = [
+                tuple(map(int, np.asarray(boxes[0][p])))
+                for p in range(boxes.shape[1])
+                if bool(valid[0][p])
+            ]
+            assert via_nx == via_oracle == via_kernel, (
+                trial, via_nx, via_oracle, via_kernel
+            )
+            # And they are exactly the planted paths, longest first.
+            order = np.argsort(-lengths, kind="stable")
+            assert via_nx == [expected_spans[int(o)] for o in order], trial
+
+
 class TestVCSLFaithfulMode:
     """The parity configuration (TNParams.vcsl_faithful) must reproduce
     the published VCSL TN semantics, checked against an independent
