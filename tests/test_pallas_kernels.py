@@ -188,11 +188,16 @@ class TestPoolWriter:
         monkeypatch.setenv("VSC2022_TPU_POOL_PALLAS", "interpret")
         monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
         rng = np.random.RandomState(6)
-        nq, n, d, k = 23, 2977, 24, 700
+        # κ=32 over 8192 rows sits exactly at the 4κ ≤ p_total pool
+        # feasibility bound — smaller corpora (or the default κ=64 at
+        # this k) silently fall back to streaming and stop covering
+        # the kernel-built pool end-to-end.
+        nq, n, d, k = 23, 8192, 24, 700
         q = rng.randint(-3, 4, size=(nq, d)).astype(np.float32)
         r = rng.randint(-3, 4, size=(n, d)).astype(np.float32)
         searcher = SimilaritySearcher(r, precision="highest")
-        qi, ri, s = searcher.global_topk(q, k)
+        assert searcher._collection_mode(24, 32, True) == "pooled"
+        qi, ri, s = searcher.global_topk(q, k, kappa=32)
         dense = q.astype(np.float64) @ r.astype(np.float64).T
         order = np.lexsort((
             np.tile(np.arange(n), nq), np.repeat(np.arange(nq), n),

@@ -293,7 +293,9 @@ def main(args):
 
     # Same-process kernel-vs-XLA pool build (routing reads the env at
     # trace time; a distinct static tag forces a fresh trace).
-    for flag, tag in (("0", "xla"), ("", "krn")):
+    # Current routing is OPT-IN: only "1" selects the Pallas pool
+    # writer on TPU ("" and "0" both run the XLA carry-scan).
+    for flag, tag in (("0", "xla"), ("1", "krn")):
         os.environ["VSC2022_TPU_POOL_PALLAS"] = flag
 
         @functools.partial(jax.jit, static_argnames=("stage", "tag"))

@@ -177,7 +177,12 @@ class DnSLocalization(TNLocalizationMaxSim):
     """Fine+coarse fused similarity feeding the TN aligner
     (the reference's VCSLLocalizationDnS; dns_baseline.py:108-163)."""
 
-    sim_element_budget = 4 * 1024 * 1024  # ~11 live [B,NQ,NR] f32 tensors
+    # Budget unit is B·NQ·NR; the fused chamfer's region-pair product
+    # is 81× that unit ([B, 9·NQ, 9·NR]), so 4M units ≈ a 1.3 GB
+    # transient per alignment dispatch plus the running-max
+    # intermediates — sized to leave HBM headroom for the resident
+    # fine+coarse feature tables.
+    sim_element_budget = 4 * 1024 * 1024
 
     def __init__(
         self,

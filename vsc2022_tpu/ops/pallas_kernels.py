@@ -22,16 +22,16 @@ tiles stream HBM→VMEM via the standard pallas pipeline (double-buffered
 by the Mosaic compiler).
 
   * ``pool_writer``     — matmul + best-2-per-128-segment winner-pool
-    writer, the round-3 production collection kernel (DEFAULT-ON on
-    TPU backends; see ops/similarity.pooled_candidates for routing and
-    the selection machinery that runs on its output).
+    writer, the round-3 collection kernel (OPT-IN; see
+    ops/similarity.pooled_candidates for routing and the selection
+    machinery that runs on its output).
 
 On non-TPU backends the kernels run in interpreter mode (tests).
 
-Routing: pool_writer is default-on for TPU backends
-(VSC2022_TPU_POOL_PALLAS=0 disables, =interpret tests it on CPU); the
-round-2 kernels below it remain opt-in via VSC2022_TPU_USE_PALLAS=1
-(or =interpret). History, kept for the record: fused_topk — matmul +
+Routing: pool_writer is OPT-IN via VSC2022_TPU_POOL_PALLAS=1 on TPU
+(=interpret tests it on CPU; unset/0 run the XLA carry-scan builder,
+which measured faster at 1M — see below); the round-2 kernels remain
+opt-in via VSC2022_TPU_USE_PALLAS=1 (or =interpret). History, kept for the record: fused_topk — matmul +
 per-row top-κ with min-replacement folding — measured SLOWER than the
 XLA collection at production shapes (395 vs 1507 ms at [9216×1M×512],
 in-process) because it folds candidates one at a time. pool_writer is

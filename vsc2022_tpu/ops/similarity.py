@@ -356,12 +356,6 @@ def streaming_count_above(
     return counts
 
 
-_count_above = jax.jit(
-    streaming_count_above,
-    static_argnames=("col_block", "metric", "precision"),
-)
-
-
 def _f32_sort_key(x: jax.Array) -> jax.Array:
     """Monotone f32 → uint32 key (IEEE total order over non-NaN):
     positives get the sign bit set, negatives bit-flip — standard radix
@@ -438,9 +432,16 @@ def pooled_candidates(
     # outweighs the HBM round trip it saves. Exactness is guarded by
     # the pool count-verify under either builder.
     pool_flag = os.environ.get("VSC2022_TPU_POOL_PALLAS", "")
-    use_kernel = metric == "IP" and (
-        pool_flag == "interpret"
-        or (pool_flag == "1" and jax.default_backend() == "tpu")
+    use_kernel = (
+        metric == "IP"
+        # The kernel carries corpus ids through an f32 placement
+        # matmul — exact only below 2^24; larger corpora route to the
+        # XLA builder (int ids throughout).
+        and n_pad < (1 << 24)
+        and (
+            pool_flag == "interpret"
+            or (pool_flag == "1" and jax.default_backend() == "tpu")
+        )
     )
     if use_kernel:
         # Fused Pallas pool writer: the scores never touch HBM (the
@@ -832,8 +833,8 @@ def _pack_candidates(top_s, top_i, tau, counts=None, amb=None) -> jax.Array:
     slices to nq — at most 7 pad rows) so the executable is reusable
     across query counts. Layout:
     [bitcast(τ), (counts[m],) (amb[m],) bitcast(top_s)[m·κ],
-    top_i[m·κ]] — counts and amb present only for the pooled
-    collection."""
+    top_i[m·κ]] — counts ride BOTH fused modes (exact corpus counts
+    for streaming, pool counts for pooled); amb is pooled-only."""
     parts = [
         jax.lax.bitcast_convert_type(
             jnp.reshape(tau, (1,)).astype(jnp.float32), jnp.int32
@@ -1052,26 +1053,6 @@ def _fused_sn_candidates_packed(
     return _pack_candidates(top_s, top_i, tau, counts), q_sn, None, None
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "precision"))
-def _full_rows(
-    q: jax.Array,  # [S, D]
-    refs: jax.Array,  # [N_pad, D]
-    n_valid: jax.Array,
-    ref_sq: jax.Array,
-    metric: str,
-    precision: str,
-) -> jax.Array:
-    """Full goodness scores for a small set of rows (fallback pass)."""
-    prec = jax.lax.Precision(precision)
-    s = jnp.dot(q, refs.T, precision=prec, preferred_element_type=jnp.float32)
-    if metric == "L2":
-        q32 = q.astype(jnp.float32)
-        q_sq = jnp.sum(q32 * q32, axis=1)
-        s = 2.0 * s - ref_sq[None, :] - q_sq[:, None]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    return jnp.where(col_ids < n_valid, s, NEG_INF)
-
-
 class SimilaritySearcher:
     """Brute-force searcher over a fixed reference descriptor matrix.
 
@@ -1147,18 +1128,6 @@ class SimilaritySearcher:
             metric=self.metric,
             precision=self.precision,
             approx=approx,
-        )
-
-    def _count_kernel(self, block: np.ndarray, tau: float):
-        return _count_above(
-            jnp.asarray(block).astype(self._refs.dtype),
-            self._refs,
-            self._n_valid,
-            self._ref_sq,
-            jnp.float32(tau),
-            col_block=self.col_block,
-            metric=self.metric,
-            precision=self.precision,
         )
 
     def _collection_mode(self, m: int, kappa: int, approx: bool):
