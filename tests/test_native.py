@@ -80,13 +80,24 @@ class TestNativeMatchMetric:
         gts = random_matches(rng, 500, 100)
         preds = random_matches(rng, 3000, 100)
         _match_metric_native(gts, preds)  # warm (builds/loads the .so)
-        t0 = time.perf_counter()
+        # Best-of-3 both sides: scheduler hiccups on a loaded machine
+        # once flaked a single-sample comparison.
+        native_t = min(
+            self._timed(_match_metric_native, gts, preds)[0]
+            for _ in range(3)
+        )
+        python_t, want = min(
+            (self._timed(python_match_metric, gts, preds) for _ in range(3)),
+            key=lambda t: t[0],
+        )
         got = _match_metric_native(gts, preds)
-        native_t = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        want = python_match_metric(gts, preds)
-        python_t = time.perf_counter() - t0
         assert got.ap == pytest.approx(want.ap, abs=1e-10)
         # The C++ core is typically 20-100× faster at this size; assert
         # a conservative margin to stay robust under CI load.
         assert native_t * 3 < python_t, (native_t, python_t)
+
+    @staticmethod
+    def _timed(fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        return time.perf_counter() - t0, out
