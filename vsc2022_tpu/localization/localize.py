@@ -58,14 +58,15 @@ def _pair_sims(
 
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _gathered_pair_sims(
-    table: jax.Array,  # [T, D] all frame features (row 0 = zeros)
-    q_idx: jax.Array,  # [B, NQ] int32 rows into table (0 = pad)
-    r_idx: jax.Array,  # [B, NR]
+    q_table: jax.Array,  # [Tq, D] query frame features (row 0 = zeros)
+    r_table: jax.Array,  # [Tr, D] ref frame features (row 0 = zeros)
+    q_idx: jax.Array,  # [B, NQ] int32 rows into q_table (0 = pad)
+    r_idx: jax.Array,  # [B, NR] int32 rows into r_table
     bias: jax.Array,
     precision: str = "highest",
 ) -> jax.Array:
-    q = jnp.take(table, q_idx, axis=0)  # [B, NQ, D]
-    r = jnp.take(table, r_idx, axis=0)
+    q = jnp.take(q_table, q_idx, axis=0)  # [B, NQ, D]
+    r = jnp.take(r_table, r_idx, axis=0)
     return _pair_sims(q, r, bias, precision)
 
 
@@ -177,58 +178,81 @@ class TNLocalization(LocalizationWithMetadata):
         """Replace the query set, keeping the reference frame rows
         device-resident (resident serving: per-request queries are
         small, the reference corpus is not — only the new query rows
-        cross the host link; the ref block is reused on device)."""
+        cross the host link; the ref table is reused on device with
+        no corpus-sized copies)."""
         self.queries = {m.video_id: m for m in queries}
         self._table = None
         self._table_offsets = None
+        self._q_table = None
+        self._q_offs = None
+
+    @staticmethod
+    def _build_table(source, d_fallback: int = 1):
+        """One device table of a source's frame rows (row 0 is a zero
+        pad row for masked gathers) + per-video (start, n) offsets."""
+        offsets = {}
+        rows = []
+        cursor = 1
+        d = d_fallback
+        for vid, vf in source.items():
+            feat = np.asarray(vf.feature, dtype=np.float32)
+            d = feat.shape[1]
+            offsets[vid] = (cursor, feat.shape[0])
+            rows.append(feat)
+            cursor += feat.shape[0]
+        table = np.concatenate(
+            [np.zeros((1, d), np.float32)] + rows, axis=0
+        )
+        return jnp.asarray(table), offsets
+
+    def _pair_tables(self):
+        """Separate query/ref device tables: the ref table stages once
+        and ``set_queries`` rebuilds only the query side — per-request
+        cost is the new query rows, never a corpus-sized concat/copy.
+        (The DnS subclass keeps the combined-table view below for its
+        fused coarse+fine gather.)"""
+        if getattr(self, "_r_table", None) is None:
+            self._r_table, self._r_offs = self._build_table(self.refs)
+        if getattr(self, "_q_table", None) is None:
+            self._q_table, self._q_offs = self._build_table(
+                self.queries, d_fallback=int(self._r_table.shape[1])
+            )
+        return self._q_table, self._q_offs, self._r_table, self._r_offs
+
+    @staticmethod
+    def _indices_from(offsets, video_ids: Sequence, n_pad: int):
+        """[B, n_pad] row indices into one table (0 = pad row)."""
+        idx = np.zeros((len(video_ids), n_pad), dtype=np.int32)
+        lengths = np.empty(len(video_ids), dtype=np.int32)
+        for i, vid in enumerate(video_ids):
+            start, n = offsets[vid]
+            idx[i, :n] = np.arange(start, start + n, dtype=np.int32)
+            lengths[i] = n
+        return idx, lengths
 
     def _feature_table(self):
-        """All query/ref frame features concatenated on device, with
-        per-video row offsets — staged lazily at the first localize
-        call; per-batch inputs are then built by on-device gathers
-        instead of re-transferring features for every candidate
-        (videos recur across candidate pairs). The reference rows are
-        cached as their own device block so ``set_queries`` rebuilds
-        only the query side. Mutating video features on a live
-        localizer is otherwise unsupported (construct a new one)."""
+        """COMBINED query+ref frame table (row 0 = zero pad row) with
+        (id(source), vid)-keyed offsets — kept for subclasses whose
+        fused gathers read both sides from one table (the DnS
+        coarse+fine path). The base alignment path gathers from the
+        split ``_pair_tables`` instead, so ``set_queries`` never pays
+        a corpus-sized rebuild here unless a subclass asks for one."""
         if getattr(self, "_table", None) is None:
-            if getattr(self, "_ref_block", None) is None:
-                r_offsets = {}
-                rows = []
-                cursor = 0
-                d = None
-                for vid, vf in self.refs.items():
-                    feat = np.asarray(vf.feature, dtype=np.float32)
-                    d = feat.shape[1]
-                    r_offsets[vid] = (cursor, feat.shape[0])
-                    rows.append(feat)
-                    cursor += feat.shape[0]
-                self._ref_block = jnp.asarray(
-                    np.concatenate(rows, axis=0)
-                    if rows else np.zeros((0, d or 1), np.float32)
-                )
-                self._ref_offsets = r_offsets
-            d = int(self._ref_block.shape[1])
             offsets = {}
             rows = []
             cursor = 1  # row 0 is a zero pad row for masked gathers
-            for vid, vf in self.queries.items():
-                feat = np.asarray(vf.feature, dtype=np.float32)
-                d = feat.shape[1]
-                offsets[(id(self.queries), vid)] = (cursor, feat.shape[0])
-                rows.append(feat)
-                cursor += feat.shape[0]
-            q_block = (
-                np.concatenate(rows, axis=0)
-                if rows else np.zeros((0, d), np.float32)
+            d = None
+            for source in (self.queries, self.refs):
+                for vid, vf in source.items():
+                    feat = np.asarray(vf.feature, dtype=np.float32)
+                    d = feat.shape[1]
+                    offsets[(id(source), vid)] = (cursor, feat.shape[0])
+                    rows.append(feat)
+                    cursor += feat.shape[0]
+            table = np.concatenate(
+                [np.zeros((1, d), np.float32)] + rows, axis=0
             )
-            for vid, (start, n) in self._ref_offsets.items():
-                offsets[(id(self.refs), vid)] = (cursor + start, n)
-            self._table = jnp.concatenate([
-                jnp.zeros((1, d), jnp.float32),
-                jnp.asarray(q_block),
-                self._ref_block,
-            ], axis=0)
+            self._table = jnp.asarray(table)
             self._table_offsets = offsets
         return self._table, self._table_offsets
 
@@ -249,16 +273,16 @@ class TNLocalization(LocalizationWithMetadata):
         self, candidates: Sequence[CandidatePair], nq: int, nr: int
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Build [B, nq, nr] similarity matrices for same-bucket pairs
-        via on-device gathers from the staged feature table."""
-        table, _ = self._feature_table()
-        q_idx, q_len = self._gather_indices(
-            self.queries, [c.query_id for c in candidates], nq
+        via on-device gathers from the staged query/ref tables."""
+        q_table, q_offs, r_table, r_offs = self._pair_tables()
+        q_idx, q_len = self._indices_from(
+            q_offs, [c.query_id for c in candidates], nq
         )
-        r_idx, r_len = self._gather_indices(
-            self.refs, [c.ref_id for c in candidates], nr
+        r_idx, r_len = self._indices_from(
+            r_offs, [c.ref_id for c in candidates], nr
         )
         sims = _gathered_pair_sims(
-            table, jnp.asarray(q_idx), jnp.asarray(r_idx),
+            q_table, r_table, jnp.asarray(q_idx), jnp.asarray(r_idx),
             jnp.float32(self.similarity_bias),
         )
         return sims, jnp.asarray(q_len), jnp.asarray(r_len)

@@ -100,6 +100,8 @@ class VideoIndex:
         queries: List[VideoFeature],
         global_k: int,
     ) -> List[PairMatches]:
+        if not queries:
+            return []
         query_ids: List[str] = []
         query_indices: List[int] = []
         for q in queries:
@@ -189,8 +191,17 @@ class ScoreNormalizedVideoIndex(VideoIndex):
         **kwargs,
     ):
         super().__init__(dim, **kwargs)
-        from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
+        from vsc2022_tpu.retrieval.score_norm import (
+            l2_normalize_rows,
+            min_variance_dim,
+        )
 
+        if self.metric != "IP":
+            raise ValueError(
+                "Score-normalized search realizes the CSLS bias as an "
+                "extra inner-product dimension; only metric='IP' is "
+                f"meaningful (got {self.metric!r})"
+            )
         self._l2 = l2_normalize_rows if l2_normalize else (lambda x: x)
         self.beta = beta
         noise_flat = np.concatenate(
@@ -199,7 +210,7 @@ class ScoreNormalizedVideoIndex(VideoIndex):
         )
         self._noise_ids = {f.video_id for f in noise_features}
         if replace_dim:
-            self._victim = int(noise_flat.var(axis=0).argmin())
+            self._victim = min_variance_dim(noise_flat)
             logger.info(f"Dropping min-variance dimension {self._victim}")
             noise_flat = np.delete(noise_flat, self._victim, axis=1)
         else:
@@ -214,16 +225,14 @@ class ScoreNormalizedVideoIndex(VideoIndex):
 
     def _get_searcher(self):
         if self._searcher is None:
-            overlap = set(self.video_metadata) & self._noise_ids
-            if overlap:
-                raise Exception(
-                    f"Noise corpus shares {len(overlap)} video(s) with "
-                    "the eval refs; VSC rules require score normalization "
-                    "against an independent dataset."
-                )
+            from vsc2022_tpu.retrieval.score_norm import (
+                check_independent_ids,
+            )
             from vsc2022_tpu.retrieval.sn_search import (
                 ScoreNormalizedSearcher,
             )
+
+            check_independent_ids(self.video_metadata, self._noise_ids)
 
             corpus = (
                 np.concatenate(self._feature_blocks, axis=0)
@@ -247,3 +256,53 @@ class ScoreNormalizedVideoIndex(VideoIndex):
         q_sn = np.asarray(sn.normalize_queries(query_features))
         scores, ids = sn.searcher.row_topk(q_sn, k)
         return self._yield_rows(scores, ids)
+
+    # -- serving-side feature spaces -------------------------------------
+
+    def localizer_ref_features(
+        self, refs: List[VideoFeature]
+    ) -> List[VideoFeature]:
+        """Reference features in the score-normalized similarity space
+        the matching pipeline localizes in (dim drop + L2 + the
+        constant-1 CSLS dimension; reference:
+        vsc/baseline/sscd_baseline.py:192-203 localizes on the
+        score_normalize-transformed features)."""
+        import dataclasses
+
+        out = []
+        for vf in refs:
+            f = self._prep_query_features(vf.feature)
+            f = np.concatenate([f, np.ones_like(f[:, :1])], axis=1)
+            out.append(dataclasses.replace(vf, feature=f))
+        return out
+
+    def localizer_queries(
+        self, queries: List[VideoFeature]
+    ) -> List[VideoFeature]:
+        """Query features in the same space (dim drop + L2 + the
+        −β·noise-NN bias dimension). Reuses the bias-augmented matrix
+        the immediately preceding search() computed on device when
+        available (single-threaded serving pattern); recomputes via a
+        noise-NN dispatch otherwise."""
+        import dataclasses
+
+        sn = self._get_searcher()
+        total = sum(len(q) for q in queries)
+        q_dev = sn.last_q_sn
+        if q_dev is not None and q_dev.shape[0] >= total:
+            q_sn = np.asarray(q_dev)[:total]
+        else:
+            flat = self._prep_query_features(
+                np.concatenate([q.feature for q in queries], axis=0)
+            )
+            q_sn = np.asarray(sn.normalize_queries(flat))
+        out = []
+        offset = 0
+        for q in queries:
+            out.append(
+                dataclasses.replace(
+                    q, feature=q_sn[offset : offset + len(q)]
+                )
+            )
+            offset += len(q)
+        return out

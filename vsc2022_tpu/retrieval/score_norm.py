@@ -47,8 +47,10 @@ def l2_normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / norms
 
 
-def _check_independent(refs, score_norm_refs) -> None:
-    overlap = {f.video_id for f in refs} & {f.video_id for f in score_norm_refs}
+def check_independent_ids(ref_ids, noise_ids) -> None:
+    """The eval-set rule check shared by the list pipeline and the
+    serving index (reference: score_normalization.py:63-67)."""
+    overlap = set(ref_ids) & set(noise_ids)
     if overlap:
         raise Exception(
             f"Noise corpus shares {len(overlap)} video(s) with the eval "
@@ -57,12 +59,25 @@ def _check_independent(refs, score_norm_refs) -> None:
         )
 
 
+def _check_independent(refs, score_norm_refs) -> None:
+    check_independent_ids(
+        (f.video_id for f in refs), (f.video_id for f in score_norm_refs)
+    )
+
+
+def min_variance_dim(noise_rows: np.ndarray) -> int:
+    """The bias dimension's victim, chosen on the noise corpus
+    (reference: score_normalization.py:68-79) — one definition shared
+    by the list pipeline and the serving index."""
+    return int(noise_rows.var(axis=0).argmin())
+
+
 def _drop_min_variance_dim(feature_sets):
     """Free up one dimension for the bias by deleting the least
     informative one, chosen on the noise corpus (feature_sets[-1];
     reference: vsc/baseline/score_normalization.py:68-79)."""
     noise_rows = np.concatenate([f.feature for f in feature_sets[-1]], axis=0)
-    victim = int(noise_rows.var(axis=0).argmin())
+    victim = min_variance_dim(noise_rows)
     logger.info(f"Dropping min-variance dimension {victim}")
     drop = lambda f: np.delete(f, victim, axis=1)  # noqa: E731
     return [transform_features(fs, drop) for fs in feature_sets]

@@ -155,15 +155,10 @@ def build_localizer(index, refs, args):
     from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
 
     if args.score_norm_features:
-        refs_loc = []
-        for vf in refs:
-            f = index._prep_query_features(vf.feature)
-            f = np.concatenate([f, np.ones_like(f[:, :1])], axis=1)
-            refs_loc.append(dataclasses.replace(vf, feature=f))
         return TNLocalizationMaxSim(
-            [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
-            similarity_bias=0.5, vcsl_faithful=args.vcsl_faithful_tn,
-            mesh=index.mesh,
+            [], index.localizer_ref_features(refs), model_type="TN",
+            tn_max_step=5, min_length=4, similarity_bias=0.5,
+            vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
         )
     refs_loc = [
         dataclasses.replace(vf, feature=l2_normalize_rows(vf.feature))
@@ -184,30 +179,7 @@ def _localizer_queries(index, queries, args):
     from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
 
     if args.score_norm_features:
-        sn = index._get_searcher()
-        total = sum(len(q) for q in queries)
-        # The search dispatch this request just ran computed the
-        # bias-augmented queries on device (sn.last_q_sn, padded rows
-        # at the tail) — reuse them instead of paying a second
-        # noise-NN dispatch. Fallback recomputes if absent.
-        q_dev = sn.last_q_sn
-        if q_dev is not None and q_dev.shape[0] >= total:
-            q_sn = np.asarray(q_dev)[:total]
-        else:
-            flat = index._prep_query_features(
-                np.concatenate([q.feature for q in queries], axis=0)
-            )
-            q_sn = np.asarray(sn.normalize_queries(flat))
-        out = []
-        offset = 0
-        for q in queries:
-            out.append(
-                dataclasses.replace(
-                    q, feature=q_sn[offset : offset + len(q)]
-                )
-            )
-            offset += len(q)
-        return out
+        return index.localizer_queries(queries)
     return [
         dataclasses.replace(q, feature=l2_normalize_rows(q.feature))
         for q in queries
@@ -251,18 +223,34 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
 def main(args):
     t0 = time.perf_counter()
     index, refs, dim = build_index(args)
+    localizer = build_localizer(index, refs, args) if args.matches else None
     if not args.no_warmup:
         # Force corpus staging + compile one search shape so the first
         # request doesn't pay them. 8 rows = the smallest padded shape.
+        # Random unit vectors, NOT zeros: a zero query scores every
+        # corpus row exactly 0.0 == τ, which drives the count-verify
+        # into its worst case (every row flagged, need = n_refs — a
+        # full-corpus repair extraction at serving scale).
+        from vsc2022_tpu.metrics import CandidatePair
         from vsc2022_tpu.types import VideoFeature
 
+        rng = np.random.RandomState(0)
+        f = rng.standard_normal((8, dim)).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
         warm = VideoFeature(
             video_id="Q999999",
             timestamps=np.arange(8, dtype=np.float64),
-            feature=np.zeros((8, dim), dtype=np.float32),
+            feature=f,
         )
         index.search([warm], global_k=8)
-    localizer = build_localizer(index, refs, args) if args.matches else None
+        if localizer is not None and refs:
+            # Stage the localizer's device ref table + compile one TN
+            # bucket before 'ready' — otherwise the first matching
+            # request pays the full corpus H2D staging.
+            localizer.set_queries(_localizer_queries(index, [warm], args))
+            localizer.localize_all(
+                [CandidatePair(warm.video_id, refs[0].video_id, 1.0)]
+            )
     stage_s = time.perf_counter() - t0
     aggregation = MaxScoreAggregation()
     print(f"ready\t{len(refs)}\t{stage_s:.1f}", flush=True)
