@@ -108,6 +108,37 @@ class TestDnSLocalization:
         assert m.ref_start <= 6 and m.ref_end >= 15
 
 
+class TestDnSResidentTables:
+    def test_ref_tables_survive_set_queries(self):
+        # Serving contract: replacing the query set must NOT restage
+        # the reference coarse/fine tables (device-resident corpus).
+        rng = np.random.RandomState(11)
+
+        def fine(n):
+            return rng.randn(n, NUM_REGIONS * 16).astype(np.float32)
+
+        refs_fine = {"R000001": vf("R000001", fine(20))}
+        refs_coarse = [vf("R000001", rng.randn(20, 8).astype(np.float32))]
+        q1_fine = {"Q000001": vf("Q000001", fine(12))}
+        q1_coarse = [vf("Q000001", rng.randn(12, 8).astype(np.float32))]
+
+        loc = DnSLocalization(
+            q1_fine, refs_fine, q1_coarse, refs_coarse,
+            model_type="TN", similarity_bias=0.5,
+        )
+        loc.localize_all([CandidatePair("Q000001", "R000001", 1.0)])
+        r_coarse_tab = loc._r_table
+        r_fine_tab = loc._fine_r_tab
+        assert r_coarse_tab is not None and r_fine_tab is not None
+
+        q2_fine = {"Q000002": vf("Q000002", fine(15))}
+        q2_coarse = [vf("Q000002", rng.randn(15, 8).astype(np.float32))]
+        loc.set_queries(q2_coarse, queries_fine=q2_fine)
+        loc.localize_all([CandidatePair("Q000002", "R000001", 1.0)])
+        assert loc._r_table is r_coarse_tab
+        assert loc._fine_r_tab is r_fine_tab
+
+
 class TestDnSTwoStageFlow:
     """dns_index → dns_baseline via their main() entry points and npz/csv
     file contracts (random-init students; checks plumbing, not quality)."""

@@ -318,3 +318,124 @@ class TestServeCLI:
             assert g.score == pytest.approx(e.score, abs=1e-5)
         # Planted copies must actually localize.
         assert len(got) >= 2
+
+    def test_dns_two_stage_serving(self, tmp_path):
+        # --ref_fine_features serves the DnS matching track with the
+        # two-file query protocol; candidates AND matches must equal
+        # the one-shot dns_baseline stages on the same npz data.
+        from vsc2022_tpu.baseline import dns_baseline
+        from vsc2022_tpu.metrics import Match
+        from vsc2022_tpu.models.dns import NUM_REGIONS
+        from vsc2022_tpu.storage import convert_to_dict, load_features
+
+        rng = np.random.RandomState(17)
+        rdim = 16
+
+        def unit_fine(n):
+            x = rng.normal(size=(n, NUM_REGIONS, rdim)).astype(np.float32)
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        def coarse_from(fine):
+            pooled = fine.mean(axis=1)
+            return pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+        r_fine = [unit_fine(int(rng.randint(24, 40))) for _ in range(4)]
+        q_fine = [unit_fine(28) for _ in range(3)]
+        q_fine[0][8:20] = r_fine[0][5:17]  # planted copies
+        q_fine[1][2:12] = r_fine[2][10:20]
+
+        def feats(prefix, fines):
+            flat = [
+                VideoFeature(
+                    video_id=f"{prefix}{i:06d}",
+                    timestamps=np.arange(
+                        f.shape[0], dtype=np.float64
+                    ),
+                    feature=f.reshape(f.shape[0], -1),
+                )
+                for i, f in enumerate(fines)
+            ]
+            coarse = [
+                VideoFeature(
+                    video_id=v.video_id, timestamps=v.timestamps,
+                    feature=coarse_from(f),
+                )
+                for v, f in zip(flat, fines)
+            ]
+            return flat, coarse
+
+        rf, rc = feats("R", r_fine)
+        qf, qc = feats("Q", q_fine)
+        paths = {}
+        for name, vids, ds in (
+            ("rc", rc, Dataset.REFS), ("rf", rf, Dataset.REFS),
+            ("qc", qc, Dataset.QUERIES), ("qf", qf, Dataset.QUERIES),
+        ):
+            paths[name] = str(tmp_path / f"{name}.npz")
+            store_features(paths[name], vids, ds)
+
+        out_c = str(tmp_path / "dns_c.csv")
+        out_m = str(tmp_path / "dns_m.csv")
+        proc = self._spawn(
+            "--ref_features", paths["rc"],
+            "--ref_fine_features", paths["rf"],
+        )
+        try:
+            assert proc.stdout.readline().startswith("ready")
+            proc.stdin.write(
+                f"{paths['qc']}\t{paths['qf']}\t{out_c}\t{out_m}\n"
+            )
+            proc.stdin.flush()
+            resp = proc.stdout.readline().strip().split("\t")
+            assert resp[0] == "ok" and resp[3] == out_m, resp
+            # Second request (new query shape) over the resident
+            # coarse+fine reference tables.
+            proc.stdin.write(
+                f"{paths['qc']}\t{paths['qf']}\t"
+                f"{tmp_path / 'c2.csv'}\t{tmp_path / 'm2.csv'}\n"
+            )
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("ok")
+            # A one-file request in DnS mode is an error, not a crash.
+            proc.stdin.write(f"{paths['qc']}\n")
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("error")
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+        # In-process oracle: the dns_baseline stages on the npz data.
+        qcl = load_features(paths["qc"], Dataset.QUERIES)
+        rcl = load_features(paths["rc"], Dataset.REFS)
+        qfl = convert_to_dict(load_features(paths["qf"], Dataset.QUERIES))
+        rfl = convert_to_dict(load_features(paths["rf"], Dataset.REFS))
+        cands = dns_baseline.search(qcl, rcl)
+        expect = dns_baseline.localize_and_verify(
+            qfl, rfl, qcl, rcl, cands
+        )
+        got = Match.read_csv(out_m)
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end,
+        )
+        assert sorted(key(m) for m in got) == sorted(
+            key(m) for m in expect
+        )
+        np.testing.assert_allclose(
+            sorted(m.score for m in got),
+            sorted(m.score for m in expect),
+            atol=1e-5,
+        )
+        assert len(got) >= 2  # planted copies localize
+        import pandas as pd
+
+        dfc = pd.read_csv(out_c)
+        expect_pairs = [
+            (c.query_id, c.ref_id)
+            for c in cands[: 25 * len(qcl)]
+        ]
+        assert [
+            (r.query_id, r.ref_id) for r in dfc.itertuples()
+        ] == expect_pairs

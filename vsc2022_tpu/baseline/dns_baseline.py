@@ -149,8 +149,10 @@ def _fused_fine_coarse_sims(
     jax.jit, static_argnames=("symmetric", "precision", "regions")
 )
 def _gathered_dns_sims(
-    coarse_table: jax.Array,  # [1+T_total, DC] (row 0 = zero pad)
-    fine_table: jax.Array,  # [1+T_total, R*D] (row 0 = zero pad)
+    qc_table: jax.Array,  # [1+Tq, DC] coarse (row 0 = zero pad)
+    rc_table: jax.Array,  # [1+Tr, DC]
+    qf_table: jax.Array,  # [1+Tq, R*D] fine (row 0 = zero pad)
+    rf_table: jax.Array,  # [1+Tr, R*D]
     qc_idx: jax.Array, rc_idx: jax.Array,  # [B, N*] int32 rows
     qf_idx: jax.Array, rf_idx: jax.Array,
     bias: jax.Array,
@@ -161,11 +163,13 @@ def _gathered_dns_sims(
     """Chamfer+coarse fusion from device-resident feature tables: the
     per-batch inputs are tiny index matrices instead of re-shipped
     feature tensors (the host-assembled variant moved ~90 MB per
-    512-pair batch through the host link)."""
-    qc = jnp.take(coarse_table, qc_idx, axis=0)
-    rc = jnp.take(coarse_table, rc_idx, axis=0)
-    qf = jnp.take(fine_table, qf_idx, axis=0)
-    rf = jnp.take(fine_table, rf_idx, axis=0)
+    512-pair batch through the host link). Query and ref tables are
+    split so a resident server replaces the query side per request
+    without restaging the reference rows."""
+    qc = jnp.take(qc_table, qc_idx, axis=0)
+    rc = jnp.take(rc_table, rc_idx, axis=0)
+    qf = jnp.take(qf_table, qf_idx, axis=0)
+    rf = jnp.take(rf_table, rf_idx, axis=0)
     qf = qf.reshape(*qf.shape[:2], regions, -1)
     rf = rf.reshape(*rf.shape[:2], regions, -1)
     return _chamfer_fuse(
@@ -204,17 +208,18 @@ class DnSLocalization(TNLocalizationMaxSim):
         self.geometric_mean = geometric_mean
 
     def set_queries(self, queries, queries_fine=None):
-        """Query replacement must swap the fine features too — the
-        base class's resident-ref optimization only covers the coarse
-        table, so the fine table rebuilds whole."""
+        """Query replacement must swap the fine features too. Both the
+        coarse and fine REFERENCE tables stay device-resident (the
+        base class keeps split query/ref tables); only the new query
+        rows cross the host link."""
         if queries_fine is None:
             raise ValueError(
                 "DnS localization needs fine features: pass queries_fine"
             )
         super().set_queries(queries)
         self.queries_fine = dict(queries_fine)
-        self._fine_tab = None
-        self._fine_offsets = None
+        self._fine_q_tab = None
+        self._fine_q_offs = None
 
     def _fine(self, vf: VideoFeature) -> np.ndarray:
         f = np.asarray(vf.feature, dtype=np.float32)
@@ -222,54 +227,40 @@ class DnSLocalization(TNLocalizationMaxSim):
             f = 2.0 * f - 1.0  # {0,1} → {-1,+1} (dns_baseline.py:133-136)
         return f.reshape(f.shape[0], NUM_REGIONS, -1)
 
-    def _fine_table(self):
-        """Device-resident table of ALL fine region features (row 0 is
-        a zero pad row for masked gathers), staged once — the DnS twin
-        of the base class's coarse feature table."""
-        if getattr(self, "_fine_tab", None) is None:
-            offsets = {}
-            rows = []
-            cursor = 1
-            for source in (self.queries_fine, self.refs_fine):
-                for vid, vf in source.items():
-                    feat = self._fine(vf)
-                    flat = feat.reshape(feat.shape[0], -1)
-                    offsets[(id(source), vid)] = (cursor, flat.shape[0])
-                    rows.append(flat)
-                    cursor += flat.shape[0]
-            d = rows[0].shape[1]
-            table = np.concatenate(
-                [np.zeros((1, d), np.float32)] + rows, axis=0
-            )
-            self._fine_tab = jnp.asarray(table)
-            self._fine_offsets = offsets
-        return self._fine_tab
+    def _fine_rows(self, vf: VideoFeature) -> np.ndarray:
+        feat = self._fine(vf)
+        return feat.reshape(feat.shape[0], -1)
 
-    def _fine_gather_indices(self, source, video_ids, n_pad: int):
-        table = self._fine_table()
-        del table  # built for self._fine_offsets
-        idx = np.zeros((len(video_ids), n_pad), dtype=np.int32)
-        lengths = np.empty(len(video_ids), dtype=np.int32)
-        for i, vid in enumerate(video_ids):
-            start, n = self._fine_offsets[(id(source), vid)]
-            n = min(n, n_pad)
-            idx[i, :n] = np.arange(start, start + n, dtype=np.int32)
-            lengths[i] = n
-        return idx, lengths
+    def _fine_pair_tables(self):
+        """Split query/ref device tables of fine region rows — the DnS
+        twin of the base class's coarse ``_pair_tables``: the ref side
+        stages once, ``set_queries`` rebuilds only the query side."""
+        if getattr(self, "_fine_r_tab", None) is None:
+            self._fine_r_tab, self._fine_r_offs = self._build_table(
+                self.refs_fine, row_fn=self._fine_rows
+            )
+        if getattr(self, "_fine_q_tab", None) is None:
+            self._fine_q_tab, self._fine_q_offs = self._build_table(
+                self.queries_fine,
+                d_fallback=int(self._fine_r_tab.shape[1]),
+                row_fn=self._fine_rows,
+            )
+        return (
+            self._fine_q_tab, self._fine_q_offs,
+            self._fine_r_tab, self._fine_r_offs,
+        )
 
     def _batch_sims(
         self, candidates: Sequence[CandidatePair], nq: int, nr: int
     ):
-        coarse_table, _ = self._feature_table()
-        fine_table = self._fine_table()
+        qc_tab, qc_offs, rc_tab, rc_offs = self._pair_tables()
+        qf_tab, qf_offs, rf_tab, rf_offs = self._fine_pair_tables()
         q_ids = [c.query_id for c in candidates]
         r_ids = [c.ref_id for c in candidates]
-        qc_idx, q_len_c = self._gather_indices(self.queries, q_ids, nq)
-        rc_idx, r_len_c = self._gather_indices(self.refs, r_ids, nr)
-        qf_idx, q_len_f = self._fine_gather_indices(
-            self.queries_fine, q_ids, nq
-        )
-        rf_idx, r_len_f = self._fine_gather_indices(self.refs_fine, r_ids, nr)
+        qc_idx, q_len_c = self._indices_from(qc_offs, q_ids, nq)
+        rc_idx, r_len_c = self._indices_from(rc_offs, r_ids, nr)
+        qf_idx, q_len_f = self._indices_from(qf_offs, q_ids, nq)
+        rf_idx, r_len_f = self._indices_from(rf_offs, r_ids, nr)
         # A pair contributes min(fine, coarse) frames (they should
         # match; be robust to ragged inputs) — frames beyond that
         # gather the zero pad row on BOTH tables.
@@ -280,7 +271,7 @@ class DnSLocalization(TNLocalizationMaxSim):
         q_mask = qcol < q_len[:, None]
         r_mask = rcol < r_len[:, None]
         sims = _gathered_dns_sims(
-            coarse_table, fine_table,
+            qc_tab, rc_tab, qf_tab, rf_tab,
             jnp.asarray(np.where(q_mask, qc_idx, 0)),
             jnp.asarray(np.where(r_mask, rc_idx, 0)),
             jnp.asarray(np.where(q_mask, qf_idx, 0)),

@@ -181,21 +181,24 @@ class TNLocalization(LocalizationWithMetadata):
         cross the host link; the ref table is reused on device with
         no corpus-sized copies)."""
         self.queries = {m.video_id: m for m in queries}
-        self._table = None
-        self._table_offsets = None
         self._q_table = None
         self._q_offs = None
 
     @staticmethod
-    def _build_table(source, d_fallback: int = 1):
+    def _build_table(source, d_fallback: int = 1, row_fn=None):
         """One device table of a source's frame rows (row 0 is a zero
-        pad row for masked gathers) + per-video (start, n) offsets."""
+        pad row for masked gathers) + per-video (start, n) offsets.
+        ``row_fn`` maps a VideoFeature to its [n, d] float32 rows
+        (subclass hook: the DnS fine features rescale + flatten)."""
         offsets = {}
         rows = []
         cursor = 1
         d = d_fallback
         for vid, vf in source.items():
-            feat = np.asarray(vf.feature, dtype=np.float32)
+            if row_fn is None:
+                feat = np.asarray(vf.feature, dtype=np.float32)
+            else:
+                feat = row_fn(vf)
             d = feat.shape[1]
             offsets[vid] = (cursor, feat.shape[0])
             rows.append(feat)
@@ -209,8 +212,7 @@ class TNLocalization(LocalizationWithMetadata):
         """Separate query/ref device tables: the ref table stages once
         and ``set_queries`` rebuilds only the query side — per-request
         cost is the new query rows, never a corpus-sized concat/copy.
-        (The DnS subclass keeps the combined-table view below for its
-        fused coarse+fine gather.)"""
+        (The DnS subclass mirrors this split for its fine tables.)"""
         if getattr(self, "_r_table", None) is None:
             self._r_table, self._r_offs = self._build_table(self.refs)
         if getattr(self, "_q_table", None) is None:
@@ -221,50 +223,14 @@ class TNLocalization(LocalizationWithMetadata):
 
     @staticmethod
     def _indices_from(offsets, video_ids: Sequence, n_pad: int):
-        """[B, n_pad] row indices into one table (0 = pad row)."""
+        """[B, n_pad] row indices into one table (0 = pad row). Videos
+        longer than the pad truncate (DnS: ragged fine vs coarse frame
+        counts bucket by the coarse side)."""
         idx = np.zeros((len(video_ids), n_pad), dtype=np.int32)
         lengths = np.empty(len(video_ids), dtype=np.int32)
         for i, vid in enumerate(video_ids):
             start, n = offsets[vid]
-            idx[i, :n] = np.arange(start, start + n, dtype=np.int32)
-            lengths[i] = n
-        return idx, lengths
-
-    def _feature_table(self):
-        """COMBINED query+ref frame table (row 0 = zero pad row) with
-        (id(source), vid)-keyed offsets — kept for subclasses whose
-        fused gathers read both sides from one table (the DnS
-        coarse+fine path). The base alignment path gathers from the
-        split ``_pair_tables`` instead, so ``set_queries`` never pays
-        a corpus-sized rebuild here unless a subclass asks for one."""
-        if getattr(self, "_table", None) is None:
-            offsets = {}
-            rows = []
-            cursor = 1  # row 0 is a zero pad row for masked gathers
-            d = None
-            for source in (self.queries, self.refs):
-                for vid, vf in source.items():
-                    feat = np.asarray(vf.feature, dtype=np.float32)
-                    d = feat.shape[1]
-                    offsets[(id(source), vid)] = (cursor, feat.shape[0])
-                    rows.append(feat)
-                    cursor += feat.shape[0]
-            table = np.concatenate(
-                [np.zeros((1, d), np.float32)] + rows, axis=0
-            )
-            self._table = jnp.asarray(table)
-            self._table_offsets = offsets
-        return self._table, self._table_offsets
-
-    def _gather_indices(
-        self, source, video_ids: Sequence, n_pad: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """[B, n_pad] row indices into the feature table (0 = pad row)."""
-        _, offsets = self._feature_table()
-        idx = np.zeros((len(video_ids), n_pad), dtype=np.int32)
-        lengths = np.empty(len(video_ids), dtype=np.int32)
-        for i, vid in enumerate(video_ids):
-            start, n = offsets[(id(source), vid)]
+            n = min(n, n_pad)
             idx[i, :n] = np.arange(start, start + n, dtype=np.int32)
             lengths[i] = n
         return idx, lengths

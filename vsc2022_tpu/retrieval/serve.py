@@ -25,10 +25,20 @@ reference frame rows stay device-resident across requests
 (TNLocalization.set_queries) — only each request's query rows cross
 the host link.
 
+With ``--ref_fine_features`` the server serves the DnS two-stage
+matching track: retrieval runs on the staged coarse corpus (the
+score-normalized cg npz that dns_index produces) and localization on
+the fused fine-chamfer + coarse similarity (the dns_baseline stage,
+same parameters). Both the coarse and fine reference tables stay
+device-resident; each request ships only its query rows. Requests
+then carry TWO query files — coarse and fine (reference two-level
+contract: vsc/baseline/dns_baseline.py:279-286).
+
 Wire protocol (line-oriented stdin/stdout, so any language or a thin
 socket wrapper can drive it):
 
     request:   <query_npz_path>[\t<candidates_csv>[\t<matches_csv>]]\n
+    DnS mode:  <query_coarse_npz>\t<query_fine_npz>[\t<candidates_csv>[\t<matches_csv>]]\n
     response:  ok\t<candidates_csv>\t<n_pairs>\t<seconds>\n
          or:   ok\t<candidates_csv>\t<n_pairs>\t<matches_csv>\t<n_matches>\t<seconds>\n
     error:     error\t<message>\n        (the server keeps serving)
@@ -118,6 +128,18 @@ parser.add_argument(
     "--vcsl_faithful_tn", action="store_true",
     help="Published VCSL TN parity mode for the localizer",
 )
+parser.add_argument(
+    "--ref_fine_features",
+    help="DnS fine-grained reference npz: serve the DnS two-stage "
+    "matching track (coarse retrieval + fused fine-chamfer "
+    "localization). Requests then carry two query files: "
+    "<coarse_npz>\\t<fine_npz>. Implies --matches; --ref_features "
+    "must be the score-normalized coarse npz from dns_index",
+)
+parser.add_argument(
+    "--fg_type", choices=["att", "bin"], default="att",
+    help="DnS fine-grained feature variant (bin rescales to ±1)",
+)
 
 
 def build_index(args):
@@ -145,7 +167,9 @@ def build_localizer(index, refs, args):
     with the sscd_baseline stage parameters (reference:
     vsc/baseline/sscd_baseline.py:117-135): score-norm features use
     MaxSim over +0.5-biased similarity; raw features are L2-normalized
-    and inherit the candidate's retrieval score."""
+    and inherit the candidate's retrieval score. DnS mode fuses the
+    fine-chamfer similarity with the coarse one under MaxSim scoring
+    (reference: vsc/baseline/dns_baseline.py:196-208)."""
     import dataclasses
 
     from vsc2022_tpu.localization import (
@@ -154,6 +178,19 @@ def build_localizer(index, refs, args):
     )
     from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
 
+    if args.ref_fine_features:
+        from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
+        from vsc2022_tpu.storage import convert_to_dict
+
+        refs_fine = convert_to_dict(
+            load_features(args.ref_fine_features, Dataset.REFS)
+        )
+        return DnSLocalization(
+            {}, refs_fine, [], refs, model_type="TN",
+            fg_type=args.fg_type, tn_max_step=5, min_length=4,
+            similarity_bias=0.5, vcsl_faithful=args.vcsl_faithful_tn,
+            mesh=index.mesh,
+        )
     if args.score_norm_features:
         return TNLocalizationMaxSim(
             [], index.localizer_ref_features(refs), model_type="TN",
@@ -172,12 +209,15 @@ def build_localizer(index, refs, args):
 
 def _localizer_queries(index, queries, args):
     """Per-request query features in the localizer's space: the full
-    score-norm transform incl. the device noise-NN bias dimension, or
-    plain row L2 for the raw pipeline."""
+    score-norm transform incl. the device noise-NN bias dimension,
+    plain row L2 for the raw pipeline, or unchanged for DnS (the cg
+    npz from dns_index is already normalized + score-normed)."""
     import dataclasses
 
     from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
 
+    if args.ref_fine_features:
+        return queries
     if args.score_norm_features:
         return index.localizer_queries(queries)
     return [
@@ -191,6 +231,16 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
 
     parts = line.split("\t")
     query_path = parts[0]
+    fine_path = None
+    if args.ref_fine_features:
+        # DnS two-file protocol: the second field is the fine npz.
+        if len(parts) < 2:
+            raise ValueError(
+                "DnS serving requests need two query files: "
+                "<coarse_npz>\\t<fine_npz>[\\t<candidates_csv>...]"
+            )
+        fine_path = parts[1]
+        parts = [parts[0]] + parts[2:]
     out_csv = parts[1] if len(parts) > 1 else query_path + ".candidates.csv"
     t0 = time.perf_counter()
     queries = load_features(query_path, Dataset.QUERIES)
@@ -210,7 +260,17 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
     matches_csv = (
         parts[2] if len(parts) > 2 else query_path + ".matches.csv"
     )
-    localizer.set_queries(_localizer_queries(index, queries, args))
+    if fine_path is not None:
+        from vsc2022_tpu.storage import convert_to_dict
+
+        localizer.set_queries(
+            queries,
+            queries_fine=convert_to_dict(
+                load_features(fine_path, Dataset.QUERIES)
+            ),
+        )
+    else:
+        localizer.set_queries(_localizer_queries(index, queries, args))
     to_localize = candidates[: int(args.localize_per_query * len(queries))]
     found = align_candidates(localizer, to_localize)
     Match.write_csv(found, matches_csv)
@@ -221,6 +281,16 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
 
 
 def main(args):
+    if args.ref_fine_features:
+        if args.score_norm_features:
+            # The reference applies score normalization at dns_index
+            # time (vsc/baseline/dns_index.py:143-161); the coarse npz
+            # served here arrives pre-normalized.
+            raise Exception(
+                "DnS serving expects the score-normalized coarse npz "
+                "from dns_index; --score_norm_features does not apply."
+            )
+        args.matches = True
     t0 = time.perf_counter()
     index, refs, dim = build_index(args)
     localizer = build_localizer(index, refs, args) if args.matches else None
@@ -247,7 +317,24 @@ def main(args):
             # Stage the localizer's device ref table + compile one TN
             # bucket before 'ready' — otherwise the first matching
             # request pays the full corpus H2D staging.
-            localizer.set_queries(_localizer_queries(index, [warm], args))
+            if args.ref_fine_features:
+                fine_dim = next(
+                    iter(localizer.refs_fine.values())
+                ).dimensions()
+                warm_fine = VideoFeature(
+                    video_id=warm.video_id,
+                    timestamps=warm.timestamps,
+                    feature=rng.standard_normal((8, fine_dim)).astype(
+                        np.float32
+                    ),
+                )
+                localizer.set_queries(
+                    [warm], queries_fine={warm.video_id: warm_fine}
+                )
+            else:
+                localizer.set_queries(
+                    _localizer_queries(index, [warm], args)
+                )
             localizer.localize_all(
                 [CandidatePair(warm.video_id, refs[0].video_id, 1.0)]
             )
