@@ -139,6 +139,75 @@ class TestDnSResidentTables:
         assert loc._fine_r_tab is r_fine_tab
 
 
+class TestDnSMeshLocalization:
+    def test_mesh_matches_single_device(self):
+        # The DnS localizer over a corpus mesh (batched TN DP sharded
+        # on the pair axis) must emit the same matches as one device.
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        assert len(jax.devices()) >= 8
+        rng = np.random.RandomState(23)
+
+        def unit_regions(n):
+            x = rng.normal(size=(n, NUM_REGIONS, 16)).astype(np.float32)
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        r_fine = [unit_regions(int(rng.randint(24, 40))) for _ in range(6)]
+        q_fine = [unit_regions(30) for _ in range(3)]
+        q_fine[0][8:20] = r_fine[1][5:17]
+        q_fine[2][0:10] = r_fine[4][12:22]
+
+        def coarse_from(f):
+            p = f.mean(axis=1)
+            return p / np.linalg.norm(p, axis=-1, keepdims=True)
+
+        refs_fine = {
+            f"R{i:06d}": vf(f"R{i:06d}", f.reshape(f.shape[0], -1))
+            for i, f in enumerate(r_fine)
+        }
+        queries_fine = {
+            f"Q{i:06d}": vf(f"Q{i:06d}", f.reshape(f.shape[0], -1))
+            for i, f in enumerate(q_fine)
+        }
+        refs_coarse = [
+            vf(f"R{i:06d}", coarse_from(f)) for i, f in enumerate(r_fine)
+        ]
+        queries_coarse = [
+            vf(f"Q{i:06d}", coarse_from(f)) for i, f in enumerate(q_fine)
+        ]
+        cands = [
+            CandidatePair(q.video_id, r.video_id, 1.0)
+            for q in queries_coarse
+            for r in refs_coarse
+        ]
+
+        def run(mesh):
+            loc = DnSLocalization(
+                queries_fine, refs_fine, queries_coarse, refs_coarse,
+                model_type="TN", tn_max_step=5, min_length=4,
+                similarity_bias=0.5, mesh=mesh,
+            )
+            return loc.localize_all(cands)
+
+        expect = run(None)
+        got = run(corpus_mesh(8))
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end,
+        )
+        assert sorted(key(m) for m in got) == sorted(
+            key(m) for m in expect
+        )
+        np.testing.assert_allclose(
+            sorted(m.score for m in got),
+            sorted(m.score for m in expect),
+            atol=1e-5,
+        )
+        assert len(expect) >= 2  # planted copies localize
+
+
 class TestDnSTwoStageFlow:
     """dns_index → dns_baseline via their main() entry points and npz/csv
     file contracts (random-init students; checks plumbing, not quality)."""
