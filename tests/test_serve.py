@@ -319,6 +319,65 @@ class TestServeCLI:
         # Planted copies must actually localize.
         assert len(got) >= 2
 
+    def test_tcp_listen_mode(self, served, tmp_path):
+        # --listen serves the same line protocol over TCP: sequential
+        # clients each get the ready greeting; quit ends one session,
+        # shutdown stops the server.
+        import socket
+
+        tmp, queries, refs, noise = served
+        proc = self._spawn(
+            "--ref_features", os.path.join(tmp, "r.npz"),
+            "--score_norm_features", os.path.join(tmp, "noise.npz"),
+            "--listen", "127.0.0.1:0",
+        )
+        try:
+            assert proc.stdout.readline().startswith("ready")
+            listening = proc.stdout.readline().strip().split("\t")
+            assert listening[0] == "listening", listening
+            host, port = listening[1].rsplit(":", 1)
+
+            def session(lines):
+                out = []
+                with socket.create_connection(
+                    (host, int(port)), timeout=120
+                ) as s:
+                    r = s.makefile("r", encoding="utf-8")
+                    w = s.makefile("w", encoding="utf-8")
+                    assert r.readline().startswith("ready")
+                    for line in lines:
+                        w.write(line + "\n")
+                        w.flush()
+                        if line not in ("quit", "shutdown"):
+                            out.append(r.readline().strip())
+                return out
+
+            out1 = str(tmp_path / "tcp1.csv")
+            resp = session(
+                [f"{os.path.join(tmp, 'q.npz')}\t{out1}", "quit"]
+            )
+            assert resp[0].split("\t")[0] == "ok", resp
+            assert os.path.exists(out1)
+            # Second client on the same staged corpus, then shutdown.
+            resp = session(
+                [
+                    f"{os.path.join(tmp, 'q2.npz')}\t{tmp_path / 'tcp2.csv'}",
+                    "/nonexistent.npz\tx.csv",
+                    "shutdown",
+                ]
+            )
+            assert resp[0].split("\t")[0] == "ok", resp
+            assert resp[1].split("\t")[0] == "error", resp
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+        # TCP and stdin modes write identical candidates.
+        import filecmp
+
+        c1 = os.path.join(tmp, "c1.csv")
+        if os.path.exists(c1):
+            assert filecmp.cmp(out1, c1, shallow=False)
+
     def test_dns_two_stage_serving(self, tmp_path):
         # --ref_fine_features serves the DnS matching track with the
         # two-file query protocol; candidates AND matches must equal

@@ -34,8 +34,8 @@ device-resident; each request ships only its query rows. Requests
 then carry TWO query files — coarse and fine (reference two-level
 contract: vsc/baseline/dns_baseline.py:279-286).
 
-Wire protocol (line-oriented stdin/stdout, so any language or a thin
-socket wrapper can drive it):
+Wire protocol (line-oriented, identical over stdin/stdout or — with
+``--listen HOST:PORT`` — a TCP socket, so any language can drive it):
 
     request:   <query_npz_path>[\t<candidates_csv>[\t<matches_csv>]]\n
     DnS mode:  <query_coarse_npz>\t<query_fine_npz>[\t<candidates_csv>[\t<matches_csv>]]\n
@@ -45,9 +45,15 @@ socket wrapper can drive it):
     startup:   ready\t<n_ref_videos>\t<stage_seconds>\n
 
 Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
-``.matches.csv``. ``quit`` (or EOF) shuts down cleanly. Requests with
-new padded query shapes recompile once (the persistent compilation
-cache makes repeats across server restarts warm too).
+``.matches.csv``. ``quit`` (or EOF) ends the session — in TCP mode
+that closes one client connection and the server accepts the next;
+``shutdown`` stops the whole server from either transport. TCP
+clients connect sequentially (one chip, one request at a time), each
+greeted with the ``ready`` line; the parent stdout gets
+``listening\t<host>:<port>`` with the actually-bound port (so
+``:0`` picks a free one). Requests with new padded query shapes
+recompile once (the persistent compilation cache makes repeats across
+server restarts warm too).
 """
 
 from __future__ import annotations
@@ -139,6 +145,12 @@ parser.add_argument(
 parser.add_argument(
     "--fg_type", choices=["att", "bin"], default="att",
     help="DnS fine-grained feature variant (bin rescales to ±1)",
+)
+parser.add_argument(
+    "--listen",
+    help="HOST:PORT — serve the same line protocol over a TCP socket "
+    "instead of stdin/stdout (port 0 binds a free port, reported on "
+    "stdout as listening\\t<host>:<port>)",
 )
 
 
@@ -340,22 +352,64 @@ def main(args):
             )
     stage_s = time.perf_counter() - t0
     aggregation = MaxScoreAggregation()
-    print(f"ready\t{len(refs)}\t{stage_s:.1f}", flush=True)
+    ready = f"ready\t{len(refs)}\t{stage_s:.1f}"
+    print(ready, flush=True)
     logger.info(
         f"Serving {len(refs)} reference videos (staged in {stage_s:.1f}s)"
     )
+    if args.listen:
+        _serve_tcp(index, aggregation, localizer, args, ready)
+    else:
+        _serve_stream(
+            index, aggregation, localizer, args, sys.stdin, sys.stdout
+        )
 
-    for line in sys.stdin:
+
+def _serve_stream(index, aggregation, localizer, args, rfile, wfile) -> bool:
+    """Answer one line stream until quit/shutdown/EOF; True = the
+    whole server should stop (not just this client session)."""
+    for line in rfile:
         line = line.strip()
         if not line:
             continue
         if line == "quit":
-            break
+            return False
+        if line == "shutdown":
+            return True
         try:
             response = serve_request(index, aggregation, localizer, line, args)
         except Exception as exc:  # keep serving on request errors
             response = "error\t" + str(exc).replace("\n", " ")
-        print(response, flush=True)
+        print(response, file=wfile, flush=True)
+    return False
+
+
+def _serve_tcp(index, aggregation, localizer, args, ready: str) -> None:
+    """Sequential TCP accept loop speaking the stdin protocol: one
+    chip serves one request at a time, so concurrent clients queue at
+    the listen backlog rather than contending for the device."""
+    import socket
+
+    host, port = args.listen.rsplit(":", 1)
+    srv = socket.create_server((host, int(port)))
+    bound = srv.getsockname()[1]
+    print(f"listening\t{host}:{bound}", flush=True)
+    logger.info(f"Listening on {host}:{bound}")
+    while True:
+        conn, addr = srv.accept()
+        logger.info(f"Client connected: {addr[0]}:{addr[1]}")
+        try:
+            with conn:
+                rfile = conn.makefile("r", encoding="utf-8")
+                wfile = conn.makefile("w", encoding="utf-8")
+                print(ready, file=wfile, flush=True)
+                if _serve_stream(
+                    index, aggregation, localizer, args, rfile, wfile
+                ):
+                    break
+        except (BrokenPipeError, ConnectionResetError):
+            logger.info("Client disconnected mid-session")
+    srv.close()
 
 
 if __name__ == "__main__":
