@@ -353,21 +353,37 @@ class TestServeCLI:
                 return out
 
             out1 = str(tmp_path / "tcp1.csv")
+            # Hold an idle session open the whole time: it must not
+            # block other clients (thread-per-client sessions).
+            idle = socket.create_connection((host, int(port)), timeout=120)
+            idle_r = idle.makefile("r", encoding="utf-8")
+            assert idle_r.readline().startswith("ready")
+
             resp = session(
                 [f"{os.path.join(tmp, 'q.npz')}\t{out1}", "quit"]
             )
             assert resp[0].split("\t")[0] == "ok", resp
             assert os.path.exists(out1)
-            # Second client on the same staged corpus, then shutdown.
+            # Second client on the same staged corpus.
             resp = session(
                 [
                     f"{os.path.join(tmp, 'q2.npz')}\t{tmp_path / 'tcp2.csv'}",
                     "/nonexistent.npz\tx.csv",
-                    "shutdown",
+                    "quit",
                 ]
             )
             assert resp[0].split("\t")[0] == "ok", resp
             assert resp[1].split("\t")[0] == "error", resp
+            # The idle session still works, then stops the server.
+            idle_w = idle.makefile("w", encoding="utf-8")
+            idle_w.write(
+                f"{os.path.join(tmp, 'q.npz')}\t{tmp_path / 'tcp3.csv'}\n"
+            )
+            idle_w.flush()
+            assert idle_r.readline().split("\t")[0] == "ok"
+            idle_w.write("shutdown\n")
+            idle_w.flush()
+            idle.close()
             assert proc.wait(timeout=120) == 0
         finally:
             proc.kill()

@@ -48,8 +48,10 @@ Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
 ``.matches.csv``. ``quit`` (or EOF) ends the session — in TCP mode
 that closes one client connection and the server accepts the next;
 ``shutdown`` stops the whole server from either transport. TCP
-clients connect sequentially (one chip, one request at a time), each
-greeted with the ``ready`` line; the parent stdout gets
+sessions run concurrently (one thread per client — an idle
+connection never blocks others) with requests serialized on a device
+lock (one chip, one request at a time); each client is greeted with
+the ``ready`` line, and the parent stdout gets
 ``listening\t<host>:<port>`` with the actually-bound port (so
 ``:0`` picks a free one). Requests with new padded query shapes
 recompile once (the persistent compilation cache makes repeats across
@@ -365,9 +367,15 @@ def main(args):
         )
 
 
-def _serve_stream(index, aggregation, localizer, args, rfile, wfile) -> bool:
+def _serve_stream(
+    index, aggregation, localizer, args, rfile, wfile, lock=None
+) -> bool:
     """Answer one line stream until quit/shutdown/EOF; True = the
-    whole server should stop (not just this client session)."""
+    whole server should stop (not just this client session). ``lock``
+    serializes device + localizer-state access across TCP client
+    threads (one chip, one request at a time)."""
+    import contextlib
+
     for line in rfile:
         line = line.strip()
         if not line:
@@ -377,7 +385,10 @@ def _serve_stream(index, aggregation, localizer, args, rfile, wfile) -> bool:
         if line == "shutdown":
             return True
         try:
-            response = serve_request(index, aggregation, localizer, line, args)
+            with lock if lock is not None else contextlib.nullcontext():
+                response = serve_request(
+                    index, aggregation, localizer, line, args
+                )
         except Exception as exc:  # keep serving on request errors
             response = "error\t" + str(exc).replace("\n", " ")
         print(response, file=wfile, flush=True)
@@ -385,31 +396,57 @@ def _serve_stream(index, aggregation, localizer, args, rfile, wfile) -> bool:
 
 
 def _serve_tcp(index, aggregation, localizer, args, ready: str) -> None:
-    """Sequential TCP accept loop speaking the stdin protocol: one
-    chip serves one request at a time, so concurrent clients queue at
-    the listen backlog rather than contending for the device."""
+    """TCP accept loop speaking the stdin protocol, one thread per
+    client: sessions interleave (an idle connection never blocks
+    others) while a device lock serializes the actual requests —
+    one chip serves one request at a time."""
     import socket
+    import threading
 
     host, port = args.listen.rsplit(":", 1)
     srv = socket.create_server((host, int(port)))
     bound = srv.getsockname()[1]
     print(f"listening\t{host}:{bound}", flush=True)
     logger.info(f"Listening on {host}:{bound}")
-    while True:
-        conn, addr = srv.accept()
-        logger.info(f"Client connected: {addr[0]}:{addr[1]}")
+    device_lock = threading.Lock()
+    stop = threading.Event()
+
+    def client_session(conn, addr):
         try:
             with conn:
                 rfile = conn.makefile("r", encoding="utf-8")
                 wfile = conn.makefile("w", encoding="utf-8")
                 print(ready, file=wfile, flush=True)
                 if _serve_stream(
-                    index, aggregation, localizer, args, rfile, wfile
+                    index, aggregation, localizer, args, rfile, wfile,
+                    lock=device_lock,
                 ):
-                    break
+                    stop.set()
         except (BrokenPipeError, ConnectionResetError):
-            logger.info("Client disconnected mid-session")
+            logger.info(f"Client {addr[0]}:{addr[1]} disconnected")
+
+    # A 1 s accept timeout polls the stop flag: close() from a client
+    # thread would not wake a blocked accept() on Linux.
+    srv.settimeout(1.0)
+    threads = []
+    while not stop.is_set():
+        try:
+            conn, addr = srv.accept()
+        except socket.timeout:
+            continue
+        except OSError:
+            break
+        logger.info(f"Client connected: {addr[0]}:{addr[1]}")
+        t = threading.Thread(
+            target=client_session, args=(conn, addr), daemon=True
+        )
+        t.start()
+        threads.append(t)
     srv.close()
+    # Let in-flight requests finish (their sockets stay open until
+    # each session ends); new connections are refused.
+    for t in threads:
+        t.join(timeout=60)
 
 
 if __name__ == "__main__":
