@@ -319,6 +319,104 @@ class TestServeCLI:
         # Planted copies must actually localize.
         assert len(got) >= 2
 
+    def test_add_refs_grows_served_corpus(self, served, tmp_path):
+        # The `add` command must grow the index AND the resident
+        # localizer tables without a restart; post-add responses must
+        # equal a fresh one-shot pipeline over the combined refs.
+        from vsc2022_tpu.baseline.pipeline import align_candidates
+        from vsc2022_tpu.baseline.sscd_baseline import build_alignment
+        from vsc2022_tpu.metrics import Match
+        from vsc2022_tpu.storage import load_features
+
+        tmp, queries, refs, noise = served
+        # A new reference video copying frames from query 2 (the one
+        # with no planted copy yet) — after `add` it must match.
+        new_ref = VideoFeature(
+            video_id=99,
+            timestamps=np.arange(22, dtype=np.float64),
+            feature=np.concatenate(
+                [queries[2].feature[5:20], l2n(np.random.RandomState(31).randn(7, queries[2].feature.shape[1])).astype(np.float32)]
+            ),
+        )
+        add_npz = str(tmp_path / "new_ref.npz")
+        store_features(add_npz, [new_ref], Dataset.REFS)
+
+        proc = self._spawn(
+            "--ref_features", os.path.join(tmp, "r.npz"),
+            "--score_norm_features", os.path.join(tmp, "noise.npz"),
+            "--matches",
+        )
+        try:
+            assert proc.stdout.readline().startswith("ready")
+
+            def req(line):
+                proc.stdin.write(line + "\n")
+                proc.stdin.flush()
+                return proc.stdout.readline().strip().split("\t")
+
+            pre = req(
+                f"{os.path.join(tmp, 'q.npz')}\t{tmp_path / 'pre_c.csv'}"
+                f"\t{tmp_path / 'pre_m.csv'}"
+            )
+            assert pre[0] == "ok", pre
+            added = req(f"add\t{add_npz}")
+            assert added[:3] == ["ok", "added", "1"], added
+            # Duplicate ids are rejected; the server keeps serving.
+            assert req(f"add\t{add_npz}")[0] == "error"
+            post = req(
+                f"{os.path.join(tmp, 'q.npz')}\t{tmp_path / 'post_c.csv'}"
+                f"\t{tmp_path / 'post_m.csv'}"
+            )
+            assert post[0] == "ok", post
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+        # The new planted pair appears only after the add.
+        import pandas as pd
+
+        pre_pairs = set(
+            map(tuple, pd.read_csv(tmp_path / "pre_c.csv")[
+                ["query_id", "ref_id"]
+            ].itertuples(index=False))
+        )
+        post_pairs = set(
+            map(tuple, pd.read_csv(tmp_path / "post_c.csv")[
+                ["query_id", "ref_id"]
+            ].itertuples(index=False))
+        )
+        assert ("Q000002", "R000099") not in pre_pairs
+        assert ("Q000002", "R000099") in post_pairs
+
+        # Post-add responses == one-shot pipeline over combined refs.
+        qd = load_features(os.path.join(tmp, "q.npz"), Dataset.QUERIES)
+        rd = load_features(os.path.join(tmp, "r.npz"), Dataset.REFS)
+        rd += load_features(add_npz, Dataset.REFS)
+        nd = load_features(os.path.join(tmp, "noise.npz"), Dataset.REFS)
+        qn, rn = score_normalize(qd, rd, nd, beta=1.2)
+        cands = CandidateGeneration(rn, MaxScoreAggregation()).query(
+            qn, global_k=1200 * len(qd)
+        )[: 25 * len(qd)]
+        df = pd.read_csv(tmp_path / "post_c.csv")
+        assert [(r.query_id, r.ref_id) for r in df.itertuples()] == [
+            (c.query_id, c.ref_id) for c in cands
+        ]
+        alignment = build_alignment(qn, rn, score_normalization=True)
+        expect = align_candidates(alignment, cands[: 5 * len(qd)])
+        got = Match.read_csv(str(tmp_path / "post_m.csv"))
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end,
+        )
+        assert sorted(key(m) for m in got) == sorted(
+            key(m) for m in expect
+        )
+        assert any(
+            m.query_id == "Q000002" and m.ref_id == "R000099" for m in got
+        )
+
     def test_tcp_listen_mode(self, served, tmp_path):
         # --listen serves the same line protocol over TCP: sequential
         # clients each get the ready greeting; quit ends one session,
@@ -475,11 +573,51 @@ class TestServeCLI:
             proc.stdin.write(f"{paths['qc']}\n")
             proc.stdin.flush()
             assert proc.stdout.readline().startswith("error")
+            # Two-file `add`: a new ref copying the unplanted query 2
+            # must match after the add (resident tables extended).
+            nr_fine = np.concatenate(
+                [q_fine[2][4:18], unit_fine(8)], axis=0
+            )
+            nrf = VideoFeature(
+                video_id="R000099",
+                timestamps=np.arange(
+                    nr_fine.shape[0], dtype=np.float64
+                ),
+                feature=nr_fine.reshape(nr_fine.shape[0], -1),
+            )
+            nrc = VideoFeature(
+                video_id="R000099", timestamps=nrf.timestamps,
+                feature=coarse_from(nr_fine),
+            )
+            add_c = str(tmp_path / "add_c.npz")
+            add_f = str(tmp_path / "add_f.npz")
+            store_features(add_c, [nrc], Dataset.REFS)
+            store_features(add_f, [nrf], Dataset.REFS)
+            # One-file add in DnS mode is an error.
+            proc.stdin.write(f"add\t{add_c}\n")
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("error")
+            proc.stdin.write(f"add\t{add_c}\t{add_f}\n")
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("ok\tadded\t1")
+            out_m3 = str(tmp_path / "m3.csv")
+            proc.stdin.write(
+                f"{paths['qc']}\t{paths['qf']}\t{tmp_path / 'c3.csv'}"
+                f"\t{out_m3}\n"
+            )
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("ok")
             proc.stdin.write("quit\n")
             proc.stdin.flush()
             assert proc.wait(timeout=120) == 0
         finally:
             proc.kill()
+        from vsc2022_tpu.metrics import Match as _M
+
+        assert any(
+            m.query_id == "Q000002" and m.ref_id == "R000099"
+            for m in _M.read_csv(out_m3)
+        )
 
         # In-process oracle: the dns_baseline stages on the npz data.
         qcl = load_features(paths["qc"], Dataset.QUERIES)

@@ -221,6 +221,18 @@ class DnSLocalization(TNLocalizationMaxSim):
         self._fine_q_tab = None
         self._fine_q_offs = None
 
+    def add_refs(self, refs_coarse, refs_fine=None):
+        """Reference growth must extend the fine side too; both ref
+        tables restage whole on the next alignment."""
+        if refs_fine is None:
+            raise ValueError(
+                "DnS localization needs fine features: pass refs_fine"
+            )
+        super().add_refs(refs_coarse)
+        self.refs_fine.update(refs_fine)
+        self._fine_r_tab = None
+        self._fine_r_offs = None
+
     def _fine(self, vf: VideoFeature) -> np.ndarray:
         f = np.asarray(vf.feature, dtype=np.float32)
         if "bin" in self.fg_type:

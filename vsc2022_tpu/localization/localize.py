@@ -184,6 +184,14 @@ class TNLocalization(LocalizationWithMetadata):
         self._q_table = None
         self._q_offs = None
 
+    def add_refs(self, refs: List[VideoFeature]) -> None:
+        """Extend the reference set (serving `add`); the ref table
+        restages whole on the next alignment."""
+        for m in refs:
+            self.refs[m.video_id] = m
+        self._r_table = None
+        self._r_offs = None
+
     @staticmethod
     def _build_table(source, d_fallback: int = 1, row_fn=None):
         """One device table of a source's frame rows (row 0 is a zero

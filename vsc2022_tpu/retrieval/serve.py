@@ -39,10 +39,19 @@ Wire protocol (line-oriented, identical over stdin/stdout or — with
 
     request:   <query_npz_path>[\t<candidates_csv>[\t<matches_csv>]]\n
     DnS mode:  <query_coarse_npz>\t<query_fine_npz>[\t<candidates_csv>[\t<matches_csv>]]\n
+    add refs:  add\t<refs_npz>\n   (DnS: add\t<coarse_npz>\t<fine_npz>\n)
     response:  ok\t<candidates_csv>\t<n_pairs>\t<seconds>\n
          or:   ok\t<candidates_csv>\t<n_pairs>\t<matches_csv>\t<n_matches>\t<seconds>\n
+         or:   ok\tadded\t<n_new_videos>\t<seconds>\n
     error:     error\t<message>\n        (the server keeps serving)
     startup:   ready\t<n_ref_videos>\t<stage_seconds>\n
+
+``add`` grows the served corpus without a restart (the FAISS-``add``
+analog, reference: vsc/index.py:87-94): new reference videos join the
+index and the localizer's resident tables; duplicate video ids are
+rejected. The next search restages the corpus to HBM (and recompiles
+only if the padded corpus shape grew past its block boundary) —
+``add`` itself returns immediately.
 
 Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
 ``.matches.csv``. ``quit`` (or EOF) ends the session — in TCP mode
@@ -240,10 +249,55 @@ def _localizer_queries(index, queries, args):
     ]
 
 
+def _add_refs(index, localizer, parts, args) -> str:
+    """Serving-time corpus growth: extend the index (and the resident
+    localizer tables) with new reference videos; the next search
+    restages. Duplicate ids are rejected — the reference's FAISS add
+    would silently append duplicate rows (vsc/index.py:87-94), but at
+    serving time a repeated id is a client bug."""
+    import dataclasses
+
+    t0 = time.perf_counter()
+    if len(parts) < 2:
+        raise ValueError("add needs a reference npz: add\\t<refs_npz>")
+    refs = load_features(parts[1], Dataset.REFS)
+    dup = [
+        str(r.video_id) for r in refs
+        if r.video_id in index.video_metadata
+    ]
+    if dup:
+        raise ValueError(f"Reference ids already indexed: {dup[:5]}")
+    if localizer is not None:
+        if args.ref_fine_features:
+            from vsc2022_tpu.storage import convert_to_dict
+
+            if len(parts) < 3:
+                raise ValueError(
+                    "DnS add needs two files: add\\t<coarse_npz>\\t<fine_npz>"
+                )
+            fine = load_features(parts[2], Dataset.REFS)
+            localizer.add_refs(refs, refs_fine=convert_to_dict(fine))
+        elif args.score_norm_features:
+            localizer.add_refs(index.localizer_ref_features(refs))
+        else:
+            from vsc2022_tpu.retrieval.score_norm import l2_normalize_rows
+
+            localizer.add_refs([
+                dataclasses.replace(
+                    vf, feature=l2_normalize_rows(vf.feature)
+                )
+                for vf in refs
+            ])
+    index.add(refs)
+    return f"ok\tadded\t{len(refs)}\t{time.perf_counter() - t0:.3f}"
+
+
 def serve_request(index, aggregation, localizer, line: str, args) -> str:
     from vsc2022_tpu.metrics import Match
 
     parts = line.split("\t")
+    if parts[0] == "add":
+        return _add_refs(index, localizer, parts, args)
     query_path = parts[0]
     fine_path = None
     if args.ref_fine_features:
