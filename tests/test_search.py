@@ -90,6 +90,148 @@ class TestSimilaritySearcher:
         )
 
 
+class TestAppendRows:
+    """Device-side corpus growth must be indistinguishable from a
+    fresh searcher over the combined corpus — exactly, including
+    tie-breaks (serving `add`)."""
+
+    @pytest.mark.parametrize("metric", ["IP", "L2"])
+    def test_append_matches_fresh(self, metric):
+        rng = np.random.RandomState(7)
+        q = rng.randint(-3, 4, size=(19, 16)).astype(np.float32)
+        r1 = rng.randint(-3, 4, size=(97, 16)).astype(np.float32)
+        r2 = rng.randint(-3, 4, size=(61, 16)).astype(np.float32)
+
+        grown = SimilaritySearcher(r1, metric=metric)
+        grown.global_topk(q, 10)  # stage + search before growing
+        grown.append_rows(r2)
+
+        fresh = SimilaritySearcher(
+            np.concatenate([r1, r2]), metric=metric
+        )
+        for k in [1, 25, 300]:
+            gq, gr, gs = grown.global_topk(q, k)
+            fq, fr, fs = fresh.global_topk(q, k)
+            np.testing.assert_array_equal(gq, fq)
+            np.testing.assert_array_equal(gr, fr)
+            np.testing.assert_allclose(gs, fs, rtol=1e-6)
+
+    def test_append_across_block_clamp(self):
+        # Growth that raises the tiny-corpus col_block clamp (97 →
+        # 97+160 crosses the 128-row padding) must re-pad correctly.
+        rng = np.random.RandomState(11)
+        q = rng.randint(-3, 4, size=(9, 12)).astype(np.float32)
+        r1 = rng.randint(-3, 4, size=(97, 12)).astype(np.float32)
+        r2 = rng.randint(-3, 4, size=(160, 12)).astype(np.float32)
+        grown = SimilaritySearcher(r1)
+        assert grown.col_block == 128
+        grown.append_rows(r2)
+        assert grown._refs.shape[0] % grown.col_block == 0
+        fresh = SimilaritySearcher(np.concatenate([r1, r2]))
+        gq, gr, gs = grown.global_topk(q, 50)
+        fq, fr, fs = fresh.global_topk(q, 50)
+        np.testing.assert_array_equal(gq, fq)
+        np.testing.assert_array_equal(gr, fr)
+
+    def test_append_repeatedly_bf16(self):
+        rng = np.random.RandomState(13)
+        q = rng.randint(-2, 3, size=(7, 16)).astype(np.float32)
+        parts = [
+            rng.randint(-2, 3, size=(n, 16)).astype(np.float32)
+            for n in (50, 30, 200)
+        ]
+        grown = SimilaritySearcher(parts[0], dtype="bfloat16")
+        for p in parts[1:]:
+            grown.append_rows(p)
+        fresh = SimilaritySearcher(
+            np.concatenate(parts), dtype="bfloat16"
+        )
+        gq, gr, gs = grown.global_topk(q, 40)
+        fq, fr, fs = fresh.global_topk(q, 40)
+        np.testing.assert_array_equal(gq, fq)
+        np.testing.assert_array_equal(gr, fr)
+        np.testing.assert_allclose(gs, fs, rtol=1e-6)
+
+    def test_index_add_after_search_appends_device_side(self):
+        # VideoIndex.add after a search must keep the SAME searcher
+        # (device-side append), and return the same matches a fresh
+        # index over all refs would.
+        rng = np.random.RandomState(17)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        refs1 = [
+            vf(i, rng.randn(20, 16).astype(np.float32)) for i in range(4)
+        ]
+        refs2 = [
+            vf(10 + i, rng.randn(25, 16).astype(np.float32))
+            for i in range(2)
+        ]
+        queries = [vf(0, rng.randn(12, 16).astype(np.float32))]
+
+        index = VideoIndex(16)
+        index.add(refs1)
+        index.search(queries, global_k=30)
+        staged = index._searcher
+        index.add(refs2)
+        assert index._searcher is staged  # grown, not restaged
+        got = index.search(queries, global_k=30)
+
+        fresh = VideoIndex(16)
+        fresh.add(refs1 + refs2)
+        expect = fresh.search(queries, global_k=30)
+        key = lambda pm: (pm.query_id, pm.ref_id)  # noqa: E731
+        got_map = {key(pm): pm.matches for pm in got}
+        exp_map = {key(pm): pm.matches for pm in expect}
+        assert set(got_map) == set(exp_map)
+        for k in exp_map:
+            assert [
+                (m.query_timestamps, m.ref_timestamps, m.score)
+                for m in got_map[k]
+            ] == [
+                (m.query_timestamps, m.ref_timestamps, m.score)
+                for m in exp_map[k]
+            ]
+
+    def test_sharded_add_falls_back_to_restage(self):
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        assert len(jax.devices()) >= 8
+        rng = np.random.RandomState(19)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        refs1 = [vf(i, rng.randn(30, 8).astype(np.float32)) for i in range(3)]
+        refs2 = [vf(5, rng.randn(30, 8).astype(np.float32))]
+        queries = [vf(0, rng.randn(10, 8).astype(np.float32))]
+        index = VideoIndex(8, mesh=corpus_mesh(8))
+        index.add(refs1)
+        index.search(queries, global_k=20)
+        staged = index._searcher
+        index.add(refs2)
+        assert index._searcher is None  # re-balancing restage
+        got = index.search(queries, global_k=20)
+        assert index._searcher is not staged
+        fresh = VideoIndex(8, mesh=corpus_mesh(8))
+        fresh.add(refs1 + refs2)
+        expect = fresh.search(queries, global_k=20)
+        assert {(pm.query_id, pm.ref_id) for pm in got} == {
+            (pm.query_id, pm.ref_id) for pm in expect
+        }
+
+
 class TestVideoIndex:
     def make_features(self, prefix):
         test_feature = np.array(

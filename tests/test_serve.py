@@ -118,9 +118,10 @@ class TestScoreNormalizedVideoIndex:
         index = ScoreNormalizedVideoIndex(
             queries[0].dimensions(), noise, beta=1.2
         )
-        index.add(refs)
+        # The overlap is rejected up front, at add time (it used to
+        # surface at the first search's staging).
         with pytest.raises(Exception, match="independent"):
-            index.search(queries, global_k=10)
+            index.add(refs)
 
     def test_sharded_matches_unsharded(self):
         # The serving index over a corpus mesh must return the same
@@ -152,6 +153,70 @@ class TestScoreNormalizedVideoIndex:
         np.testing.assert_allclose(
             [c.score for c in got], [c.score for c in expect], rtol=1e-5
         )
+
+    def test_add_after_search_appends_device_side(self):
+        # Growing the SN index after staging must reuse the SAME
+        # searcher (device-side append of transformed+bias-augmented
+        # rows) and match a fresh index over the combined refs.
+        rng = np.random.RandomState(21)
+        queries, refs, noise = _make_data(rng)
+        extra = [
+            VideoFeature(
+                video_id=50,
+                timestamps=np.arange(28, dtype=np.float64),
+                feature=np.concatenate(
+                    [queries[2].feature[3:17], l2n(rng.randn(14, 24)).astype(np.float32)]
+                ),
+            )
+        ]
+        index = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2
+        )
+        index.add(refs)
+        index.search(queries, global_k=200)
+        staged = index._searcher
+        index.add(extra)
+        assert index._searcher is staged
+        got = rank_candidates(
+            index.search(queries, global_k=200), MaxScoreAggregation()
+        )
+        fresh = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2
+        )
+        fresh.add(refs + extra)
+        expect = rank_candidates(
+            fresh.search(queries, global_k=200), MaxScoreAggregation()
+        )
+        assert [(c.query_id, c.ref_id) for c in got] == [
+            (c.query_id, c.ref_id) for c in expect
+        ]
+        np.testing.assert_allclose(
+            [c.score for c in got], [c.score for c in expect], rtol=1e-5
+        )
+        assert any(
+            c.query_id == 2 and c.ref_id == 50 for c in got
+        )  # the planted pair only the added ref can produce
+
+    def test_add_noise_overlap_rejected_atomically(self):
+        rng = np.random.RandomState(25)
+        queries, refs, noise = _make_data(rng)
+        index = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2
+        )
+        index.add(refs)
+        n_before = len(index.video_clip_to_video_ids)
+        bad = [
+            VideoFeature(
+                video_id=noise[0].video_id,
+                timestamps=np.arange(5, dtype=np.float64),
+                feature=l2n(rng.randn(5, 24)).astype(np.float32),
+            )
+        ]
+        with pytest.raises(Exception, match="independent"):
+            index.add(bad)
+        # A failed add leaves no partial state.
+        assert len(index.video_clip_to_video_ids) == n_before
+        assert noise[0].video_id not in index.video_metadata
 
     def test_knn_mode(self):
         # KNN (global_k < 0) on the SN index: per-frame top-k over the

@@ -1083,15 +1083,49 @@ class SimilaritySearcher:
         self.n_refs = refs.shape[0]
         self.dim = refs.shape[1]
         self.row_block = row_block
+        self._col_block_req = col_block
         self.col_block = min(col_block, _ceil_to(max(self.n_refs, 1), 128))
         n_pad = _ceil_to(max(self.n_refs, 1), self.col_block)
         refs_host = np.ascontiguousarray(refs, dtype=self._np_dtype())
         self._refs = jnp.asarray(_pad_axis0(refs_host, n_pad))
-        if metric == "L2":
+        self._set_ref_sq()
+        self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
+
+    def _set_ref_sq(self) -> None:
+        if self.metric == "L2":
             r32 = self._refs.astype(jnp.float32)
             self._ref_sq = jnp.sum(r32 * r32, axis=1)
         else:
-            self._ref_sq = jnp.zeros((n_pad,), dtype=jnp.float32)
+            self._ref_sq = jnp.zeros((self._refs.shape[0],), jnp.float32)
+
+    def append_rows(self, new_rows: np.ndarray) -> None:
+        """Grow the staged corpus in place: only the NEW rows cross the
+        host link; the resident rows concatenate device-side (serving
+        `add` at 1M-frame scale restages ~2 GB over a thin host link
+        without this). n_valid is a traced scalar, so searches only
+        recompile when the padded corpus shape crosses a col_block
+        boundary (or the tiny-corpus block clamp grows)."""
+        new_rows = np.ascontiguousarray(new_rows, dtype=self._np_dtype())
+        assert new_rows.shape[1] == self.dim, (new_rows.shape, self.dim)
+        new_total = self.n_refs + new_rows.shape[0]
+        new_col_block = min(
+            self._col_block_req, _ceil_to(max(new_total, 1), 128)
+        )
+        n_pad = _ceil_to(new_total, new_col_block)
+        refs = self._refs
+        assert n_pad >= refs.shape[0], "corpus growth cannot shrink padding"
+        if n_pad > refs.shape[0]:
+            refs = jnp.pad(refs, ((0, n_pad - refs.shape[0]), (0, 0)))
+        # Rows past n_valid are zero (masked by the kernels anyway);
+        # the new rows land right after the valid ones.
+        self._refs = jax.lax.dynamic_update_slice(
+            refs,
+            jnp.asarray(new_rows).astype(self.dtype),
+            (jnp.asarray(self.n_refs, jnp.int32), jnp.asarray(0, jnp.int32)),
+        )
+        self.n_refs = new_total
+        self.col_block = new_col_block
+        self._set_ref_sq()
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
     def _np_dtype(self):

@@ -102,6 +102,15 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         self._topk_fns = {}
         self._full_fns = {}
 
+    def append_rows(self, new_rows) -> None:
+        """In-place growth would unbalance the shards (rows land by
+        global offset = all in the last shard) and invalidate the
+        per-shard pool/extraction bookkeeping; callers fall back to a
+        full restage, which re-balances."""
+        raise NotImplementedError(
+            "sharded corpora re-balance on growth: rebuild the searcher"
+        )
+
     # -- kernels ---------------------------------------------------------
 
     def _build_topk(self, kappa: int, approx: bool):

@@ -64,13 +64,36 @@ class VideoIndex:
         self._searcher: SimilaritySearcher | None = None
 
     def add(self, db: List[VideoFeature]) -> None:
+        """Append reference videos (repeatable, like FAISS add;
+        reference: vsc/index.py:87-94). Before the first search this
+        only records host blocks; after a searcher is staged, the new
+        rows append DEVICE-side when the searcher supports it (only
+        the new rows cross the host link — resident serving's `add`),
+        falling back to a lazy full restage otherwise."""
+        self._validate_add(db)
+        new_blocks = []
         for vf in db:
             n = vf.feature.shape[0]
             self.video_clip_idx.extend(range(n))
             self.video_clip_to_video_ids.extend([vf.video_id] * n)
             self.video_metadata[vf.video_id] = vf.metadata()
-            self._feature_blocks.append(np.asarray(vf.feature, dtype=np.float32))
-        self._searcher = None  # staged lazily on next search
+            block = np.asarray(vf.feature, dtype=np.float32)
+            self._feature_blocks.append(block)
+            new_blocks.append(block)
+        if self._searcher is not None and new_blocks:
+            try:
+                self._append_to_searcher(
+                    np.concatenate(new_blocks, axis=0)
+                )
+            except NotImplementedError:
+                self._searcher = None  # staged lazily on next search
+
+    def _validate_add(self, db: List[VideoFeature]) -> None:
+        """Pre-mutation hook (the SN index rejects noise overlap here,
+        so a failed add leaves no partial state)."""
+
+    def _append_to_searcher(self, new_rows: np.ndarray) -> None:
+        self._searcher.append_rows(new_rows)
 
     def _get_searcher(self) -> SimilaritySearcher:
         if self._searcher is None:
@@ -256,6 +279,16 @@ class ScoreNormalizedVideoIndex(VideoIndex):
         q_sn = np.asarray(sn.normalize_queries(query_features))
         scores, ids = sn.searcher.row_topk(q_sn, k)
         return self._yield_rows(scores, ids)
+
+    def _validate_add(self, db: List[VideoFeature]) -> None:
+        from vsc2022_tpu.retrieval.score_norm import check_independent_ids
+
+        check_independent_ids(
+            (vf.video_id for vf in db), self._noise_ids
+        )
+
+    def _append_to_searcher(self, new_rows: np.ndarray) -> None:
+        self._searcher.append_refs(self._prep_query_features(new_rows))
 
     # -- serving-side feature spaces -------------------------------------
 

@@ -49,9 +49,10 @@ Wire protocol (line-oriented, identical over stdin/stdout or — with
 ``add`` grows the served corpus without a restart (the FAISS-``add``
 analog, reference: vsc/index.py:87-94): new reference videos join the
 index and the localizer's resident tables; duplicate video ids are
-rejected. The next search restages the corpus to HBM (and recompiles
-only if the padded corpus shape grew past its block boundary) —
-``add`` itself returns immediately.
+rejected. On a single device the staged corpus grows DEVICE-side —
+only the new rows cross the host link, and searches recompile only
+when the padded corpus shape crosses its 8192-row block boundary. On
+a sharded corpus the next search restages (shard re-balancing).
 
 Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
 ``.matches.csv``. ``quit`` (or EOF) ends the session — in TCP mode
@@ -267,14 +268,17 @@ def _add_refs(index, localizer, parts, args) -> str:
     ]
     if dup:
         raise ValueError(f"Reference ids already indexed: {dup[:5]}")
+    if args.ref_fine_features and localizer is not None and len(parts) < 3:
+        raise ValueError(
+            "DnS add needs two files: add\\t<coarse_npz>\\t<fine_npz>"
+        )
+    # Index first: it validates (noise-id overlap) before mutating, so
+    # a rejected add never leaves the localizer half-extended.
+    index.add(refs)
     if localizer is not None:
         if args.ref_fine_features:
             from vsc2022_tpu.storage import convert_to_dict
 
-            if len(parts) < 3:
-                raise ValueError(
-                    "DnS add needs two files: add\\t<coarse_npz>\\t<fine_npz>"
-                )
             fine = load_features(parts[2], Dataset.REFS)
             localizer.add_refs(refs, refs_fine=convert_to_dict(fine))
         elif args.score_norm_features:
@@ -288,7 +292,6 @@ def _add_refs(index, localizer, parts, args) -> str:
                 )
                 for vf in refs
             ])
-    index.add(refs)
     return f"ok\tadded\t{len(refs)}\t{time.perf_counter() - t0:.3f}"
 
 

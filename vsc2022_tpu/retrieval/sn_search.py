@@ -72,6 +72,21 @@ class ScoreNormalizedSearcher:
         # second noise-NN dispatch. Single-threaded use only.
         self.last_q_sn = None
 
+    def append_refs(self, refs_transformed: np.ndarray) -> None:
+        """Grow the staged (bias-augmented) corpus with new reference
+        rows already in the normalized space (dim drop + L2 applied by
+        the caller); the constant-1 CSLS column appends here. The
+        noise corpus is immutable. Sharded searchers raise
+        NotImplementedError (callers restage)."""
+        r_sn = np.concatenate(
+            [
+                np.asarray(refs_transformed, dtype=np.float32),
+                np.ones((refs_transformed.shape[0], 1), np.float32),
+            ],
+            axis=1,
+        )
+        self.searcher.append_rows(r_sn)
+
     def normalize_queries(self, queries: np.ndarray) -> jax.Array:
         """Stage queries and append the −β·NN-similarity bias dimension,
         entirely on device."""
