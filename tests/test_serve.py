@@ -717,3 +717,125 @@ class TestServeCLI:
         assert [
             (r.query_id, r.ref_id) for r in dfc.itertuples()
         ] == expect_pairs
+
+
+class TestServeClient:
+    """The Python client wrapper must round-trip the full protocol —
+    spawn + TCP attach, search/add/stats, typed errors — against a
+    real server process."""
+
+    @pytest.fixture(scope="class")
+    def served(self):
+        tmp = tempfile.mkdtemp()
+        rng = np.random.RandomState(33)
+        queries, refs, noise = _make_data(rng)
+        extra = [
+            VideoFeature(
+                video_id=77,
+                timestamps=np.arange(22, dtype=np.float64),
+                feature=l2n(rng.randn(22, 24)).astype(np.float32),
+            )
+        ]
+        store_features(os.path.join(tmp, "q.npz"), queries, Dataset.QUERIES)
+        store_features(os.path.join(tmp, "r.npz"), refs, Dataset.REFS)
+        store_features(os.path.join(tmp, "extra.npz"), extra, Dataset.REFS)
+        store_features(os.path.join(tmp, "noise.npz"), noise, Dataset.REFS)
+        return tmp, queries, refs, noise
+
+    def _client(self, tmp, **kw):
+        from vsc2022_tpu.retrieval import ServeClient
+
+        return ServeClient.spawn(
+            os.path.join(tmp, "r.npz"),
+            score_norm_features=os.path.join(tmp, "noise.npz"),
+            env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+            cwd=REPO, stderr=subprocess.DEVNULL, **kw,
+        )
+
+    def test_spawn_search_add_stats_errors(self, served, tmp_path):
+        from vsc2022_tpu.retrieval import ServeError
+
+        tmp, queries, refs, noise = served
+        n_frames = sum(len(vf.timestamps) for vf in refs)
+        with self._client(tmp, matches=True) as client:
+            assert client.n_ref_videos == len(refs)
+
+            st = client.stats()
+            assert (st.n_videos, st.n_frames) == (len(refs), n_frames)
+            assert st.dtype == "float32"
+            assert not st.sharded and st.matches
+
+            res = client.search(
+                os.path.join(tmp, "q.npz"),
+                candidates_csv=str(tmp_path / "c.csv"),
+                matches_csv=str(tmp_path / "m.csv"),
+            )
+            assert res.candidates_csv == str(tmp_path / "c.csv")
+            assert res.n_candidates == len(res.candidates()) > 0
+            assert res.matches_csv == str(tmp_path / "m.csv")
+            assert res.n_matches == len(res.matches()) > 0
+            # Planted copies rank first with npz-normalized ids.
+            top = res.candidates()[0]
+            assert top.query_id.startswith("Q")
+
+            # Typed error, session keeps serving.
+            with pytest.raises(ServeError, match="No such file|not"):
+                client.search("/nonexistent/query.npz")
+
+            assert client.add(os.path.join(tmp, "extra.npz")) == 1
+            st2 = client.stats()
+            assert st2.n_videos == len(refs) + 1
+            assert st2.n_frames == n_frames + 22
+
+            res2 = client.search(
+                os.path.join(tmp, "q.npz"),
+                candidates_csv=str(tmp_path / "c2.csv"),
+                matches_csv=str(tmp_path / "m2.csv"),
+            )
+            ref_ids = {c.ref_id for c in res2.candidates()}
+            assert "R000077" in ref_ids  # the added video is served
+
+    def test_default_csv_paths(self, served):
+        tmp, queries, refs, noise = served
+        with self._client(tmp) as client:
+            res = client.search(os.path.join(tmp, "q.npz"))
+            assert res.candidates_csv == os.path.join(
+                tmp, "q.npz.candidates.csv"
+            )
+            assert res.matches_csv is None
+            with pytest.raises(ValueError, match="matches"):
+                res.matches()
+
+    def test_tcp_connect(self, served, tmp_path):
+        from vsc2022_tpu.retrieval import ServeClient
+
+        tmp, queries, refs, noise = served
+        env = dict(os.environ, VSC2022_TPU_FORCE_CPU="1")
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+                "--ref_features", os.path.join(tmp, "r.npz"),
+                "--listen", "127.0.0.1:0",
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env, cwd=REPO,
+        )
+        try:
+            assert proc.stdout.readline().startswith("ready")
+            host, port = (
+                proc.stdout.readline().strip().split("\t")[1].rsplit(":", 1)
+            )
+            with ServeClient.connect(host, int(port), timeout=120) as c1:
+                assert c1.n_ref_videos == len(refs)
+                res = c1.search(
+                    os.path.join(tmp, "q.npz"),
+                    candidates_csv=str(tmp_path / "tcp.csv"),
+                )
+                assert res.n_candidates > 0
+            # quit ended the session, not the server: reattach and stop.
+            c2 = ServeClient.connect(host, int(port), timeout=120)
+            assert c2.stats().n_videos == len(refs)
+            c2.close(shutdown=True)
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()

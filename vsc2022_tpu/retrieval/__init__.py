@@ -5,6 +5,12 @@ from vsc2022_tpu.retrieval.candidates import (  # noqa: F401
     MaxScoreAggregation,
     ScoreAggregation,
 )
+from vsc2022_tpu.retrieval.client import (  # noqa: F401
+    SearchResult,
+    ServeClient,
+    ServeError,
+    ServeStats,
+)
 from vsc2022_tpu.retrieval.index import (  # noqa: F401
     ScoreNormalizedVideoIndex,
     VideoIndex,

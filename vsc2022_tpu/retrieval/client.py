@@ -1,0 +1,262 @@
+"""Python client for the resident retrieval server.
+
+The server (``vsc2022_tpu.retrieval.serve``) speaks a line protocol
+over stdin/stdout or TCP; this module wraps it so Python callers get
+typed results instead of tab-separated strings. Two ways in:
+
+    # Manage the server as a child process (stdio):
+    with ServeClient.spawn("refs.npz", score_norm_features="noise.npz",
+                           matches=True) as client:
+        result = client.search("queries.npz")
+        pairs = result.candidates()          # List[CandidatePair]
+        client.add("more_refs.npz")          # grows the served corpus
+
+    # Or attach to a running --listen server:
+    with ServeClient.connect("127.0.0.1", 7845) as client:
+        ...
+
+The reference has no serving surface at all — its pipelines are batch
+CLIs that rebuild the FAISS index per invocation (reference:
+vsc/descriptor_eval_lib.py:27-60) — so this client, like the server,
+is framework surface beyond parity. Results stay path-based (the
+server writes CSVs; ``SearchResult.candidates()``/``matches()`` read
+them back) so large result sets never squeeze through the pipe.
+
+One request at a time per client: the protocol is strictly
+request/response. For concurrent callers open one connection each
+against a ``--listen`` server — sessions interleave server-side under
+its device lock.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import subprocess
+import sys
+from typing import List, Optional, Sequence
+
+from vsc2022_tpu.metrics import CandidatePair, Match
+
+
+class ServeError(RuntimeError):
+    """A request the server answered with ``error\\t<message>``."""
+
+
+@dataclasses.dataclass
+class SearchResult:
+    """One answered search request (paths + counts + wall time)."""
+
+    candidates_csv: str
+    n_candidates: int
+    matches_csv: Optional[str]
+    n_matches: Optional[int]
+    seconds: float
+
+    def candidates(self) -> List[CandidatePair]:
+        return CandidatePair.read_csv(self.candidates_csv)
+
+    def matches(self) -> List[Match]:
+        if self.matches_csv is None:
+            raise ValueError(
+                "server ran without --matches: no matches CSV to read"
+            )
+        return Match.read_csv(self.matches_csv)
+
+
+@dataclasses.dataclass
+class ServeStats:
+    """Live server state (the ``stats`` command)."""
+
+    n_videos: int
+    n_frames: int
+    dtype: str
+    sharded: bool
+    matches: bool
+
+
+class ServeClient:
+    """Session against one resident server; not thread-safe."""
+
+    def __init__(self, rfile, wfile, proc=None, sock=None):
+        self._rfile = rfile
+        self._wfile = wfile
+        self._proc = proc
+        self._sock = sock
+        self.n_ref_videos, self.stage_seconds = self._read_ready()
+
+    # -- constructors ------------------------------------------------
+
+    @classmethod
+    def spawn(
+        cls,
+        ref_features: str,
+        *,
+        score_norm_features: Optional[str] = None,
+        ref_fine_features: Optional[str] = None,
+        matches: bool = False,
+        sharded: bool = False,
+        bf16: bool = False,
+        vcsl_faithful_tn: bool = False,
+        no_warmup: bool = False,
+        extra_args: Sequence[str] = (),
+        env=None,
+        cwd=None,
+        stderr=None,
+    ) -> "ServeClient":
+        """Start ``python -m vsc2022_tpu.retrieval.serve`` as a child
+        process and attach over its stdin/stdout. Keyword flags mirror
+        the server CLI; anything else goes through ``extra_args``
+        verbatim (e.g. ``["--beta", "1.5"]``). The child dies with the
+        client (``close``/context-manager exit sends ``quit``)."""
+        cmd = [
+            sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+            "--ref_features", os.path.abspath(ref_features),
+        ]
+        if score_norm_features:
+            cmd += ["--score_norm_features", os.path.abspath(score_norm_features)]
+        if ref_fine_features:
+            cmd += ["--ref_fine_features", os.path.abspath(ref_fine_features)]
+        for flag, on in [
+            ("--matches", matches),
+            ("--sharded", sharded),
+            ("--bf16", bf16),
+            ("--vcsl_faithful_tn", vcsl_faithful_tn),
+            ("--no_warmup", no_warmup),
+        ]:
+            if on:
+                cmd.append(flag)
+        cmd += list(extra_args)
+        proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=stderr, text=True, env=env, cwd=cwd,
+        )
+        return cls(proc.stdout, proc.stdin, proc=proc)
+
+    @classmethod
+    def connect(
+        cls, host: str, port: int, timeout: Optional[float] = None
+    ) -> "ServeClient":
+        """Attach to a running ``--listen HOST:PORT`` server."""
+        import socket
+
+        sock = socket.create_connection((host, port), timeout=timeout)
+        return cls(
+            sock.makefile("r", encoding="utf-8"),
+            sock.makefile("w", encoding="utf-8"),
+            sock=sock,
+        )
+
+    # -- protocol ----------------------------------------------------
+
+    def _read_ready(self):
+        line = self._rfile.readline().strip()
+        parts = line.split("\t")
+        if parts[0] != "ready":
+            detail = f"expected ready line, got: {line!r}"
+            if self._proc is not None and self._proc.poll() is not None:
+                detail += (
+                    f" (server exited with code {self._proc.returncode}"
+                    " during startup — check its stderr)"
+                )
+            raise ServeError(detail)
+        return int(parts[1]), float(parts[2])
+
+    def _rpc(self, line: str) -> List[str]:
+        self._wfile.write(line + "\n")
+        self._wfile.flush()
+        reply = self._rfile.readline()
+        if not reply:
+            raise ServeError("server closed the connection")
+        parts = reply.strip().split("\t")
+        if parts[0] == "error":
+            raise ServeError("\t".join(parts[1:]))
+        if parts[0] != "ok":
+            raise ServeError(f"malformed server reply: {reply!r}")
+        return parts[1:]
+
+    # -- requests ----------------------------------------------------
+
+    def search(
+        self,
+        query_features: str,
+        *,
+        query_fine_features: Optional[str] = None,
+        candidates_csv: Optional[str] = None,
+        matches_csv: Optional[str] = None,
+    ) -> SearchResult:
+        """Search one query npz; returns where the server wrote the
+        CSVs (defaults: ``<query_npz>.candidates.csv``/``.matches.csv``).
+        DnS servers need ``query_fine_features`` as well."""
+        # Paths resolve in the SERVER process (which may have a
+        # different cwd — spawn(cwd=...) or a remote --listen server
+        # on a shared filesystem): anchor them to the caller's cwd.
+        fields = [os.path.abspath(query_features)]
+        if query_fine_features is not None:
+            fields.append(os.path.abspath(query_fine_features))
+        if candidates_csv is not None or matches_csv is not None:
+            fields.append(os.path.abspath(candidates_csv) if candidates_csv else "")
+        if matches_csv is not None:
+            fields.append(os.path.abspath(matches_csv))
+        parts = self._rpc("\t".join(fields))
+        if len(parts) >= 5:
+            return SearchResult(
+                candidates_csv=parts[0], n_candidates=int(parts[1]),
+                matches_csv=parts[2], n_matches=int(parts[3]),
+                seconds=float(parts[4]),
+            )
+        return SearchResult(
+            candidates_csv=parts[0], n_candidates=int(parts[1]),
+            matches_csv=None, n_matches=None, seconds=float(parts[2]),
+        )
+
+    def add(
+        self, ref_features: str, ref_fine_features: Optional[str] = None
+    ) -> int:
+        """Grow the served corpus; returns the number of videos added.
+        DnS servers need the matching fine npz too."""
+        fields = ["add", os.path.abspath(ref_features)]
+        if ref_fine_features is not None:
+            fields.append(os.path.abspath(ref_fine_features))
+        parts = self._rpc("\t".join(fields))
+        if parts[0] != "added":
+            raise ServeError(f"unexpected add reply: {parts!r}")
+        return int(parts[1])
+
+    def stats(self) -> ServeStats:
+        parts = self._rpc("stats")
+        if parts[0] != "stats":
+            raise ServeError(f"unexpected stats reply: {parts!r}")
+        return ServeStats(
+            n_videos=int(parts[1]), n_frames=int(parts[2]),
+            dtype=parts[3], sharded=bool(int(parts[4])),
+            matches=bool(int(parts[5])),
+        )
+
+    # -- lifecycle ---------------------------------------------------
+
+    def close(self, shutdown: bool = False) -> None:
+        """End the session (``quit``); ``shutdown=True`` stops a TCP
+        server entirely instead of just this session. Managed child
+        processes are reaped (killed after 30 s if wedged)."""
+        try:
+            self._wfile.write(("shutdown" if shutdown else "quit") + "\n")
+            self._wfile.flush()
+        except (BrokenPipeError, ValueError, OSError):
+            pass  # already gone
+        if self._sock is not None:
+            self._rfile.close()
+            self._wfile.close()
+            self._sock.close()
+        if self._proc is not None:
+            try:
+                self._proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
+                self._proc.wait()
+
+    def __enter__(self) -> "ServeClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

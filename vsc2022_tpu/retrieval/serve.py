@@ -40,9 +40,11 @@ Wire protocol (line-oriented, identical over stdin/stdout or — with
     request:   <query_npz_path>[\t<candidates_csv>[\t<matches_csv>]]\n
     DnS mode:  <query_coarse_npz>\t<query_fine_npz>[\t<candidates_csv>[\t<matches_csv>]]\n
     add refs:  add\t<refs_npz>\n   (DnS: add\t<coarse_npz>\t<fine_npz>\n)
+    stats:     stats\n
     response:  ok\t<candidates_csv>\t<n_pairs>\t<seconds>\n
          or:   ok\t<candidates_csv>\t<n_pairs>\t<matches_csv>\t<n_matches>\t<seconds>\n
          or:   ok\tadded\t<n_new_videos>\t<seconds>\n
+         or:   ok\tstats\t<n_videos>\t<n_frames>\t<dtype>\t<sharded>\t<matches>\n
     error:     error\t<message>\n        (the server keeps serving)
     startup:   ready\t<n_ref_videos>\t<stage_seconds>\n
 
@@ -301,6 +303,15 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
     parts = line.split("\t")
     if parts[0] == "add":
         return _add_refs(index, localizer, parts, args)
+    if parts[0] == "stats":
+        return (
+            "ok\tstats"
+            f"\t{len(index.video_metadata)}"
+            f"\t{len(index.video_clip_to_video_ids)}"
+            f"\t{index.dtype}"
+            f"\t{int(index.mesh is not None)}"
+            f"\t{int(args.matches)}"
+        )
     query_path = parts[0]
     fine_path = None
     if args.ref_fine_features:
