@@ -198,6 +198,37 @@ class TestAppendRows:
                 for m in exp_map[k]
             ]
 
+    def test_add_with_wrong_dim_rejected_atomically(self):
+        # A bad add (wrong descriptor dim) must be rejected BEFORE any
+        # state mutates: host bookkeeping growing while the staged
+        # searcher rejects the rows would map searcher offsets to
+        # phantom frames, silently corrupting every later add's ids.
+        rng = np.random.RandomState(23)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        index = VideoIndex(16)
+        index.add([vf(0, rng.randn(20, 16).astype(np.float32))])
+        queries = [vf(0, rng.randn(8, 16).astype(np.float32))]
+        index.search(queries, global_k=10)  # stage
+
+        with pytest.raises(ValueError, match="dimension"):
+            index.add([vf(1, rng.randn(9, 12).astype(np.float32))])
+        assert len(index.video_clip_to_video_ids) == 20  # untouched
+        assert 1 not in index.video_metadata
+
+        # A valid add afterwards maps ids correctly.
+        good = rng.randn(15, 16).astype(np.float32)
+        index.add([vf(2, good)])
+        q2 = [vf(1, good[:4].copy())]
+        got = index.search(q2, global_k=4)  # = the 4 planted copies
+        assert {pm.ref_id for pm in got} == {2}
+
     def test_sharded_add_falls_back_to_restage(self):
         import jax
 

@@ -662,6 +662,25 @@ class TestServeCLI:
             proc.stdin.write(f"add\t{add_c}\n")
             proc.stdin.flush()
             assert proc.stdout.readline().startswith("error")
+            # A failing add (bad fine path / fine npz not covering
+            # the coarse ids) must reject BEFORE the index mutates:
+            # otherwise the duplicate-id check would block the
+            # corrected retry below forever.
+            proc.stdin.write(f"add\t{add_c}\t/nonexistent_fine.npz\n")
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("error")
+            import dataclasses
+
+            mismatch_f = str(tmp_path / "mismatch_f.npz")
+            store_features(
+                mismatch_f,
+                [dataclasses.replace(nrf, video_id="R000098")],
+                Dataset.REFS,
+            )
+            proc.stdin.write(f"add\t{add_c}\t{mismatch_f}\n")
+            proc.stdin.flush()
+            resp = proc.stdout.readline()
+            assert resp.startswith("error") and "missing" in resp, resp
             proc.stdin.write(f"add\t{add_c}\t{add_f}\n")
             proc.stdin.flush()
             assert proc.stdout.readline().startswith("ok\tadded\t1")
@@ -795,6 +814,16 @@ class TestServeClient:
             ref_ids = {c.ref_id for c in res2.candidates()}
             assert "R000077" in ref_ids  # the added video is served
 
+            # Naming ONLY the matches CSV defaults the candidates one.
+            res3 = client.search(
+                os.path.join(tmp, "q.npz"),
+                matches_csv=str(tmp_path / "m3.csv"),
+            )
+            assert res3.candidates_csv == os.path.join(
+                tmp, "q.npz.candidates.csv"
+            )
+            assert res3.matches_csv == str(tmp_path / "m3.csv")
+
     def test_default_csv_paths(self, served):
         tmp, queries, refs, noise = served
         with self._client(tmp) as client:
@@ -805,6 +834,16 @@ class TestServeClient:
             assert res.matches_csv is None
             with pytest.raises(ValueError, match="matches"):
                 res.matches()
+
+    def test_spawn_failure_reaps_child(self):
+        from vsc2022_tpu.retrieval import ServeClient, ServeError
+
+        with pytest.raises(ServeError, match="exited with code"):
+            ServeClient.spawn(
+                "/nonexistent/refs.npz",
+                env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+                cwd=REPO, stderr=subprocess.DEVNULL,
+            )
 
     def test_tcp_connect(self, served, tmp_path):
         from vsc2022_tpu.retrieval import ServeClient
@@ -833,9 +872,15 @@ class TestServeClient:
                 )
                 assert res.n_candidates > 0
             # quit ended the session, not the server: reattach and stop.
+            # The ready greeting reads the LIVE corpus size — a new
+            # client after an add must not see the startup count.
             c2 = ServeClient.connect(host, int(port), timeout=120)
-            assert c2.stats().n_videos == len(refs)
-            c2.close(shutdown=True)
+            assert c2.add(os.path.join(tmp, "extra.npz")) == 1
+            c2.close()
+            c3 = ServeClient.connect(host, int(port), timeout=120)
+            assert c3.n_ref_videos == len(refs) + 1
+            assert c3.stats().n_videos == len(refs) + 1
+            c3.close(shutdown=True)
             assert proc.wait(timeout=120) == 0
         finally:
             proc.kill()

@@ -131,21 +131,36 @@ class ServeClient:
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=stderr, text=True, env=env, cwd=cwd,
         )
-        return cls(proc.stdout, proc.stdin, proc=proc)
+        try:
+            return cls(proc.stdout, proc.stdin, proc=proc)
+        except BaseException:
+            # Startup failed before the caller holds a handle: reap
+            # the child here or it leaks (and may hold the chip).
+            proc.kill()
+            proc.wait()
+            raise
 
     @classmethod
     def connect(
         cls, host: str, port: int, timeout: Optional[float] = None
     ) -> "ServeClient":
-        """Attach to a running ``--listen HOST:PORT`` server."""
+        """Attach to a running ``--listen HOST:PORT`` server.
+        ``timeout`` bounds establishing the connection only — request
+        replies block indefinitely (a cold-compile search can take
+        minutes; a read timeout mid-protocol would desync replies)."""
         import socket
 
         sock = socket.create_connection((host, port), timeout=timeout)
-        return cls(
-            sock.makefile("r", encoding="utf-8"),
-            sock.makefile("w", encoding="utf-8"),
-            sock=sock,
-        )
+        try:
+            sock.settimeout(None)
+            return cls(
+                sock.makefile("r", encoding="utf-8"),
+                sock.makefile("w", encoding="utf-8"),
+                sock=sock,
+            )
+        except BaseException:
+            sock.close()
+            raise
 
     # -- protocol ----------------------------------------------------
 
@@ -154,10 +169,16 @@ class ServeClient:
         parts = line.split("\t")
         if parts[0] != "ready":
             detail = f"expected ready line, got: {line!r}"
-            if self._proc is not None and self._proc.poll() is not None:
+            if self._proc is not None and not line:
+                # EOF: the child is dead or dying — reap it so the
+                # error can carry the exit code.
+                try:
+                    code = self._proc.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    code = None
                 detail += (
-                    f" (server exited with code {self._proc.returncode}"
-                    " during startup — check its stderr)"
+                    f" (server exited with code {code} during "
+                    "startup — check its stderr)"
                 )
             raise ServeError(detail)
         return int(parts[1]), float(parts[2])
@@ -195,7 +216,11 @@ class ServeClient:
         if query_fine_features is not None:
             fields.append(os.path.abspath(query_fine_features))
         if candidates_csv is not None or matches_csv is not None:
-            fields.append(os.path.abspath(candidates_csv) if candidates_csv else "")
+            # An empty field tells the server "default path" (so the
+            # matches CSV is nameable without naming the candidates).
+            fields.append(
+                os.path.abspath(candidates_csv) if candidates_csv else ""
+            )
         if matches_csv is not None:
             fields.append(os.path.abspath(matches_csv))
         parts = self._rpc("\t".join(fields))

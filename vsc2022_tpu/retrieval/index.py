@@ -87,10 +87,26 @@ class VideoIndex:
                 )
             except NotImplementedError:
                 self._searcher = None  # staged lazily on next search
+            except Exception:
+                # Unexpected device-append failure (e.g. HBM exhausted):
+                # the host blocks already hold the validated rows, so
+                # dropping the staged searcher keeps ids consistent —
+                # the next search restages the full corpus.
+                self._searcher = None
+                raise
 
     def _validate_add(self, db: List[VideoFeature]) -> None:
-        """Pre-mutation hook (the SN index rejects noise overlap here,
-        so a failed add leaves no partial state)."""
+        """All-or-nothing validation BEFORE any state mutates — a
+        rejected add must leave no partial host bookkeeping, or later
+        adds would map searcher rows to phantom frames. The SN
+        subclass adds its noise-overlap check here."""
+        for vf in db:
+            f = vf.feature
+            if f.ndim != 2 or f.shape[1] != self.dim:
+                raise ValueError(
+                    f"Video {vf.video_id}: feature shape {f.shape} "
+                    f"does not match index dimension {self.dim}"
+                )
 
     def _append_to_searcher(self, new_rows: np.ndarray) -> None:
         self._searcher.append_rows(new_rows)
@@ -283,6 +299,7 @@ class ScoreNormalizedVideoIndex(VideoIndex):
     def _validate_add(self, db: List[VideoFeature]) -> None:
         from vsc2022_tpu.retrieval.score_norm import check_independent_ids
 
+        super()._validate_add(db)
         check_independent_ids(
             (vf.video_id for vf in db), self._noise_ids
         )

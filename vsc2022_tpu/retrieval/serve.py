@@ -270,19 +270,33 @@ def _add_refs(index, localizer, parts, args) -> str:
     ]
     if dup:
         raise ValueError(f"Reference ids already indexed: {dup[:5]}")
-    if args.ref_fine_features and localizer is not None and len(parts) < 3:
-        raise ValueError(
-            "DnS add needs two files: add\\t<coarse_npz>\\t<fine_npz>"
-        )
-    # Index first: it validates (noise-id overlap) before mutating, so
-    # a rejected add never leaves the localizer half-extended.
+    fine = None
+    if args.ref_fine_features and localizer is not None:
+        if len(parts) < 3:
+            raise ValueError(
+                "DnS add needs two files: add\\t<coarse_npz>\\t<fine_npz>"
+            )
+        from vsc2022_tpu.storage import convert_to_dict
+
+        # Load + cross-check the fine side BEFORE anything mutates: a
+        # bad fine path failing after index.add would leave the index
+        # grown but the localizer not, with the duplicate-id check
+        # blocking a corrected retry forever.
+        fine = convert_to_dict(load_features(parts[2], Dataset.REFS))
+        missing = [
+            str(vf.video_id) for vf in refs if vf.video_id not in fine
+        ]
+        if missing:
+            raise ValueError(
+                f"Fine npz is missing coarse videos: {missing[:5]}"
+            )
+    # Index next: it validates (dims, noise-id overlap) before
+    # mutating, so a rejected add never leaves the localizer
+    # half-extended.
     index.add(refs)
     if localizer is not None:
-        if args.ref_fine_features:
-            from vsc2022_tpu.storage import convert_to_dict
-
-            fine = load_features(parts[2], Dataset.REFS)
-            localizer.add_refs(refs, refs_fine=convert_to_dict(fine))
+        if fine is not None:
+            localizer.add_refs(refs, refs_fine=fine)
         elif args.score_norm_features:
             localizer.add_refs(index.localizer_ref_features(refs))
         else:
@@ -323,7 +337,13 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
             )
         fine_path = parts[1]
         parts = [parts[0]] + parts[2:]
-    out_csv = parts[1] if len(parts) > 1 else query_path + ".candidates.csv"
+    # Empty fields mean "use the default" so a client can name the
+    # matches CSV without naming the candidates CSV.
+    out_csv = (
+        parts[1]
+        if len(parts) > 1 and parts[1]
+        else query_path + ".candidates.csv"
+    )
     t0 = time.perf_counter()
     queries = load_features(query_path, Dataset.QUERIES)
     budget = args.retrieval_per_query * len(queries)
@@ -340,7 +360,9 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
     from vsc2022_tpu.baseline.pipeline import align_candidates
 
     matches_csv = (
-        parts[2] if len(parts) > 2 else query_path + ".matches.csv"
+        parts[2]
+        if len(parts) > 2 and parts[2]
+        else query_path + ".matches.csv"
     )
     if fine_path is not None:
         from vsc2022_tpu.storage import convert_to_dict
@@ -428,7 +450,7 @@ def main(args):
         f"Serving {len(refs)} reference videos (staged in {stage_s:.1f}s)"
     )
     if args.listen:
-        _serve_tcp(index, aggregation, localizer, args, ready)
+        _serve_tcp(index, aggregation, localizer, args, stage_s)
     else:
         _serve_stream(
             index, aggregation, localizer, args, sys.stdin, sys.stdout
@@ -463,7 +485,7 @@ def _serve_stream(
     return False
 
 
-def _serve_tcp(index, aggregation, localizer, args, ready: str) -> None:
+def _serve_tcp(index, aggregation, localizer, args, stage_s: float) -> None:
     """TCP accept loop speaking the stdin protocol, one thread per
     client: sessions interleave (an idle connection never blocks
     others) while a device lock serializes the actual requests —
@@ -484,6 +506,14 @@ def _serve_tcp(index, aggregation, localizer, args, ready: str) -> None:
             with conn:
                 rfile = conn.makefile("r", encoding="utf-8")
                 wfile = conn.makefile("w", encoding="utf-8")
+                # The greeting's video count is read live (under the
+                # device lock): `add` grows the corpus mid-lifetime,
+                # so the startup count would mislead late clients.
+                with device_lock:
+                    ready = (
+                        f"ready\t{len(index.video_metadata)}"
+                        f"\t{stage_s:.1f}"
+                    )
                 print(ready, file=wfile, flush=True)
                 if _serve_stream(
                     index, aggregation, localizer, args, rfile, wfile,
