@@ -229,7 +229,49 @@ class TestAppendRows:
         got = index.search(q2, global_k=4)  # = the 4 planted copies
         assert {pm.ref_id for pm in got} == {2}
 
-    def test_sharded_add_falls_back_to_restage(self):
+    @pytest.mark.parametrize("metric", ["IP", "L2"])
+    def test_sharded_append_matches_fresh(self, metric):
+        # Device-side growth of a SHARDED corpus: same exactness
+        # contract as single-device, across a geometry change (the
+        # per-shard padding grows, redistributing resident rows over
+        # the mesh) and within spare padding (no geometry change).
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+        from vsc2022_tpu.parallel.sharded_search import (
+            ShardedSimilaritySearcher,
+        )
+
+        assert len(jax.devices()) >= 8
+        mesh = corpus_mesh(8)
+        rng = np.random.RandomState(29)
+        q = rng.randint(-3, 4, size=(17, 16)).astype(np.float32)
+        r1 = rng.randint(-3, 4, size=(900, 16)).astype(np.float32)
+        r2 = rng.randint(-3, 4, size=(100, 16)).astype(np.float32)  # fits padding
+        r3 = rng.randint(-3, 4, size=(2000, 16)).astype(np.float32)  # grows shards
+
+        grown = ShardedSimilaritySearcher(r1, mesh, metric=metric)
+        grown.global_topk(q, 10)  # stage + compile before growing
+        geom0 = (grown.shard_rows, grown.col_block)
+        grown.append_rows(r2)
+        assert (grown.shard_rows, grown.col_block) == geom0
+        grown.append_rows(r3)
+        assert grown.shard_rows > geom0[0]
+
+        fresh = ShardedSimilaritySearcher(
+            np.concatenate([r1, r2, r3]), mesh, metric=metric
+        )
+        assert (grown.shard_rows, grown.col_block) == (
+            fresh.shard_rows, fresh.col_block,
+        )
+        for k in [1, 40, 500]:
+            gq, gr, gs = grown.global_topk(q, k)
+            fq, fr, fs = fresh.global_topk(q, k)
+            np.testing.assert_array_equal(gq, fq)
+            np.testing.assert_array_equal(gr, fr)
+            np.testing.assert_allclose(gs, fs, rtol=1e-6)
+
+    def test_sharded_index_add_appends_device_side(self):
         import jax
 
         from vsc2022_tpu.parallel.mesh import corpus_mesh
@@ -252,9 +294,8 @@ class TestAppendRows:
         index.search(queries, global_k=20)
         staged = index._searcher
         index.add(refs2)
-        assert index._searcher is None  # re-balancing restage
+        assert index._searcher is staged  # grown in place, not restaged
         got = index.search(queries, global_k=20)
-        assert index._searcher is not staged
         fresh = VideoIndex(8, mesh=corpus_mesh(8))
         fresh.add(refs1 + refs2)
         expect = fresh.search(queries, global_k=20)

@@ -154,6 +154,60 @@ class TestScoreNormalizedVideoIndex:
             [c.score for c in got], [c.score for c in expect], rtol=1e-5
         )
 
+    def test_sharded_add_appends_device_side(self):
+        # Growing the SN index over a corpus mesh: the staged sharded
+        # searcher is grown in place (only new rows cross the host
+        # link; the fused SN dispatch re-keys on the new geometry) and
+        # results match a fresh sharded index over the combined refs.
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        assert len(jax.devices()) >= 8
+        rng = np.random.RandomState(31)
+        queries, refs, noise = _make_data(rng)
+        extra = [
+            VideoFeature(
+                video_id=60 + i,
+                timestamps=np.arange(26, dtype=np.float64),
+                feature=np.concatenate(
+                    [
+                        queries[2].feature[2:14],
+                        l2n(rng.randn(14, 24)).astype(np.float32),
+                    ]
+                )
+                if i == 0
+                else l2n(rng.randn(26, 24)).astype(np.float32),
+            )
+            for i in range(3)
+        ]
+        mesh = corpus_mesh(8)
+        index = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2, mesh=mesh
+        )
+        index.add(refs)
+        index.search(queries, global_k=200)
+        staged = index._searcher
+        index.add(extra)
+        assert index._searcher is staged  # grown, not restaged
+        got = rank_candidates(
+            index.search(queries, global_k=200), MaxScoreAggregation()
+        )
+        fresh = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2, mesh=corpus_mesh(8)
+        )
+        fresh.add(refs + extra)
+        expect = rank_candidates(
+            fresh.search(queries, global_k=200), MaxScoreAggregation()
+        )
+        assert [(c.query_id, c.ref_id) for c in got] == [
+            (c.query_id, c.ref_id) for c in expect
+        ]
+        np.testing.assert_allclose(
+            [c.score for c in got], [c.score for c in expect], rtol=1e-5
+        )
+        assert any(c.query_id == 2 and c.ref_id == 60 for c in got)
+
     def test_add_after_search_appends_device_side(self):
         # Growing the SN index after staging must reuse the SAME
         # searcher (device-side append of transformed+bias-augmented

@@ -83,6 +83,7 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
 
         # Shard size: multiple of col_block so each shard streams evenly.
         per_dev = _ceil_to(max(self.n_refs, 1), self.n_dev) // self.n_dev
+        self._col_block_req = col_block
         self.col_block = min(col_block, _ceil_to(per_dev, 128))
         self.shard_rows = _ceil_to(per_dev, self.col_block)
         n_pad = self.shard_rows * self.n_dev
@@ -103,13 +104,57 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         self._full_fns = {}
 
     def append_rows(self, new_rows) -> None:
-        """In-place growth would unbalance the shards (rows land by
-        global offset = all in the last shard) and invalidate the
-        per-shard pool/extraction bookkeeping; callers fall back to a
-        full restage, which re-balances."""
-        raise NotImplementedError(
-            "sharded corpora re-balance on growth: rebuild the searcher"
+        """Grow the sharded corpus in place: only the NEW rows cross
+        the host link. The grown array uses the fresh-stage geometry
+        (valid rows contiguous in flat id space, all padding at the
+        tail — every kernel derives per-shard validity from the scalar
+        n_valid), so searches are bit-identical to a full rebuild.
+        When the per-shard padding must grow, the resident rows
+        redistribute across shards over ICI (a GSPMD resharding inside
+        one jit) — the corpus never revisits the host. A geometry
+        change (shard_rows/col_block) invalidates the compiled
+        per-shard kernels, which close over both."""
+        new_rows = np.ascontiguousarray(new_rows, dtype=self._np_dtype())
+        assert new_rows.shape[1] == self.dim, (new_rows.shape, self.dim)
+        new_total = self.n_refs + new_rows.shape[0]
+        per_dev = _ceil_to(max(new_total, 1), self.n_dev) // self.n_dev
+        new_cb = min(self._col_block_req, _ceil_to(per_dev, 128))
+        new_sr = _ceil_to(per_dev, new_cb)
+        n_pad = new_sr * self.n_dev
+        grow = n_pad - self._refs.shape[0]
+        assert grow >= 0, "corpus growth cannot shrink padding"
+        sharding = NamedSharding(self.mesh, P(self.axis, None))
+
+        def _append(refs, rows, offset):
+            if grow:
+                refs = jnp.pad(refs, ((0, grow), (0, 0)))
+            return jax.lax.dynamic_update_slice(
+                refs, rows.astype(refs.dtype), (offset, 0)
+            )
+
+        self._refs = jax.jit(_append, out_shardings=sharding)(
+            self._refs,
+            jnp.asarray(new_rows),
+            jnp.asarray(self.n_refs, jnp.int32),
         )
+        if (new_sr, new_cb) != (self.shard_rows, self.col_block):
+            self._topk_fns = {}
+            self._full_fns = {}
+        self.shard_rows, self.col_block = new_sr, new_cb
+        self.n_refs = new_total
+        if self.metric == "L2":
+            self._ref_sq = jax.jit(
+                lambda r: jnp.sum(
+                    r.astype(jnp.float32) * r.astype(jnp.float32), axis=1
+                ),
+                out_shardings=NamedSharding(self.mesh, P(self.axis)),
+            )(self._refs)
+        else:
+            self._ref_sq = jax.device_put(
+                jnp.zeros((n_pad,), dtype=jnp.float32),
+                NamedSharding(self.mesh, P(self.axis)),
+            )
+        self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
     # -- kernels ---------------------------------------------------------
 

@@ -67,9 +67,11 @@ class VideoIndex:
         """Append reference videos (repeatable, like FAISS add;
         reference: vsc/index.py:87-94). Before the first search this
         only records host blocks; after a searcher is staged, the new
-        rows append DEVICE-side when the searcher supports it (only
-        the new rows cross the host link — resident serving's `add`),
-        falling back to a lazy full restage otherwise."""
+        rows append DEVICE-side (only the new rows cross the host
+        link — resident serving's `add`). Sharded corpora grow the
+        same way: re-padding redistributes resident rows over ICI, not
+        through the host. Searchers without append support fall back
+        to a lazy full restage."""
         self._validate_add(db)
         new_blocks = []
         for vf in db:

@@ -51,10 +51,11 @@ Wire protocol (line-oriented, identical over stdin/stdout or — with
 ``add`` grows the served corpus without a restart (the FAISS-``add``
 analog, reference: vsc/index.py:87-94): new reference videos join the
 index and the localizer's resident tables; duplicate video ids are
-rejected. On a single device the staged corpus grows DEVICE-side —
-only the new rows cross the host link, and searches recompile only
-when the padded corpus shape crosses its 8192-row block boundary. On
-a sharded corpus the next search restages (shard re-balancing).
+rejected. The staged corpus grows DEVICE-side — only the new rows
+cross the host link, and searches recompile only when the padded
+corpus shape crosses a block boundary. Sharded corpora re-balance
+over ICI when their per-shard padding grows; the resident rows never
+revisit the host.
 
 Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
 ``.matches.csv``. ``quit`` (or EOF) ends the session — in TCP mode

@@ -76,8 +76,8 @@ class ScoreNormalizedSearcher:
         """Grow the staged (bias-augmented) corpus with new reference
         rows already in the normalized space (dim drop + L2 applied by
         the caller); the constant-1 CSLS column appends here. The
-        noise corpus is immutable. Sharded searchers raise
-        NotImplementedError (callers restage)."""
+        noise corpus is immutable. Works sharded too — the corpus
+        searcher redistributes over ICI when its padding grows."""
         r_sn = np.concatenate(
             [
                 np.asarray(refs_transformed, dtype=np.float32),
@@ -177,7 +177,10 @@ class ScoreNormalizedSearcher:
         if m > rb and m % rb:
             return None  # unexpected staging: the loop path handles it
         mode = s._collection_mode(m, kappa_eff, True)
-        key = ("sn", kappa_eff, mode, m, rb)
+        # shard_rows/col_block are baked into the compiled closure;
+        # corpus growth (append_refs) can change them, so they key
+        # the cache (stale entries just stop being hit).
+        key = ("sn", kappa_eff, mode, m, rb, s.shard_rows, s.col_block)
         if key not in self._sharded_fns:
             self._sharded_fns[key] = s._build_fused_sn(
                 ns, float(self.beta), kappa_eff, rb, mode
