@@ -138,6 +138,65 @@ class TestDnSResidentTables:
         assert loc._r_table is r_coarse_tab
         assert loc._fine_r_tab is r_fine_tab
 
+    def test_add_refs_grows_both_tables_device_side(self):
+        # Serving `add` on DnS: both resident ref tables (coarse +
+        # fine) grow by device-side concat, and alignments over the
+        # grown tables equal a fresh build over the combined refs.
+        rng = np.random.RandomState(13)
+
+        def unit_regions(n):
+            x = rng.normal(size=(n, NUM_REGIONS, REDUCED_DIM)).astype(
+                np.float32
+            )
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        def coarse_from(fine):
+            pooled = fine.mean(axis=1)
+            return pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+        q_fine = unit_regions(40)
+        r1_fine = unit_regions(50)
+        r2_fine = unit_regions(45)
+        r2_fine[5:17] = q_fine[10:22]  # plant the copy in the ADDED ref
+
+        queries_fine = {"Q000001": vf("Q000001", q_fine.reshape(40, -1))}
+        queries_coarse = [vf("Q000001", coarse_from(q_fine))]
+        refs_fine = {"R000001": vf("R000001", r1_fine.reshape(50, -1))}
+        refs_coarse = [vf("R000001", coarse_from(r1_fine))]
+        add_fine = {"R000002": vf("R000002", r2_fine.reshape(45, -1))}
+        add_coarse = [vf("R000002", coarse_from(r2_fine))]
+        pairs = [
+            CandidatePair("Q000001", "R000001", 1.0),
+            CandidatePair("Q000001", "R000002", 1.0),
+        ]
+        kw = dict(
+            model_type="TN", tn_max_step=5, min_length=4,
+            similarity_bias=0.5,
+        )
+
+        grown = DnSLocalization(
+            dict(queries_fine), dict(refs_fine),
+            queries_coarse, list(refs_coarse), **kw
+        )
+        grown.localize_all([pairs[0]])  # stage both ref tables
+        coarse_tab, fine_tab = grown._r_table, grown._fine_r_tab
+        grown.add_refs(add_coarse, refs_fine=add_fine)
+        assert grown._r_table.shape[0] == coarse_tab.shape[0] + 45
+        assert grown._fine_r_tab.shape[0] == fine_tab.shape[0] + 45
+        got = grown.localize_all(pairs)
+
+        fresh = DnSLocalization(
+            dict(queries_fine), {**refs_fine, **add_fine},
+            queries_coarse, refs_coarse + add_coarse, **kw
+        )
+        expect = fresh.localize_all(pairs)
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end, m.score,
+        )
+        assert sorted(key(m) for m in got) == sorted(key(m) for m in expect)
+        assert any(m.ref_id == "R000002" for m in got)
+
 
 class TestDnSMeshLocalization:
     def test_mesh_matches_single_device(self):

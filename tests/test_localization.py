@@ -143,6 +143,34 @@ class TestTNLocalization:
             assert match.query_id == 1
             assert match.ref_id == 3
 
+    def test_add_refs_grows_table_device_side(self):
+        # Growing a staged localizer must reuse the resident ref table
+        # (device-side concat, offsets absolute) and align added pairs
+        # identically to a fresh localizer over the combined refs.
+        rng = np.random.RandomState(7)
+        queries, refs = make_planted_case(rng)
+        new_ref = l2n(rng.normal(size=(50, D))).astype(np.float32)
+        new_ref[5:15, :] = queries[0].feature[30:40, :]  # plant in the add
+        added = [make_feature(9, new_ref)]
+        pairs = [CandidatePair(1, 3, 2.0), CandidatePair(1, 9, 2.0)]
+
+        grown = TNLocalizationMaxSim(queries, refs, "TN")
+        grown.localize_all([CandidatePair(1, 3, 2.0)])  # stage tables
+        table = grown._r_table
+        grown.add_refs(added)
+        assert grown._r_table is not None
+        assert grown._r_table.shape[0] == table.shape[0] + 50
+        got = grown.localize_all(pairs)
+
+        fresh = TNLocalizationMaxSim(queries, refs + added, "TN")
+        expect = fresh.localize_all(pairs)
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end, m.score,
+        )
+        assert sorted(key(m) for m in got) == sorted(key(m) for m in expect)
+        assert any(m.ref_id == 9 for m in got)
+
     def test_reference_signature_accepted(self):
         rng = np.random.RandomState(5)
         queries, refs = make_planted_case(rng)

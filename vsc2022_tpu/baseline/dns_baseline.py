@@ -222,16 +222,23 @@ class DnSLocalization(TNLocalizationMaxSim):
         self._fine_q_offs = None
 
     def add_refs(self, refs_coarse, refs_fine=None):
-        """Reference growth must extend the fine side too; both ref
-        tables restage whole on the next alignment."""
+        """Reference growth must extend the fine side too; both
+        resident ref tables grow device-side (only the new videos'
+        rows cross the host link)."""
         if refs_fine is None:
             raise ValueError(
                 "DnS localization needs fine features: pass refs_fine"
             )
         super().add_refs(refs_coarse)
         self.refs_fine.update(refs_fine)
-        self._fine_r_tab = None
-        self._fine_r_offs = None
+        if getattr(self, "_fine_r_tab", None) is not None:
+            # Overwrites repoint their offsets at the appended rows
+            # (the old rows become dead weight, same as the base
+            # class); serving rejects duplicate ids before this.
+            self._fine_r_tab = self._grow_table(
+                self._fine_r_tab, self._fine_r_offs,
+                list(refs_fine.values()), row_fn=self._fine_rows,
+            )
 
     def _fine(self, vf: VideoFeature) -> np.ndarray:
         f = np.asarray(vf.feature, dtype=np.float32)

@@ -185,12 +185,37 @@ class TNLocalization(LocalizationWithMetadata):
         self._q_offs = None
 
     def add_refs(self, refs: List[VideoFeature]) -> None:
-        """Extend the reference set (serving `add`); the ref table
-        restages whole on the next alignment."""
+        """Extend the reference set (serving `add`). A resident ref
+        table grows DEVICE-side — only the new videos' rows cross the
+        host link (an HBM-to-HBM concat); without a staged table the
+        next alignment builds it whole as before."""
         for m in refs:
             self.refs[m.video_id] = m
-        self._r_table = None
-        self._r_offs = None
+        if getattr(self, "_r_table", None) is not None:
+            self._r_table = self._grow_table(
+                self._r_table, self._r_offs, refs
+            )
+
+    def _grow_table(self, table, offsets, vids, row_fn=None):
+        """Append videos' rows to a staged device table, extending
+        ``offsets`` in place; the resident rows never re-transfer. The
+        result is gather-equivalent to a fresh build (offsets address
+        rows absolutely, so row order never matters)."""
+        cursor = int(table.shape[0])
+        rows = []
+        for vf in vids:
+            if row_fn is None:
+                feat = np.asarray(vf.feature, dtype=np.float32)
+            else:
+                feat = row_fn(vf)
+            offsets[vf.video_id] = (cursor, feat.shape[0])
+            rows.append(feat)
+            cursor += feat.shape[0]
+        if not rows:
+            return table
+        return jnp.concatenate(
+            [table, jnp.asarray(np.concatenate(rows, axis=0))], axis=0
+        )
 
     @staticmethod
     def _build_table(source, d_fallback: int = 1, row_fn=None):
