@@ -197,6 +197,68 @@ class TestDnSResidentTables:
         assert sorted(key(m) for m in got) == sorted(key(m) for m in expect)
         assert any(m.ref_id == "R000002" for m in got)
 
+    def test_remove_refs_compacts_both_tables_device_side(self):
+        # Serving `remove` on DnS: both resident ref tables (coarse +
+        # fine) compact device-side, and alignments over the shrunken
+        # tables equal a fresh build over the survivors.
+        rng = np.random.RandomState(17)
+
+        def unit_regions(n):
+            x = rng.normal(size=(n, NUM_REGIONS, REDUCED_DIM)).astype(
+                np.float32
+            )
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        def coarse_from(fine):
+            pooled = fine.mean(axis=1)
+            return pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+        q_fine = unit_regions(40)
+        r1_fine = unit_regions(50)
+        r2_fine = unit_regions(45)
+        r2_fine[5:17] = q_fine[10:22]  # the copy SURVIVES the remove
+
+        queries_fine = {"Q000001": vf("Q000001", q_fine.reshape(40, -1))}
+        queries_coarse = [vf("Q000001", coarse_from(q_fine))]
+        refs_fine = {
+            "R000001": vf("R000001", r1_fine.reshape(50, -1)),
+            "R000002": vf("R000002", r2_fine.reshape(45, -1)),
+        }
+        refs_coarse = [
+            vf("R000001", coarse_from(r1_fine)),
+            vf("R000002", coarse_from(r2_fine)),
+        ]
+        pair = CandidatePair("Q000001", "R000002", 1.0)
+        kw = dict(
+            model_type="TN", tn_max_step=5, min_length=4,
+            similarity_bias=0.5,
+        )
+
+        shrunk = DnSLocalization(
+            dict(queries_fine), dict(refs_fine),
+            queries_coarse, list(refs_coarse), **kw
+        )
+        shrunk.localize_all([pair])  # stage both ref tables
+        coarse_tab, fine_tab = shrunk._r_table, shrunk._fine_r_tab
+        shrunk.remove_refs(["R000001"])
+        assert shrunk._r_table.shape[0] == coarse_tab.shape[0] - 50
+        assert shrunk._fine_r_tab.shape[0] == fine_tab.shape[0] - 50
+        assert "R000001" not in shrunk.refs_fine
+        got = shrunk.localize_all([pair])
+
+        fresh = DnSLocalization(
+            dict(queries_fine),
+            {"R000002": refs_fine["R000002"]},
+            queries_coarse, [refs_coarse[1]], **kw
+        )
+        expect = fresh.localize_all([pair])
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end, m.score,
+        )
+        assert sorted(key(m) for m in got) == sorted(key(m) for m in expect)
+        assert len(got) >= 1
+
 
 class TestDnSMeshLocalization:
     def test_mesh_matches_single_device(self):

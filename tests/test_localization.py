@@ -171,6 +171,34 @@ class TestTNLocalization:
         assert sorted(key(m) for m in got) == sorted(key(m) for m in expect)
         assert any(m.ref_id == 9 for m in got)
 
+    def test_remove_refs_compacts_table_device_side(self):
+        # Removing a staged localizer's ref must compact the resident
+        # table (device-side gather, HBM reclaimed) and align the
+        # survivors identically to a fresh localizer over them.
+        rng = np.random.RandomState(9)
+        queries, refs = make_planted_case(rng)
+
+        shrunk = TNLocalizationMaxSim(queries, refs, "TN")
+        shrunk.localize_all([CandidatePair(1, 3, 2.0)])  # stage tables
+        table = shrunk._r_table
+        shrunk.remove_refs([2])  # drop the non-planted ref
+        assert shrunk._r_table.shape[0] == (
+            table.shape[0] - refs[0].feature.shape[0]
+        )
+        assert 2 not in shrunk.refs and 2 not in shrunk._r_offs
+        with pytest.raises(KeyError, match="not staged"):
+            shrunk.remove_refs([2])
+        got = shrunk.localize_all([CandidatePair(1, 3, 2.0)])
+
+        fresh = TNLocalizationMaxSim(queries, [refs[1]], "TN")
+        expect = fresh.localize_all([CandidatePair(1, 3, 2.0)])
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end, m.score,
+        )
+        assert sorted(key(m) for m in got) == sorted(key(m) for m in expect)
+        assert len(got) >= 1
+
     def test_reference_signature_accepted(self):
         rng = np.random.RandomState(5)
         queries, refs = make_planted_case(rng)

@@ -304,6 +304,208 @@ class TestAppendRows:
         }
 
 
+class TestRemoveRows:
+    """Device-side corpus shrink (serving `remove`) must be
+    indistinguishable from a fresh searcher over the survivors —
+    exactly, including tie-breaks — and must land on the fresh-stage
+    geometry so later appends still work."""
+
+    @pytest.mark.parametrize("metric", ["IP", "L2"])
+    def test_remove_matches_fresh(self, metric):
+        rng = np.random.RandomState(31)
+        q = rng.randint(-3, 4, size=(19, 16)).astype(np.float32)
+        r1 = rng.randint(-3, 4, size=(97, 16)).astype(np.float32)
+        r2 = rng.randint(-3, 4, size=(61, 16)).astype(np.float32)
+        r3 = rng.randint(-3, 4, size=(44, 16)).astype(np.float32)
+
+        shrunk = SimilaritySearcher(
+            np.concatenate([r1, r2, r3]), metric=metric
+        )
+        shrunk.global_topk(q, 10)  # stage + search before shrinking
+        # Remove the MIDDLE block: survivors must re-index contiguously.
+        keep = np.concatenate([
+            np.arange(97), 97 + 61 + np.arange(44)
+        ]).astype(np.int32)
+        shrunk.remove_rows(keep)
+        assert shrunk.n_refs == 97 + 44
+
+        fresh = SimilaritySearcher(np.concatenate([r1, r3]), metric=metric)
+        for k in [1, 25, 300]:
+            gq, gr, gs = shrunk.global_topk(q, k)
+            fq, fr, fs = fresh.global_topk(q, k)
+            np.testing.assert_array_equal(gq, fq)
+            np.testing.assert_array_equal(gr, fr)
+            np.testing.assert_allclose(gs, fs, rtol=1e-6)
+
+    def test_remove_then_append_bf16(self):
+        # Compaction must leave the tail zeroed (append_rows relies on
+        # rows past n_valid being zero) and the geometry fresh, so a
+        # later device-side append still matches a fresh build.
+        rng = np.random.RandomState(37)
+        q = rng.randint(-2, 3, size=(7, 16)).astype(np.float32)
+        r1 = rng.randint(-2, 3, size=(200, 16)).astype(np.float32)
+        r2 = rng.randint(-2, 3, size=(90, 16)).astype(np.float32)
+
+        s = SimilaritySearcher(r1, dtype="bfloat16")
+        s.global_topk(q, 10)
+        keep = np.arange(0, 200, 2, dtype=np.int32)  # drop every other
+        s.remove_rows(keep)
+        s.append_rows(r2)
+
+        fresh = SimilaritySearcher(
+            np.concatenate([r1[::2], r2]), dtype="bfloat16"
+        )
+        assert s._refs.shape == fresh._refs.shape
+        gq, gr, gs = s.global_topk(q, 40)
+        fq, fr, fs = fresh.global_topk(q, 40)
+        np.testing.assert_array_equal(gq, fq)
+        np.testing.assert_array_equal(gr, fr)
+        np.testing.assert_allclose(gs, fs, rtol=1e-6)
+
+    def test_index_remove_device_side(self):
+        # VideoIndex.remove after a search keeps the SAME searcher
+        # (device-side compaction) and returns exactly what a fresh
+        # index over the survivors would.
+        rng = np.random.RandomState(41)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        refs = [
+            vf(i, rng.randn(20 + i, 16).astype(np.float32))
+            for i in range(5)
+        ]
+        queries = [vf(0, rng.randn(12, 16).astype(np.float32))]
+
+        index = VideoIndex(16)
+        index.add(refs)
+        index.search(queries, global_k=40)
+        staged = index._searcher
+        n_rows = index.remove([1, 3])
+        assert n_rows == (20 + 1) + (20 + 3)
+        assert index._searcher is staged  # compacted, not restaged
+        got = index.search(queries, global_k=40)
+
+        fresh = VideoIndex(16)
+        fresh.add([refs[0], refs[2], refs[4]])
+        expect = fresh.search(queries, global_k=40)
+        key = lambda pm: (pm.query_id, pm.ref_id)  # noqa: E731
+        got_map = {key(pm): pm.matches for pm in got}
+        exp_map = {key(pm): pm.matches for pm in expect}
+        assert set(got_map) == set(exp_map)
+        assert not any(rid in (1, 3) for _, rid in got_map)
+        for k in exp_map:
+            assert [
+                (m.query_timestamps, m.ref_timestamps, m.score)
+                for m in got_map[k]
+            ] == [
+                (m.query_timestamps, m.ref_timestamps, m.score)
+                for m in exp_map[k]
+            ]
+
+    def test_index_remove_unknown_id_atomic(self):
+        rng = np.random.RandomState(43)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        index = VideoIndex(16)
+        index.add([vf(0, rng.randn(20, 16).astype(np.float32))])
+        with pytest.raises(KeyError, match="not indexed"):
+            index.remove([0, 99])
+        assert 0 in index.video_metadata  # nothing mutated
+        assert len(index.video_clip_to_video_ids) == 20
+
+    def test_score_normalized_index_remove(self):
+        # The SN searcher's bias-augmented corpus compacts the same
+        # way (the constant-1 CSLS column rides along per row).
+        from vsc2022_tpu.retrieval.index import ScoreNormalizedVideoIndex
+
+        rng = np.random.RandomState(47)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        noise = [
+            vf(100 + i, rng.randn(25, 16).astype(np.float32))
+            for i in range(3)
+        ]
+        refs = [
+            vf(i, rng.randn(30, 16).astype(np.float32)) for i in range(4)
+        ]
+        queries = [vf(0, rng.randn(10, 16).astype(np.float32))]
+
+        index = ScoreNormalizedVideoIndex(16, noise_features=noise)
+        index.add(refs)
+        index.search(queries, global_k=30)
+        staged = index._searcher
+        index.remove([2])
+        assert index._searcher is staged
+        got = index.search(queries, global_k=30)
+
+        fresh = ScoreNormalizedVideoIndex(16, noise_features=noise)
+        fresh.add([refs[0], refs[1], refs[3]])
+        expect = fresh.search(queries, global_k=30)
+        got_set = [
+            (pm.query_id, pm.ref_id, m.score)
+            for pm in got for m in pm.matches
+        ]
+        exp_set = [
+            (pm.query_id, pm.ref_id, m.score)
+            for pm in expect for m in pm.matches
+        ]
+        assert got_set == exp_set
+
+    @pytest.mark.parametrize("metric", ["IP", "L2"])
+    def test_sharded_remove_matches_fresh(self, metric):
+        # Shrinking a SHARDED corpus: survivors redistribute across
+        # shards (GSPMD gather over ICI) onto the fresh-stage geometry.
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+        from vsc2022_tpu.parallel.sharded_search import (
+            ShardedSimilaritySearcher,
+        )
+
+        assert len(jax.devices()) >= 8
+        mesh = corpus_mesh(8)
+        rng = np.random.RandomState(53)
+        q = rng.randint(-3, 4, size=(17, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(3000, 16)).astype(np.float32)
+
+        shrunk = ShardedSimilaritySearcher(r, mesh, metric=metric)
+        shrunk.global_topk(q, 10)  # stage + compile before shrinking
+        geom0 = (shrunk.shard_rows, shrunk.col_block)
+        keep = np.flatnonzero(
+            rng.rand(3000) < 0.3
+        ).astype(np.int32)  # ~900 survivors: per-shard padding shrinks
+        shrunk.remove_rows(keep)
+
+        fresh = ShardedSimilaritySearcher(r[keep], mesh, metric=metric)
+        assert (shrunk.shard_rows, shrunk.col_block) == (
+            fresh.shard_rows, fresh.col_block,
+        )
+        assert shrunk.shard_rows <= geom0[0]
+        for k in [1, 40, 500]:
+            gq, gr, gs = shrunk.global_topk(q, k)
+            fq, fr, fs = fresh.global_topk(q, k)
+            np.testing.assert_array_equal(gq, fq)
+            np.testing.assert_array_equal(gr, fr)
+            np.testing.assert_allclose(gs, fs, rtol=1e-6)
+
+
 class TestVideoIndex:
     def make_features(self, prefix):
         test_feature = np.array(

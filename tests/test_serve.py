@@ -536,6 +536,92 @@ class TestServeCLI:
             m.query_id == "Q000002" and m.ref_id == "R000099" for m in got
         )
 
+    def test_remove_refs_shrinks_served_corpus(self, served, tmp_path):
+        # The `remove` command must drop the videos from the index AND
+        # the resident localizer tables (device-side compaction);
+        # post-remove responses must equal a fresh one-shot pipeline
+        # over the survivors.
+        import pandas as pd
+
+        from vsc2022_tpu.baseline.pipeline import align_candidates
+        from vsc2022_tpu.baseline.sscd_baseline import build_alignment
+        from vsc2022_tpu.metrics import Match
+        from vsc2022_tpu.storage import load_features
+
+        tmp, queries, refs, noise = served
+        proc = self._spawn(
+            "--ref_features", os.path.join(tmp, "r.npz"),
+            "--score_norm_features", os.path.join(tmp, "noise.npz"),
+            "--matches",
+        )
+        try:
+            assert proc.stdout.readline().startswith("ready")
+
+            def req(line):
+                proc.stdin.write(line + "\n")
+                proc.stdin.flush()
+                return proc.stdout.readline().strip().split("\t")
+
+            pre = req(
+                f"{os.path.join(tmp, 'q.npz')}\t{tmp_path / 'pre_c.csv'}"
+                f"\t{tmp_path / 'pre_m.csv'}"
+            )
+            assert pre[0] == "ok", pre
+            # Unknown ids are rejected atomically; the server keeps
+            # serving (R000000 stays indexed).
+            assert req("remove\tR000000\tR000777")[0] == "error"
+            gone = req("remove\tR000000")
+            assert gone[:3] == ["ok", "removed", "1"], gone
+            assert int(gone[3]) == refs[0].feature.shape[0]
+            # Removing it again: now unknown.
+            assert req("remove\tR000000")[0] == "error"
+            post = req(
+                f"{os.path.join(tmp, 'q.npz')}\t{tmp_path / 'post_c.csv'}"
+                f"\t{tmp_path / 'post_m.csv'}"
+            )
+            assert post[0] == "ok", post
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+        # The planted pair (Q000000, R000000) vanishes with the remove.
+        pre_pairs = set(
+            map(tuple, pd.read_csv(tmp_path / "pre_c.csv")[
+                ["query_id", "ref_id"]
+            ].itertuples(index=False))
+        )
+        post_df = pd.read_csv(tmp_path / "post_c.csv")
+        assert ("Q000000", "R000000") in pre_pairs
+        assert not (post_df.ref_id == "R000000").any()
+
+        # Post-remove responses == one-shot pipeline over survivors.
+        qd = load_features(os.path.join(tmp, "q.npz"), Dataset.QUERIES)
+        rd = load_features(os.path.join(tmp, "r.npz"), Dataset.REFS)[1:]
+        nd = load_features(os.path.join(tmp, "noise.npz"), Dataset.REFS)
+        qn, rn = score_normalize(qd, rd, nd, beta=1.2)
+        cands = CandidateGeneration(rn, MaxScoreAggregation()).query(
+            qn, global_k=1200 * len(qd)
+        )[: 25 * len(qd)]
+        assert [(r.query_id, r.ref_id) for r in post_df.itertuples()] == [
+            (c.query_id, c.ref_id) for c in cands
+        ]
+        alignment = build_alignment(qn, rn, score_normalization=True)
+        expect = align_candidates(alignment, cands[: 5 * len(qd)])
+        got = Match.read_csv(str(tmp_path / "post_m.csv"))
+        key = lambda m: (  # noqa: E731
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end,
+        )
+        assert sorted(key(m) for m in got) == sorted(
+            key(m) for m in expect
+        )
+        # The OTHER planted copy still localizes post-remove.
+        assert any(
+            m.query_id == "Q000001" and m.ref_id == "R000001" for m in got
+        )
+
     def test_tcp_listen_mode(self, served, tmp_path):
         # --listen serves the same line protocol over TCP: sequential
         # clients each get the ready greeting; quit ends one session,
@@ -877,6 +963,21 @@ class TestServeClient:
                 tmp, "q.npz.candidates.csv"
             )
             assert res3.matches_csv == str(tmp_path / "m3.csv")
+
+            # remove undoes the add (typed reply + typed error).
+            assert client.remove(["R000077"]) == (1, 22)
+            st3 = client.stats()
+            assert (st3.n_videos, st3.n_frames) == (len(refs), n_frames)
+            with pytest.raises(ServeError, match="not indexed"):
+                client.remove(["R000077"])
+            res4 = client.search(
+                os.path.join(tmp, "q.npz"),
+                candidates_csv=str(tmp_path / "c4.csv"),
+                matches_csv=str(tmp_path / "m4.csv"),
+            )
+            assert "R000077" not in {
+                c.ref_id for c in res4.candidates()
+            }
 
     def test_default_csv_paths(self, served):
         tmp, queries, refs, noise = served

@@ -240,6 +240,17 @@ class DnSLocalization(TNLocalizationMaxSim):
                 list(refs_fine.values()), row_fn=self._fine_rows,
             )
 
+    def remove_refs(self, video_ids) -> None:
+        """Reference removal must drop the fine side too; both staged
+        ref tables compact device-side onto the fresh-build layout."""
+        super().remove_refs(video_ids)
+        for v in video_ids:
+            self.refs_fine.pop(v, None)
+        if getattr(self, "_fine_r_tab", None) is not None:
+            self._fine_r_tab, self._fine_r_offs = self._compact_table(
+                self._fine_r_tab, self._fine_r_offs, self.refs_fine
+            )
+
     def _fine(self, vf: VideoFeature) -> np.ndarray:
         f = np.asarray(vf.feature, dtype=np.float32)
         if "bin" in self.fg_type:

@@ -196,6 +196,43 @@ class TNLocalization(LocalizationWithMetadata):
                 self._r_table, self._r_offs, refs
             )
 
+    def remove_refs(self, video_ids) -> None:
+        """Drop reference videos (serving `remove`). A staged ref table
+        compacts DEVICE-side: one gather keeps the survivors' rows in
+        insertion order behind the pad row — the exact fresh-build
+        layout — reclaiming the removed rows' HBM (and any dead weight
+        left by id overwrites). Unknown ids raise before any state
+        mutates."""
+        drop = set(video_ids)
+        missing = [str(v) for v in drop if v not in self.refs]
+        if missing:
+            raise KeyError(f"Video ids not staged: {sorted(missing)[:5]}")
+        for v in drop:
+            del self.refs[v]
+        if getattr(self, "_r_table", None) is not None:
+            self._r_table, self._r_offs = self._compact_table(
+                self._r_table, self._r_offs, self.refs
+            )
+
+    @staticmethod
+    def _compact_table(table, offsets, source):
+        """Gather the surviving videos' rows into a fresh-layout table
+        (pad row 0 first, then each video of ``source`` in insertion
+        order — the same order ``_build_table`` walks). Only the int32
+        gather indices cross the host link."""
+        idx: List[int] = [0]
+        new_offs = {}
+        cursor = 1
+        for vid in source:
+            start, n = offsets[vid]
+            idx.extend(range(start, start + n))
+            new_offs[vid] = (cursor, n)
+            cursor += n
+        gathered = jnp.take(
+            table, jnp.asarray(np.asarray(idx, dtype=np.int32)), axis=0
+        )
+        return gathered, new_offs
+
     def _grow_table(self, table, offsets, vids, row_fn=None):
         """Append videos' rows to a staged device table, extending
         ``offsets`` in place; the resident rows never re-transfer. The

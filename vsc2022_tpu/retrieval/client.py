@@ -34,7 +34,7 @@ import dataclasses
 import os
 import subprocess
 import sys
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 from vsc2022_tpu.metrics import CandidatePair, Match
 
@@ -247,6 +247,19 @@ class ServeClient:
         if parts[0] != "added":
             raise ServeError(f"unexpected add reply: {parts!r}")
         return int(parts[1])
+
+    def remove(self, video_ids: Sequence[str]) -> Tuple[int, int]:
+        """Drop reference videos from the served corpus; returns
+        (videos removed, frame rows removed). The staged buffers
+        compact device-side — post-remove results are bit-identical
+        to a server freshly started over the survivors."""
+        ids = [str(v) for v in video_ids]
+        if not ids:
+            raise ValueError("remove needs at least one video id")
+        parts = self._rpc("\t".join(["remove"] + ids))
+        if parts[0] != "removed":
+            raise ServeError(f"unexpected remove reply: {parts!r}")
+        return int(parts[1]), int(parts[2])
 
     def stats(self) -> ServeStats:
         parts = self._rpc("stats")

@@ -61,6 +61,7 @@ class VideoIndex:
         self.video_clip_to_video_ids: List[str] = []
         self.video_metadata = {}
         self._feature_blocks: List[np.ndarray] = []
+        self._block_video_ids: List[str] = []
         self._searcher: SimilaritySearcher | None = None
 
     def add(self, db: List[VideoFeature]) -> None:
@@ -81,6 +82,7 @@ class VideoIndex:
             self.video_metadata[vf.video_id] = vf.metadata()
             block = np.asarray(vf.feature, dtype=np.float32)
             self._feature_blocks.append(block)
+            self._block_video_ids.append(vf.video_id)
             new_blocks.append(block)
         if self._searcher is not None and new_blocks:
             try:
@@ -96,6 +98,50 @@ class VideoIndex:
                 # the next search restages the full corpus.
                 self._searcher = None
                 raise
+
+    def remove(self, video_ids) -> int:
+        """Drop reference videos from the index (the FAISS
+        ``remove_ids`` analog — the reference's VideoIndex never
+        removes, it rebuilds; serving needs in-place shrink). A staged
+        searcher compacts its corpus DEVICE-side onto the exact
+        fresh-stage layout, so post-remove searches are bit-identical
+        to an index freshly built over the survivors. Returns the
+        number of frame rows removed. Unknown ids raise before any
+        state mutates."""
+        drop = set(video_ids)
+        missing = [str(v) for v in drop if v not in self.video_metadata]
+        if missing:
+            raise KeyError(f"Video ids not indexed: {sorted(missing)[:5]}")
+        row_ids = np.asarray(self.video_clip_to_video_ids, dtype=object)
+        keep_mask = ~np.isin(row_ids, list(drop))
+        keep_idx = np.flatnonzero(keep_mask).astype(np.int32)
+        n_removed = int(keep_mask.size - keep_idx.size)
+        clip_idx = np.asarray(self.video_clip_idx, dtype=np.int64)
+        self.video_clip_idx = [int(i) for i in clip_idx[keep_mask]]
+        self.video_clip_to_video_ids = [v for v in row_ids[keep_mask]]
+        for vid in drop:
+            del self.video_metadata[vid]
+        survivors = [
+            (b, v)
+            for b, v in zip(self._feature_blocks, self._block_video_ids)
+            if v not in drop
+        ]
+        self._feature_blocks = [b for b, _ in survivors]
+        self._block_video_ids = [v for _, v in survivors]
+        if self._searcher is not None:
+            try:
+                self._remove_from_searcher(keep_idx)
+            except NotImplementedError:
+                self._searcher = None  # staged lazily on next search
+            except Exception:
+                # Host bookkeeping already shrank consistently; drop
+                # the staged searcher so the next search restages.
+                self._searcher = None
+                raise
+        return n_removed
+
+    def _remove_from_searcher(self, keep_idx: np.ndarray) -> None:
+        self._searcher.remove_rows(keep_idx)
 
     def _validate_add(self, db: List[VideoFeature]) -> None:
         """All-or-nothing validation BEFORE any state mutates — a
@@ -308,6 +354,9 @@ class ScoreNormalizedVideoIndex(VideoIndex):
 
     def _append_to_searcher(self, new_rows: np.ndarray) -> None:
         self._searcher.append_refs(self._prep_query_features(new_rows))
+
+    def _remove_from_searcher(self, keep_idx: np.ndarray) -> None:
+        self._searcher.remove_refs(keep_idx)
 
     # -- serving-side feature spaces -------------------------------------
 

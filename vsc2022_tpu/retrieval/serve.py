@@ -40,10 +40,12 @@ Wire protocol (line-oriented, identical over stdin/stdout or — with
     request:   <query_npz_path>[\t<candidates_csv>[\t<matches_csv>]]\n
     DnS mode:  <query_coarse_npz>\t<query_fine_npz>[\t<candidates_csv>[\t<matches_csv>]]\n
     add refs:  add\t<refs_npz>\n   (DnS: add\t<coarse_npz>\t<fine_npz>\n)
+    remove:    remove\t<video_id>[\t<video_id>...]\n
     stats:     stats\n
     response:  ok\t<candidates_csv>\t<n_pairs>\t<seconds>\n
          or:   ok\t<candidates_csv>\t<n_pairs>\t<matches_csv>\t<n_matches>\t<seconds>\n
          or:   ok\tadded\t<n_new_videos>\t<seconds>\n
+         or:   ok\tremoved\t<n_videos>\t<n_frame_rows>\t<seconds>\n
          or:   ok\tstats\t<n_videos>\t<n_frames>\t<dtype>\t<sharded>\t<matches>\n
     error:     error\t<message>\n        (the server keeps serving)
     startup:   ready\t<n_ref_videos>\t<stage_seconds>\n
@@ -56,6 +58,13 @@ cross the host link, and searches recompile only when the padded
 corpus shape crosses a block boundary. Sharded corpora re-balance
 over ICI when their per-shard padding grows; the resident rows never
 revisit the host.
+
+``remove`` shrinks it the same way (the FAISS ``remove_ids`` analog):
+the named videos leave the index and the localizer tables, and the
+staged corpus compacts DEVICE-side onto the exact fresh-stage layout —
+post-remove results are bit-identical to a server freshly started
+over the survivors, and the removed rows' HBM is reclaimed. Unknown
+ids are rejected without mutating anything.
 
 Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
 ``.matches.csv``. ``quit`` (or EOF) ends the session — in TCP mode
@@ -312,12 +321,40 @@ def _add_refs(index, localizer, parts, args) -> str:
     return f"ok\tadded\t{len(refs)}\t{time.perf_counter() - t0:.3f}"
 
 
+def _remove_refs(index, localizer, parts) -> str:
+    """Serving-time corpus shrink: drop reference videos from the
+    index and the resident localizer tables; the staged buffers
+    compact device-side onto the fresh-stage layout. Validation runs
+    against BOTH holders before either mutates, so a rejected remove
+    never leaves them disagreeing."""
+    t0 = time.perf_counter()
+    ids = list(dict.fromkeys(p for p in parts[1:] if p))
+    if not ids:
+        raise ValueError(
+            "remove needs video ids: remove\\t<video_id>[\\t<video_id>...]"
+        )
+    missing = [v for v in ids if v not in index.video_metadata]
+    if not missing and localizer is not None:
+        missing = [v for v in ids if v not in localizer.refs]
+    if missing:
+        raise ValueError(f"Video ids not indexed: {missing[:5]}")
+    n_rows = index.remove(ids)
+    if localizer is not None:
+        localizer.remove_refs(ids)
+    return (
+        f"ok\tremoved\t{len(ids)}\t{n_rows}"
+        f"\t{time.perf_counter() - t0:.3f}"
+    )
+
+
 def serve_request(index, aggregation, localizer, line: str, args) -> str:
     from vsc2022_tpu.metrics import Match
 
     parts = line.split("\t")
     if parts[0] == "add":
         return _add_refs(index, localizer, parts, args)
+    if parts[0] == "remove":
+        return _remove_refs(index, localizer, parts)
     if parts[0] == "stats":
         return (
             "ok\tstats"

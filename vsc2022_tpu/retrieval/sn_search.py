@@ -87,6 +87,13 @@ class ScoreNormalizedSearcher:
         )
         self.searcher.append_rows(r_sn)
 
+    def remove_refs(self, keep_idx) -> None:
+        """Shrink the staged (bias-augmented) corpus to the surviving
+        rows — device-side compaction onto the fresh-stage layout (the
+        constant-1 CSLS column rides along per row). The noise corpus
+        is immutable."""
+        self.searcher.remove_rows(keep_idx)
+
     def normalize_queries(self, queries: np.ndarray) -> jax.Array:
         """Stage queries and append the −β·NN-similarity bias dimension,
         entirely on device."""
