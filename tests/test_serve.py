@@ -831,16 +831,64 @@ class TestServeCLI:
             )
             proc.stdin.flush()
             assert proc.stdout.readline().startswith("ok")
+            # DnS save needs two paths; the snapshot includes the add.
+            snap_c = str(tmp_path / "snap_c.npz")
+            snap_f = str(tmp_path / "snap_f.npz")
+            proc.stdin.write(f"save\t{snap_c}\n")
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("error")
+            proc.stdin.write(f"save\t{snap_c}\t{snap_f}\n")
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("ok\tsaved\t5")
+            # DnS remove drops the added video from BOTH tables.
+            proc.stdin.write("remove\tR000099\n")
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("ok\tremoved\t1")
+            out_m4 = str(tmp_path / "m4.csv")
+            proc.stdin.write(
+                f"{paths['qc']}\t{paths['qf']}\t{tmp_path / 'c4.csv'}"
+                f"\t{out_m4}\n"
+            )
+            proc.stdin.flush()
+            assert proc.stdout.readline().startswith("ok")
             proc.stdin.write("quit\n")
             proc.stdin.flush()
             assert proc.wait(timeout=120) == 0
         finally:
             proc.kill()
+
+        # A restart on the DnS snapshot reproduces the post-add state.
+        proc2 = self._spawn(
+            "--ref_features", snap_c, "--ref_fine_features", snap_f,
+        )
+        try:
+            assert proc2.stdout.readline().startswith("ready")
+            proc2.stdin.write(
+                f"{paths['qc']}\t{paths['qf']}\t{tmp_path / 'c5.csv'}"
+                f"\t{tmp_path / 'm5.csv'}\n"
+            )
+            proc2.stdin.flush()
+            assert proc2.stdout.readline().startswith("ok")
+            proc2.stdin.write("quit\n")
+            proc2.stdin.flush()
+            assert proc2.wait(timeout=120) == 0
+        finally:
+            proc2.kill()
+        import filecmp
+
+        assert filecmp.cmp(
+            tmp_path / "c3.csv", tmp_path / "c5.csv", shallow=False
+        )
+        assert filecmp.cmp(out_m3, tmp_path / "m5.csv", shallow=False)
         from vsc2022_tpu.metrics import Match as _M
 
         assert any(
             m.query_id == "Q000002" and m.ref_id == "R000099"
             for m in _M.read_csv(out_m3)
+        )
+        # ... and the remove erased it again.
+        assert not any(
+            m.ref_id == "R000099" for m in _M.read_csv(out_m4)
         )
 
         # In-process oracle: the dns_baseline stages on the npz data.
@@ -978,6 +1026,48 @@ class TestServeClient:
             assert "R000077" not in {
                 c.ref_id for c in res4.candidates()
             }
+
+    def test_save_snapshot_restarts_bit_identical(self, served, tmp_path):
+        # `save` after add/remove mutations must snapshot the live
+        # corpus so a fresh server on the snapshot answers
+        # bit-identically (row order = live corpus order).
+        tmp, queries, refs, noise = served
+        from vsc2022_tpu.retrieval import ServeClient
+
+        snap = str(tmp_path / "snap.npz")
+        with self._client(tmp) as client:
+            client.add(os.path.join(tmp, "extra.npz"))
+            client.remove(["R000003", "R000005"])
+            assert client.save(snap) == len(refs) - 2 + 1
+            live = client.search(
+                os.path.join(tmp, "q.npz"),
+                candidates_csv=str(tmp_path / "live.csv"),
+            )
+            assert live.n_candidates > 0
+
+        # Snapshot video order = live corpus order (adds at the end).
+        from vsc2022_tpu.storage import load_features
+
+        saved = load_features(snap, Dataset.REFS)
+        assert [vf.video_id for vf in saved] == [
+            f"R{i:06d}" for i in range(len(refs)) if i not in (3, 5)
+        ] + ["R000077"]
+
+        restarted = ServeClient.spawn(
+            snap,
+            score_norm_features=os.path.join(tmp, "noise.npz"),
+            env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+            cwd=REPO, stderr=subprocess.DEVNULL,
+        )
+        with restarted as client2:
+            client2.search(
+                os.path.join(tmp, "q.npz"),
+                candidates_csv=str(tmp_path / "restarted.csv"),
+            )
+        with open(tmp_path / "live.csv", "rb") as a, open(
+            tmp_path / "restarted.csv", "rb"
+        ) as b:
+            assert a.read() == b.read()
 
     def test_default_csv_paths(self, served):
         tmp, queries, refs, noise = served

@@ -261,6 +261,21 @@ class ServeClient:
             raise ServeError(f"unexpected remove reply: {parts!r}")
         return int(parts[1]), int(parts[2])
 
+    def save(
+        self, ref_features: str, ref_fine_features: Optional[str] = None
+    ) -> int:
+        """Snapshot the served corpus (after any adds/removes) to npz;
+        returns the number of videos saved. Restarting a server on the
+        snapshot reproduces the live state bit-for-bit. DnS servers
+        need a second path for the fine features."""
+        fields = ["save", os.path.abspath(ref_features)]
+        if ref_fine_features is not None:
+            fields.append(os.path.abspath(ref_fine_features))
+        parts = self._rpc("\t".join(fields))
+        if parts[0] != "saved":
+            raise ServeError(f"unexpected save reply: {parts!r}")
+        return int(parts[1])
+
     def stats(self) -> ServeStats:
         parts = self._rpc("stats")
         if parts[0] != "stats":

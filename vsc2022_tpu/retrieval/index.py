@@ -143,6 +143,23 @@ class VideoIndex:
     def _remove_from_searcher(self, keep_idx: np.ndarray) -> None:
         self._searcher.remove_rows(keep_idx)
 
+    def features(self) -> List[VideoFeature]:
+        """Reconstruct the indexed reference videos exactly as added
+        (raw host-side features, add order — the corpus row order).
+        Serving `save` snapshots through this: storing the result and
+        restarting on the npz reproduces the live index bit-for-bit,
+        tie-breaks included."""
+        return [
+            VideoFeature(
+                video_id=vid,
+                timestamps=self.video_metadata[vid].timestamps,
+                feature=block,
+            )
+            for block, vid in zip(
+                self._feature_blocks, self._block_video_ids
+            )
+        ]
+
     def _validate_add(self, db: List[VideoFeature]) -> None:
         """All-or-nothing validation BEFORE any state mutates — a
         rejected add must leave no partial host bookkeeping, or later

@@ -41,11 +41,13 @@ Wire protocol (line-oriented, identical over stdin/stdout or — with
     DnS mode:  <query_coarse_npz>\t<query_fine_npz>[\t<candidates_csv>[\t<matches_csv>]]\n
     add refs:  add\t<refs_npz>\n   (DnS: add\t<coarse_npz>\t<fine_npz>\n)
     remove:    remove\t<video_id>[\t<video_id>...]\n
+    save:      save\t<refs_npz>\n   (DnS: save\t<coarse_npz>\t<fine_npz>\n)
     stats:     stats\n
     response:  ok\t<candidates_csv>\t<n_pairs>\t<seconds>\n
          or:   ok\t<candidates_csv>\t<n_pairs>\t<matches_csv>\t<n_matches>\t<seconds>\n
          or:   ok\tadded\t<n_new_videos>\t<seconds>\n
          or:   ok\tremoved\t<n_videos>\t<n_frame_rows>\t<seconds>\n
+         or:   ok\tsaved\t<n_videos>\t<refs_npz>[\t<fine_npz>]\t<seconds>\n
          or:   ok\tstats\t<n_videos>\t<n_frames>\t<dtype>\t<sharded>\t<matches>\n
     error:     error\t<message>\n        (the server keeps serving)
     startup:   ready\t<n_ref_videos>\t<stage_seconds>\n
@@ -65,6 +67,12 @@ staged corpus compacts DEVICE-side onto the exact fresh-stage layout —
 post-remove results are bit-identical to a server freshly started
 over the survivors, and the removed rows' HBM is reclaimed. Unknown
 ids are rejected without mutating anything.
+
+``save`` persists the mutated corpus: it snapshots the CURRENT
+reference set (after any adds/removes) to npz in the standard frozen
+schema, in corpus row order — restarting the server on the snapshot
+reproduces the live state bit-for-bit. DnS servers save the fine
+features to a second npz.
 
 Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
 ``.matches.csv``. ``quit`` (or EOF) ends the session — in TCP mode
@@ -347,6 +355,36 @@ def _remove_refs(index, localizer, parts) -> str:
     )
 
 
+def _save_refs(index, localizer, parts, args) -> str:
+    """Snapshot the current (possibly add/remove-mutated) reference
+    set to npz in the standard schema, corpus row order — a restart on
+    the snapshot reproduces the live server bit-for-bit."""
+    from vsc2022_tpu.storage import store_features
+
+    t0 = time.perf_counter()
+    if len(parts) < 2:
+        raise ValueError("save needs an output path: save\\t<refs_npz>")
+    feats = index.features()
+    if args.ref_fine_features:
+        if len(parts) < 3:
+            raise ValueError(
+                "DnS save needs two paths: save\\t<coarse_npz>\\t<fine_npz>"
+            )
+        # Fine rows saved in the SAME video order as the coarse side
+        # (the fine dict may have its own insertion order).
+        store_features(
+            parts[2],
+            [localizer.refs_fine[vf.video_id] for vf in feats],
+            Dataset.REFS,
+        )
+    store_features(parts[1], feats, Dataset.REFS)
+    tail = f"\t{parts[2]}" if args.ref_fine_features else ""
+    return (
+        f"ok\tsaved\t{len(feats)}\t{parts[1]}{tail}"
+        f"\t{time.perf_counter() - t0:.3f}"
+    )
+
+
 def serve_request(index, aggregation, localizer, line: str, args) -> str:
     from vsc2022_tpu.metrics import Match
 
@@ -355,6 +393,8 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
         return _add_refs(index, localizer, parts, args)
     if parts[0] == "remove":
         return _remove_refs(index, localizer, parts)
+    if parts[0] == "save":
+        return _save_refs(index, localizer, parts, args)
     if parts[0] == "stats":
         return (
             "ok\tstats"
