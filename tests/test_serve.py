@@ -208,6 +208,46 @@ class TestScoreNormalizedVideoIndex:
         )
         assert any(c.query_id == 2 and c.ref_id == 60 for c in got)
 
+    def test_sharded_remove_compacts_device_side(self):
+        # Shrinking the SN index over a corpus mesh: the staged sharded
+        # searcher compacts in place (survivors rebalance over ICI; the
+        # fused SN dispatch re-keys on the shrunk geometry) and results
+        # match a fresh sharded index over the survivors.
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        assert len(jax.devices()) >= 8
+        rng = np.random.RandomState(37)
+        queries, refs, noise = _make_data(rng)
+        mesh = corpus_mesh(8)
+        index = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2, mesh=mesh
+        )
+        index.add(refs)
+        index.search(queries, global_k=200)
+        staged = index._searcher
+        index.remove([1, 4, 7])
+        assert index._searcher is staged  # compacted, not restaged
+        got = rank_candidates(
+            index.search(queries, global_k=200), MaxScoreAggregation()
+        )
+        fresh = ScoreNormalizedVideoIndex(
+            queries[0].dimensions(), noise, beta=1.2, mesh=corpus_mesh(8)
+        )
+        fresh.add([vf for vf in refs if vf.video_id not in (1, 4, 7)])
+        expect = rank_candidates(
+            fresh.search(queries, global_k=200), MaxScoreAggregation()
+        )
+        assert [(c.query_id, c.ref_id) for c in got] == [
+            (c.query_id, c.ref_id) for c in expect
+        ]
+        np.testing.assert_allclose(
+            [c.score for c in got], [c.score for c in expect], rtol=1e-5
+        )
+        # Query 1's planted copy was in ref 1 — gone with the remove.
+        assert not any(c.ref_id in (1, 4, 7) for c in got)
+
     def test_add_after_search_appends_device_side(self):
         # Growing the SN index after staging must reuse the SAME
         # searcher (device-side append of transformed+bias-augmented
