@@ -506,6 +506,70 @@ class TestRemoveRows:
             np.testing.assert_allclose(gs, fs, rtol=1e-6)
 
 
+class TestMutationFuzz:
+    """Randomized add/remove interleaves against a fresh-build oracle:
+    any sequence of serving-time mutations must leave the index
+    answering exactly like one freshly built over the surviving videos
+    (the shrunk/grown ≡ rebuilt invariant, compounded)."""
+
+    def test_interleaved_add_remove_matches_fresh(self):
+        rng = np.random.RandomState(59)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        def new_video(vid):
+            n = int(rng.randint(10, 30))
+            return vf(vid, rng.randint(-3, 4, (n, 16)).astype(np.float32))
+
+        queries = [vf(0, rng.randint(-3, 4, (15, 16)).astype(np.float32))]
+        live = {}  # vid -> VideoFeature, insertion order = corpus order
+        next_vid = 0
+
+        index = VideoIndex(16)
+        for i in range(4):
+            live[next_vid] = new_video(next_vid)
+            index.add([live[next_vid]])
+            next_vid += 1
+        index.search(queries, global_k=30)  # stage before mutating
+
+        for step in range(12):
+            if live and rng.rand() < 0.4:
+                victim = list(live)[int(rng.randint(len(live)))]
+                index.remove([victim])
+                del live[victim]
+            else:
+                batch = [
+                    new_video(next_vid + j)
+                    for j in range(int(rng.randint(1, 3)))
+                ]
+                for b in batch:
+                    live[b.video_id] = b
+                next_vid += len(batch)
+                index.add(batch)
+            if rng.rand() < 0.5 or step == 11:
+                got = index.search(queries, global_k=30)
+                fresh = VideoIndex(16)
+                fresh.add(list(live.values()))
+                expect = fresh.search(queries, global_k=30)
+                got_flat = [
+                    (pm.query_id, pm.ref_id,
+                     m.query_timestamps, m.ref_timestamps, m.score)
+                    for pm in got for m in pm.matches
+                ]
+                exp_flat = [
+                    (pm.query_id, pm.ref_id,
+                     m.query_timestamps, m.ref_timestamps, m.score)
+                    for pm in expect for m in pm.matches
+                ]
+                assert got_flat == exp_flat, f"diverged at step {step}"
+        assert index._searcher is not None  # never fell back to restage
+
+
 class TestVideoIndex:
     def make_features(self, prefix):
         test_feature = np.array(
