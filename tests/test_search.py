@@ -569,6 +569,34 @@ class TestMutationFuzz:
                 assert got_flat == exp_flat, f"diverged at step {step}"
         assert index._searcher is not None  # never fell back to restage
 
+    def test_remove_to_empty_then_add(self):
+        rng = np.random.RandomState(61)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        index = VideoIndex(16)
+        index.add([vf(0, rng.randn(20, 16).astype(np.float32))])
+        queries = [vf(0, rng.randn(8, 16).astype(np.float32))]
+        index.search(queries, global_k=10)
+        index.remove([0])
+        assert index.search(queries, global_k=10) == []
+        new = rng.randn(12, 16).astype(np.float32)
+        index.add([vf(5, new)])
+        got = index.search(queries, global_k=10)
+        fresh = VideoIndex(16)
+        fresh.add([vf(5, new)])
+        expect = fresh.search(queries, global_k=10)
+        assert [
+            (pm.ref_id, m.score) for pm in got for m in pm.matches
+        ] == [
+            (pm.ref_id, m.score) for pm in expect for m in pm.matches
+        ]
+
 
 class TestVideoIndex:
     def make_features(self, prefix):
