@@ -326,7 +326,7 @@ class TestRemoveRows:
         keep = np.concatenate([
             np.arange(97), 97 + 61 + np.arange(44)
         ]).astype(np.int32)
-        shrunk.remove_rows(keep)
+        shrunk.keep_rows(keep)
         assert shrunk.n_refs == 97 + 44
 
         fresh = SimilaritySearcher(np.concatenate([r1, r3]), metric=metric)
@@ -349,7 +349,7 @@ class TestRemoveRows:
         s = SimilaritySearcher(r1, dtype="bfloat16")
         s.global_topk(q, 10)
         keep = np.arange(0, 200, 2, dtype=np.int32)  # drop every other
-        s.remove_rows(keep)
+        s.keep_rows(keep)
         s.append_rows(r2)
 
         fresh = SimilaritySearcher(
@@ -491,7 +491,7 @@ class TestRemoveRows:
         keep = np.flatnonzero(
             rng.rand(3000) < 0.3
         ).astype(np.int32)  # ~900 survivors: per-shard padding shrinks
-        shrunk.remove_rows(keep)
+        shrunk.keep_rows(keep)
 
         fresh = ShardedSimilaritySearcher(r[keep], mesh, metric=metric)
         assert (shrunk.shard_rows, shrunk.col_block) == (
@@ -568,6 +568,32 @@ class TestMutationFuzz:
                 ]
                 assert got_flat == exp_flat, f"diverged at step {step}"
         assert index._searcher is not None  # never fell back to restage
+
+    def test_features_after_repeated_id_add(self):
+        # add() is repeatable like FAISS add, including a repeated
+        # video id; features() must give each block its OWN
+        # timestamps (video_metadata only remembers the last add).
+        rng = np.random.RandomState(67)
+        index = VideoIndex(8)
+        f1 = rng.randn(5, 8).astype(np.float32)
+        f2 = rng.randn(7, 8).astype(np.float32)
+        index.add([VideoFeature(
+            video_id=1, timestamps=np.arange(5.0), feature=f1
+        )])
+        index.add([VideoFeature(
+            video_id=1, timestamps=10.0 + np.arange(7.0), feature=f2
+        )])
+        feats = index.features()
+        assert [vf.video_id for vf in feats] == [1, 1]
+        np.testing.assert_array_equal(feats[0].timestamps, np.arange(5.0))
+        np.testing.assert_array_equal(
+            feats[1].timestamps, 10.0 + np.arange(7.0)
+        )
+        np.testing.assert_array_equal(feats[0].feature, f1)
+        np.testing.assert_array_equal(feats[1].feature, f2)
+        # remove drops BOTH blocks of the repeated id.
+        index.remove([1])
+        assert index.features() == [] and index.video_metadata == {}
 
     def test_remove_to_empty_then_add(self):
         rng = np.random.RandomState(61)

@@ -247,9 +247,13 @@ class DnSLocalization(TNLocalizationMaxSim):
         for v in video_ids:
             self.refs_fine.pop(v, None)
         if getattr(self, "_fine_r_tab", None) is not None:
-            self._fine_r_tab, self._fine_r_offs = self._compact_table(
-                self._fine_r_tab, self._fine_r_offs, self.refs_fine
-            )
+            try:
+                self._fine_r_tab, self._fine_r_offs = self._compact_table(
+                    self._fine_r_tab, self._fine_r_offs, self.refs_fine
+                )
+            except Exception:
+                self._fine_r_tab, self._fine_r_offs = None, None
+                raise
 
     def _fine(self, vf: VideoFeature) -> np.ndarray:
         f = np.asarray(vf.feature, dtype=np.float32)

@@ -210,28 +210,38 @@ class TNLocalization(LocalizationWithMetadata):
         for v in drop:
             del self.refs[v]
         if getattr(self, "_r_table", None) is not None:
-            self._r_table, self._r_offs = self._compact_table(
-                self._r_table, self._r_offs, self.refs
-            )
+            try:
+                self._r_table, self._r_offs = self._compact_table(
+                    self._r_table, self._r_offs, self.refs
+                )
+            except Exception:
+                # Compaction failed device-side: drop the staged table
+                # so the next alignment rebuilds from self.refs (which
+                # already shrank) instead of serving stale rows.
+                self._r_table, self._r_offs = None, None
+                raise
 
     @staticmethod
     def _compact_table(table, offsets, source):
         """Gather the surviving videos' rows into a fresh-layout table
         (pad row 0 first, then each video of ``source`` in insertion
         order — the same order ``_build_table`` walks). Only the int32
-        gather indices cross the host link."""
-        idx: List[int] = [0]
+        gather indices cross the host link; the index vector builds
+        vectorized (corpus-scale removes must not walk Python ints)."""
+        spans = [(offsets[vid], vid) for vid in source]
+        idx = np.concatenate(
+            [np.zeros(1, dtype=np.int32)]
+            + [
+                np.arange(start, start + n, dtype=np.int32)
+                for (start, n), _ in spans
+            ]
+        )
         new_offs = {}
         cursor = 1
-        for vid in source:
-            start, n = offsets[vid]
-            idx.extend(range(start, start + n))
+        for (_, n), vid in spans:
             new_offs[vid] = (cursor, n)
             cursor += n
-        gathered = jnp.take(
-            table, jnp.asarray(np.asarray(idx, dtype=np.int32)), axis=0
-        )
-        return gathered, new_offs
+        return jnp.take(table, jnp.asarray(idx), axis=0), new_offs
 
     def _grow_table(self, table, offsets, vids, row_fn=None):
         """Append videos' rows to a staged device table, extending

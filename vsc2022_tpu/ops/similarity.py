@@ -98,6 +98,37 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _check_keep_idx(keep_idx, n_refs: int) -> np.ndarray:
+    """Validate a keep_rows survivor-index vector (shared between the
+    single-device and sharded searchers so the contract can't drift)."""
+    keep_idx = np.ascontiguousarray(keep_idx, dtype=np.int32)
+    assert keep_idx.ndim == 1, keep_idx.shape
+    if keep_idx.size:
+        assert keep_idx[0] >= 0 and keep_idx[-1] < n_refs, (
+            int(keep_idx[0]), int(keep_idx[-1]), n_refs,
+        )
+        assert np.all(np.diff(keep_idx) > 0), "keep_idx must increase"
+    return keep_idx
+
+
+def _pad_keep_idx(keep_idx: np.ndarray, n_pad: int) -> np.ndarray:
+    """Pad the gather index with row 0 (any in-range row); the tail is
+    zeroed inside the gather so `append_rows`'s rows-past-n_valid-are-
+    zero invariant survives compaction."""
+    idx = np.zeros((n_pad,), dtype=np.int32)
+    idx[: keep_idx.size] = keep_idx
+    return idx
+
+
+def _compact_gather(refs, idx, *, n_pad: int, new_total: int):
+    """Gather survivors onto the fresh-stage layout, zero tail."""
+    out = jnp.take(refs, idx, axis=0)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < new_total
+    )
+    return jnp.where(valid, out, jnp.zeros((), out.dtype))
+
+
 def _pad_axis0(a: np.ndarray, n: int) -> np.ndarray:
     if a.shape[0] == n:
         return a
@@ -1128,43 +1159,30 @@ class SimilaritySearcher:
         self._set_ref_sq()
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
-    def remove_rows(self, keep_idx: np.ndarray) -> None:
-        """Shrink the staged corpus to the surviving rows (serving
-        `remove`, the FAISS ``remove_ids`` analog). One device-side
-        gather compacts the survivors — corpus rows never cross the
-        host link, only the [new_total] int32 index vector does — and
-        the result lands on the exact fresh-stage layout (survivors in
-        original order, zero tail padding), so every search kernel and
-        its bit-exact tie-breaks are untouched by construction.
+    def keep_rows(self, keep_idx: np.ndarray) -> None:
+        """Shrink the staged corpus to EXACTLY these surviving rows
+        (the searcher primitive under serving `remove`; note the
+        argument is the survivors, not FAISS-remove_ids-style drop
+        ids). One device-side gather compacts the survivors — corpus
+        rows never cross the host link, only the [new_total] int32
+        index vector does — and the result lands on the exact
+        fresh-stage layout (survivors in original order, zero tail
+        padding), so every search kernel and its bit-exact tie-breaks
+        are untouched by construction.
 
         ``keep_idx``: strictly increasing global row indices to KEEP.
         """
-        keep_idx = np.ascontiguousarray(keep_idx, dtype=np.int32)
-        assert keep_idx.ndim == 1, keep_idx.shape
-        if keep_idx.size:
-            assert keep_idx[0] >= 0 and keep_idx[-1] < self.n_refs, (
-                int(keep_idx[0]), int(keep_idx[-1]), self.n_refs,
-            )
-            assert np.all(np.diff(keep_idx) > 0), "keep_idx must increase"
+        keep_idx = _check_keep_idx(keep_idx, self.n_refs)
         new_total = int(keep_idx.size)
         new_col_block = min(
             self._col_block_req, _ceil_to(max(new_total, 1), 128)
         )
         n_pad = _ceil_to(max(new_total, 1), new_col_block)
-        # Pad the gather with row 0 (any in-range row), then zero the
-        # tail: append_rows relies on rows past n_valid being zero.
-        idx = np.zeros((n_pad,), dtype=np.int32)
-        idx[:new_total] = keep_idx
-
-        def _compact(refs, idx):
-            out = jnp.take(refs, idx, axis=0)
-            valid = (
-                jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-                < new_total
+        self._refs = jax.jit(
+            functools.partial(
+                _compact_gather, n_pad=n_pad, new_total=new_total
             )
-            return jnp.where(valid, out, jnp.zeros((), out.dtype))
-
-        self._refs = jax.jit(_compact)(self._refs, jnp.asarray(idx))
+        )(self._refs, jnp.asarray(_pad_keep_idx(keep_idx, n_pad)))
         self.n_refs = new_total
         self.col_block = new_col_block
         self._set_ref_sq()

@@ -142,6 +142,12 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             self._full_fns = {}
         self.shard_rows, self.col_block = new_sr, new_cb
         self.n_refs = new_total
+        self._rebuild_ref_sq(n_pad)
+        self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
+
+    def _rebuild_ref_sq(self, n_pad: int) -> None:
+        """Recompute the sharded squared-norm side array after the
+        corpus array changed shape (append/compaction)."""
         if self.metric == "L2":
             self._ref_sq = jax.jit(
                 lambda r: jnp.sum(
@@ -154,60 +160,43 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
                 jnp.zeros((n_pad,), dtype=jnp.float32),
                 NamedSharding(self.mesh, P(self.axis)),
             )
-        self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
-    def remove_rows(self, keep_idx) -> None:
-        """Shrink the sharded corpus to the surviving rows. One jitted
-        gather with sharded out_shardings compacts onto the fresh-stage
-        geometry — survivors redistribute across shards over ICI (GSPMD
-        moves them), never through the host; only the int32 index
-        vector crosses the link. Shrinking geometry invalidates the
-        compiled per-shard kernels, which close over shard_rows and
-        col_block."""
-        keep_idx = np.ascontiguousarray(keep_idx, dtype=np.int32)
-        assert keep_idx.ndim == 1, keep_idx.shape
-        if keep_idx.size:
-            assert keep_idx[0] >= 0 and keep_idx[-1] < self.n_refs, (
-                int(keep_idx[0]), int(keep_idx[-1]), self.n_refs,
-            )
-            assert np.all(np.diff(keep_idx) > 0), "keep_idx must increase"
+    def keep_rows(self, keep_idx) -> None:
+        """Shrink the sharded corpus to EXACTLY these surviving rows
+        (argument = survivors, as in the single-device searcher). One
+        jitted gather with sharded out_shardings compacts onto the
+        fresh-stage geometry — survivors redistribute across shards
+        over ICI (GSPMD moves them), never through the host; only the
+        int32 index vector crosses the link. Shrinking geometry
+        invalidates the compiled per-shard kernels, which close over
+        shard_rows and col_block."""
+        from vsc2022_tpu.ops.similarity import (
+            _check_keep_idx,
+            _compact_gather,
+            _pad_keep_idx,
+        )
+
+        keep_idx = _check_keep_idx(keep_idx, self.n_refs)
         new_total = int(keep_idx.size)
         per_dev = _ceil_to(max(new_total, 1), self.n_dev) // self.n_dev
         new_cb = min(self._col_block_req, _ceil_to(per_dev, 128))
         new_sr = _ceil_to(per_dev, new_cb)
         n_pad = new_sr * self.n_dev
-        idx = np.zeros((n_pad,), dtype=np.int32)
-        idx[:new_total] = keep_idx
         sharding = NamedSharding(self.mesh, P(self.axis, None))
+        import functools
 
-        def _compact(refs, idx):
-            out = jnp.take(refs, idx, axis=0)
-            valid = (
-                jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-                < new_total
-            )
-            return jnp.where(valid, out, jnp.zeros((), out.dtype))
-
-        self._refs = jax.jit(_compact, out_shardings=sharding)(
-            self._refs, jnp.asarray(idx)
-        )
+        self._refs = jax.jit(
+            functools.partial(
+                _compact_gather, n_pad=n_pad, new_total=new_total
+            ),
+            out_shardings=sharding,
+        )(self._refs, jnp.asarray(_pad_keep_idx(keep_idx, n_pad)))
         if (new_sr, new_cb) != (self.shard_rows, self.col_block):
             self._topk_fns = {}
             self._full_fns = {}
         self.shard_rows, self.col_block = new_sr, new_cb
         self.n_refs = new_total
-        if self.metric == "L2":
-            self._ref_sq = jax.jit(
-                lambda r: jnp.sum(
-                    r.astype(jnp.float32) * r.astype(jnp.float32), axis=1
-                ),
-                out_shardings=NamedSharding(self.mesh, P(self.axis)),
-            )(self._refs)
-        else:
-            self._ref_sq = jax.device_put(
-                jnp.zeros((n_pad,), dtype=jnp.float32),
-                NamedSharding(self.mesh, P(self.axis)),
-            )
+        self._rebuild_ref_sq(n_pad)
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
     # -- kernels ---------------------------------------------------------

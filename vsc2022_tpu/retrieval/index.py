@@ -61,7 +61,10 @@ class VideoIndex:
         self.video_clip_to_video_ids: List[str] = []
         self.video_metadata = {}
         self._feature_blocks: List[np.ndarray] = []
-        self._block_video_ids: List[str] = []
+        # Per-block identity AND timing: repeated-id adds (legal, like
+        # FAISS add) keep one block per add, so each block must carry
+        # its OWN timestamps — video_metadata only holds the last.
+        self._block_meta: List = []
         self._searcher: SimilaritySearcher | None = None
 
     def add(self, db: List[VideoFeature]) -> None:
@@ -82,7 +85,7 @@ class VideoIndex:
             self.video_metadata[vf.video_id] = vf.metadata()
             block = np.asarray(vf.feature, dtype=np.float32)
             self._feature_blocks.append(block)
-            self._block_video_ids.append(vf.video_id)
+            self._block_meta.append(vf.metadata())
             new_blocks.append(block)
         if self._searcher is not None and new_blocks:
             try:
@@ -122,12 +125,12 @@ class VideoIndex:
         for vid in drop:
             del self.video_metadata[vid]
         survivors = [
-            (b, v)
-            for b, v in zip(self._feature_blocks, self._block_video_ids)
-            if v not in drop
+            (b, m)
+            for b, m in zip(self._feature_blocks, self._block_meta)
+            if m.video_id not in drop
         ]
         self._feature_blocks = [b for b, _ in survivors]
-        self._block_video_ids = [v for _, v in survivors]
+        self._block_meta = [m for _, m in survivors]
         if self._searcher is not None:
             try:
                 self._remove_from_searcher(keep_idx)
@@ -141,7 +144,7 @@ class VideoIndex:
         return n_removed
 
     def _remove_from_searcher(self, keep_idx: np.ndarray) -> None:
-        self._searcher.remove_rows(keep_idx)
+        self._searcher.keep_rows(keep_idx)
 
     def features(self) -> List[VideoFeature]:
         """Reconstruct the indexed reference videos exactly as added
@@ -151,13 +154,11 @@ class VideoIndex:
         tie-breaks included."""
         return [
             VideoFeature(
-                video_id=vid,
-                timestamps=self.video_metadata[vid].timestamps,
+                video_id=meta.video_id,
+                timestamps=meta.timestamps,
                 feature=block,
             )
-            for block, vid in zip(
-                self._feature_blocks, self._block_video_ids
-            )
+            for block, meta in zip(self._feature_blocks, self._block_meta)
         ]
 
     def _validate_add(self, db: List[VideoFeature]) -> None:
@@ -373,7 +374,7 @@ class ScoreNormalizedVideoIndex(VideoIndex):
         self._searcher.append_refs(self._prep_query_features(new_rows))
 
     def _remove_from_searcher(self, keep_idx: np.ndarray) -> None:
-        self._searcher.remove_refs(keep_idx)
+        self._searcher.keep_refs(keep_idx)
 
     # -- serving-side feature spaces -------------------------------------
 

@@ -229,6 +229,19 @@ def build_localizer(index, refs, args):
         refs_fine = convert_to_dict(
             load_features(args.ref_fine_features, Dataset.REFS)
         )
+        # Same coverage rule the `add` path enforces: every coarse
+        # video needs fine rows, or localization/save would fail on
+        # exactly that video deep into the server's lifetime.
+        missing = [
+            str(vf.video_id) for vf in refs
+            if vf.video_id not in refs_fine
+        ]
+        if missing:
+            raise ValueError(
+                "Fine npz is missing reference videos: "
+                f"{missing[:5]} (coarse and fine sets must cover the "
+                "same video ids)"
+            )
         return DnSLocalization(
             {}, refs_fine, [], refs, model_type="TN",
             fg_type=args.fg_type, tn_max_step=5, min_length=4,
@@ -346,7 +359,18 @@ def _remove_refs(index, localizer, parts) -> str:
         missing = [v for v in ids if v not in localizer.refs]
     if missing:
         raise ValueError(f"Video ids not indexed: {missing[:5]}")
-    n_rows = index.remove(ids)
+    try:
+        n_rows = index.remove(ids)
+    except Exception:
+        # Past validation, index.remove only raises on a device-side
+        # compaction failure — and then its HOST bookkeeping is already
+        # consistently shrunk (the staged searcher is dropped; the next
+        # search restages). Shrink the localizer too before surfacing
+        # the error, or the holders would disagree and the retry would
+        # be blocked forever by the validation above.
+        if localizer is not None:
+            localizer.remove_refs(ids)
+        raise
     if localizer is not None:
         localizer.remove_refs(ids)
     return (
@@ -365,19 +389,26 @@ def _save_refs(index, localizer, parts, args) -> str:
     if len(parts) < 2:
         raise ValueError("save needs an output path: save\\t<refs_npz>")
     feats = index.features()
+    if not feats:
+        raise ValueError(
+            "Nothing to save: the served corpus is empty "
+            "(every reference video was removed)"
+        )
+    fine = None
     if args.ref_fine_features:
         if len(parts) < 3:
             raise ValueError(
                 "DnS save needs two paths: save\\t<coarse_npz>\\t<fine_npz>"
             )
         # Fine rows saved in the SAME video order as the coarse side
-        # (the fine dict may have its own insertion order).
-        store_features(
-            parts[2],
-            [localizer.refs_fine[vf.video_id] for vf in feats],
-            Dataset.REFS,
-        )
+        # (the fine dict may have its own insertion order). Coverage is
+        # guaranteed by the startup and `add` cross-checks.
+        fine = [localizer.refs_fine[vf.video_id] for vf in feats]
+    # Coarse first: if it fails, no partial snapshot is left behind
+    # (a coarse-only leftover from a fine-write failure at least loads).
     store_features(parts[1], feats, Dataset.REFS)
+    if fine is not None:
+        store_features(parts[2], fine, Dataset.REFS)
     tail = f"\t{parts[2]}" if args.ref_fine_features else ""
     return (
         f"ok\tsaved\t{len(feats)}\t{parts[1]}{tail}"

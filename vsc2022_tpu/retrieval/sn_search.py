@@ -87,12 +87,12 @@ class ScoreNormalizedSearcher:
         )
         self.searcher.append_rows(r_sn)
 
-    def remove_refs(self, keep_idx) -> None:
-        """Shrink the staged (bias-augmented) corpus to the surviving
-        rows — device-side compaction onto the fresh-stage layout (the
-        constant-1 CSLS column rides along per row). The noise corpus
-        is immutable."""
-        self.searcher.remove_rows(keep_idx)
+    def keep_refs(self, keep_idx) -> None:
+        """Shrink the staged (bias-augmented) corpus to EXACTLY these
+        surviving rows — device-side compaction onto the fresh-stage
+        layout (the constant-1 CSLS column rides along per row). The
+        noise corpus is immutable."""
+        self.searcher.keep_rows(keep_idx)
 
     def normalize_queries(self, queries: np.ndarray) -> jax.Array:
         """Stage queries and append the −β·NN-similarity bias dimension,
