@@ -484,12 +484,85 @@ def run_measurement():
     print(json.dumps(results))
 
 
+def bench_serving(results):
+    """Warm request latency against a RESIDENT SERVER PROCESS — the
+    full serving story (stage once, answer repeated requests over the
+    wire, candidates + TN matches per request). Runs in the bench
+    parent AFTER the measurement child exits: only one process can
+    hold the chip on this rig. Failure leaves the core bench intact
+    (the metric is simply absent that round)."""
+    import tempfile
+
+    from vsc2022_tpu.metrics import Dataset
+    from vsc2022_tpu.retrieval.client import ServeClient
+    from vsc2022_tpu.storage import store_features
+    from vsc2022_tpu.types import VideoFeature
+
+    rng = np.random.default_rng(11)
+    n_serve_refs = 200  # smaller corpus: latency metric, not throughput
+
+    def videos(prefix, n, frames=FRAMES):
+        out = []
+        for i in range(n):
+            f = l2n(rng.standard_normal((frames, DIM), dtype=np.float32))
+            out.append(VideoFeature(
+                video_id=f"{prefix}{i:06d}",
+                timestamps=np.arange(frames, dtype=np.float64),
+                feature=f,
+            ))
+        return out
+
+    refs = videos("R", n_serve_refs)
+    queries = videos("Q", 30)
+    queries[0].feature[10:30] = refs[0].feature[5:25]  # one planted copy
+    noise = videos("R", 100)
+    for i, vf in enumerate(noise):  # disjoint ids from the corpus
+        noise[i] = VideoFeature(
+            video_id=f"R{9000 + i:06d}", timestamps=vf.timestamps,
+            feature=vf.feature,
+        )
+    tmp = tempfile.mkdtemp(prefix="bench_serve_")
+    r_npz = os.path.join(tmp, "r.npz")
+    q_npz = os.path.join(tmp, "q.npz")
+    n_npz = os.path.join(tmp, "noise.npz")
+    store_features(r_npz, refs, Dataset.REFS)
+    store_features(q_npz, queries, Dataset.QUERIES)
+    store_features(n_npz, noise, Dataset.REFS)
+
+    t0 = time.perf_counter()
+    client = ServeClient.spawn(
+        r_npz, score_norm_features=n_npz, matches=True,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        startup_s = time.perf_counter() - t0
+        client.search(q_npz)  # warm the request shapes (compile)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = client.search(q_npz)
+            best = min(best, time.perf_counter() - t0)
+        assert res.n_candidates > 0 and res.n_matches > 0
+        results["serving_startup_s"] = round(startup_s, 2)
+        results["serving_warm_request_s"] = round(best, 3)
+    finally:
+        client.close(shutdown=True)
+
+
 def main():
     """Run the measurement in a child process with a timeout + one
     retry: the TPU relay on this rig occasionally stalls a process
-    outright, and a hung benchmark would leave no recorded result."""
+    outright, and a hung benchmark would leave no recorded result.
+    The serving workload runs afterwards in this parent (its server
+    child needs the chip, which the measurement child holds until
+    exit); its failure never voids the core line."""
     if "--_child" in sys.argv:
         run_measurement()
+        return
+    if "--_serve_child" in sys.argv:
+        serve_results = {}
+        bench_serving(serve_results)
+        print(json.dumps(serve_results))
         return
     for attempt in range(2):
         try:
@@ -508,7 +581,26 @@ def main():
             if ln.startswith("{")
         ]
         if result.returncode == 0 and lines:
-            print(lines[-1])
+            results = json.loads(lines[-1])
+            try:
+                # Own child + hard timeout: a relay stall during the
+                # server handshake must not hang the whole bench.
+                serve = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--_serve_child"],
+                    capture_output=True, text=True, timeout=600,
+                )
+                serve_lines = [
+                    ln for ln in serve.stdout.strip().splitlines()
+                    if ln.startswith("{")
+                ]
+                if serve.returncode == 0 and serve_lines:
+                    results.update(json.loads(serve_lines[-1]))
+                else:
+                    print(serve.stderr[-1000:], file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                print(f"serving bench skipped: {exc}", file=sys.stderr)
+            print(json.dumps(results))
             return
         print(result.stderr[-2000:], file=sys.stderr)
     raise SystemExit("bench failed after 2 attempts")
