@@ -16,6 +16,7 @@ from vsc2022_tpu.retrieval import (
     CandidateGeneration,
     MaxScoreAggregation,
     ScoreNormalizedVideoIndex,
+    VideoIndex,
 )
 from vsc2022_tpu.retrieval.candidates import rank_candidates
 from vsc2022_tpu.retrieval.score_norm import score_normalize
@@ -325,6 +326,59 @@ class TestScoreNormalizedVideoIndex:
         matches = index.search(queries[:1], global_k=-2)
         pair_ids = {(m.query_id, m.ref_id) for m in matches}
         assert (0, 0) in pair_ids  # raw int ids: no npz round trip here
+
+
+class TestRemoveFailureConsistency:
+    def test_device_failure_keeps_holders_consistent(self, monkeypatch):
+        # A device-side compaction failure during `remove` must leave
+        # the index and the localizer AGREEING (both shrunk, staged
+        # state dropped), so the error is survivable: the next search
+        # restages and serves the survivors. Without this, a retry is
+        # blocked forever by the not-indexed validation.
+        import argparse
+
+        from vsc2022_tpu.localization import TNLocalizationMaxSim
+        from vsc2022_tpu.retrieval.serve import _remove_refs
+
+        rng = np.random.RandomState(71)
+
+        def vf(vid, f):
+            return VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f,
+            )
+
+        refs = [
+            vf(f"R{i:06d}", l2n(rng.randn(20, 16)).astype(np.float32))
+            for i in range(4)
+        ]
+        queries = [
+            vf("Q000000", l2n(rng.randn(10, 16)).astype(np.float32))
+        ]
+        index = VideoIndex(16)
+        index.add(refs)
+        index.search(queries, global_k=20)  # stage
+        localizer = TNLocalizationMaxSim(
+            [], list(refs), model_type="TN", similarity_bias=0.5
+        )
+
+        def boom(keep_idx):
+            raise RuntimeError("simulated relay failure")
+
+        monkeypatch.setattr(index._searcher, "keep_rows", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            _remove_refs(index, localizer, ["remove", "R000001"])
+        # Both holders shrank; staged searcher dropped for restage.
+        assert "R000001" not in index.video_metadata
+        assert "R000001" not in localizer.refs
+        assert index._searcher is None
+        # The server stays usable: search restages and the removed
+        # video is gone; a repeated remove correctly reports unknown.
+        got = index.search(queries, global_k=20)
+        assert not any(pm.ref_id == "R000001" for pm in got)
+        with pytest.raises(ValueError, match="not indexed"):
+            _remove_refs(index, localizer, ["remove", "R000001"])
 
 
 class TestServeCLI:
