@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpreter mode on CPU) against dense oracles."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -135,13 +136,15 @@ class TestPallasRoutedGlobalTopK:
 
 
 class TestPoolWriter:
-    def test_best2_per_segment_matches_oracle(self):
+    @pytest.mark.parametrize("variant", ["v1", "band"])
+    def test_best2_per_segment_matches_oracle(self, variant):
         from vsc2022_tpu.ops.pallas_kernels import (
             POOL_COL_TILE,
             POOL_ROW_TILE,
             POOL_TILES_PER_BAND,
             SEG_LANES,
             pool_writer,
+            pool_writer_band,
         )
 
         rng = np.random.RandomState(9)
@@ -154,7 +157,8 @@ class TestPoolWriter:
         # best-2 must keep both tied copies.
         r[5] = r[7]
         q[3] = r[5] * 3.0
-        pv, pi = pool_writer(
+        writer = pool_writer if variant == "v1" else pool_writer_band
+        pv, pi = writer(
             jnp.asarray(q), jnp.asarray(r), jnp.int32(n_valid),
             interpret=True,
         )
@@ -182,10 +186,49 @@ class TestPoolWriter:
             pv[mask], rtol=1e-5, atol=1e-5,
         )
 
-    def test_pooled_route_global_topk_exact(self, monkeypatch):
+    def test_band_writer_matches_v1_and_bf16(self):
+        # The banded writer must reproduce v1's pool bit-for-bit
+        # (same layout, same best-2 contract), in f32 and bf16, and
+        # with an explicit inner override.
+        from vsc2022_tpu.ops.pallas_kernels import (
+            POOL_COL_TILE,
+            POOL_ROW_TILE,
+            POOL_TILES_PER_BAND,
+            pool_writer,
+            pool_writer_band,
+        )
+
+        rng = np.random.RandomState(10)
+        m, d = POOL_ROW_TILE, 16
+        n = POOL_TILES_PER_BAND * POOL_COL_TILE
+        q = rng.randint(-3, 4, size=(m, d)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(n, d)).astype(np.float32)
+        nv = jnp.int32(n - 519)
+        v1 = pool_writer(jnp.asarray(q), jnp.asarray(r), nv, interpret=True)
+        for kw in ({}, {"inner": 4}, {"precision": "default"}):
+            band = pool_writer_band(
+                jnp.asarray(q), jnp.asarray(r), nv, interpret=True, **kw
+            )
+            if kw.get("precision") == "default":
+                # bf16 matmul of small ints is exact; pools must agree.
+                np.testing.assert_array_equal(
+                    np.asarray(v1[0]), np.asarray(band[0])
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(v1[0]), np.asarray(band[0])
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(v1[1]), np.asarray(band[1])
+                )
+
+    @pytest.mark.parametrize(
+        "flag", ["interpret", "interpret_band"]
+    )
+    def test_pooled_route_global_topk_exact(self, monkeypatch, flag):
         from vsc2022_tpu.ops.similarity import SimilaritySearcher
 
-        monkeypatch.setenv("VSC2022_TPU_POOL_PALLAS", "interpret")
+        monkeypatch.setenv("VSC2022_TPU_POOL_PALLAS", flag)
         monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
         rng = np.random.RandomState(6)
         # κ=32 over 8192 rows sits exactly at the 4κ ≤ p_total pool

@@ -293,9 +293,10 @@ def main(args):
 
     # Same-process kernel-vs-XLA pool build (routing reads the env at
     # trace time; a distinct static tag forces a fresh trace).
-    # Current routing is OPT-IN: only "1" selects the Pallas pool
-    # writer on TPU ("" and "0" both run the XLA carry-scan).
-    for flag, tag in (("0", "xla"), ("1", "krn")):
+    # Current routing is OPT-IN: "1" selects the v1 Pallas pool writer
+    # on TPU, "band" the banded rewrite ("" and "0" both run the XLA
+    # carry-scan).
+    for flag, tag in (("0", "xla"), ("1", "krn"), ("band", "bnd")):
         os.environ["VSC2022_TPU_POOL_PALLAS"] = flag
 
         @functools.partial(jax.jit, static_argnames=("stage", "tag"))

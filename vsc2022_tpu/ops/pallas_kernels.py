@@ -25,12 +25,18 @@ by the Mosaic compiler).
     writer, the round-3 collection kernel (OPT-IN; see
     ops/similarity.pooled_candidates for routing and the selection
     machinery that runs on its output).
+  * ``pool_writer_band`` — banded rewrite of pool_writer: ``inner``
+    column tiles per grid step (static slices of a wider VMEM r
+    block) + static-offset band stores — no placement matmul, int32
+    ids (no 2^24 ceiling), ``inner``× fewer grid steps (v1's measured
+    1M loss to the XLA scan was attributed to 17k-step overhead).
 
 On non-TPU backends the kernels run in interpreter mode (tests).
 
-Routing: pool_writer is OPT-IN via VSC2022_TPU_POOL_PALLAS=1 on TPU
-(=interpret tests it on CPU; unset/0 run the XLA carry-scan builder,
-which measured faster at 1M — see below); the round-2 kernels remain
+Routing: pool_writer is OPT-IN via VSC2022_TPU_POOL_PALLAS=1 on TPU,
+the banded variant via =band (=interpret / =interpret_band test them
+on CPU; unset/0 run the XLA carry-scan builder, which measured faster
+than v1 at 1M — see below); the round-2 kernels remain
 opt-in via VSC2022_TPU_USE_PALLAS=1 (or =interpret). History, kept for the record: fused_topk — matmul +
 per-row top-κ with min-replacement folding — measured SLOWER than the
 XLA collection at production shapes (395 vs 1507 ms at [9216×1M×512],
@@ -352,6 +358,149 @@ def pool_writer(
             bytes_accessed=(m * d * (n // (band * col_tile))
                             + n * d * (m // row_tile)
                             + 2 * m * ppt * grid[1]) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, refs, jnp.reshape(n_valid, (1,)).astype(jnp.int32))
+    return out_v, out_i
+
+
+def _pool_band_kernel(
+    q_ref, r_ref, n_valid_ref, out_v_ref, out_i_ref, *, precision,
+    inner, outer, col_tile,
+):
+    """Banded rewrite of ``_pool_writer_kernel``: one grid step
+    processes ``inner`` column tiles (static slices of a wider
+    VMEM-resident r block) and stores its [RT, inner·ppt] slab with a
+    STATIC lane offset chosen by ``j % outer`` (unrolled ``pl.when``
+    branches — each branch is a static store, so no identity-row
+    placement matmul, no −inf sentinel dance, and ids ride as int32
+    directly, lifting v1's 2^24 id ceiling). Grid steps drop by
+    ``inner``× vs v1 (the measured v1 loss to the XLA scan at 1M was
+    attributed to per-step overhead at 17k steps)."""
+    j = pl.program_id(1)
+    ct = col_tile
+    seg = ct // SEG_LANES
+    ppt = 2 * seg
+    col0 = j * (inner * ct)
+    vals_parts = []
+    ids_parts = []
+    for t in range(inner):
+        r_t = r_ref[t * ct:(t + 1) * ct, :]
+        if q_ref.dtype == jnp.bfloat16:
+            s = jnp.dot(q_ref[:], r_t.T,
+                        preferred_element_type=jnp.float32)
+        else:
+            s = jnp.dot(q_ref[:], r_t.T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision(precision))
+        rt = s.shape[0]
+        tile_col0 = col0 + t * ct
+        col_ids = tile_col0 + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(col_ids < n_valid_ref[0], s, NEG_INF)
+        s3 = s.reshape(rt, seg, SEG_LANES)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+        m1 = jnp.max(s3, axis=2)
+        a1 = jnp.min(
+            jnp.where(s3 == m1[:, :, None], lane3, SEG_LANES), axis=2
+        )
+        s3b = jnp.where(lane3 == a1[:, :, None], NEG_INF, s3)
+        m2 = jnp.max(s3b, axis=2)
+        a2 = jnp.min(
+            jnp.where(s3b == m2[:, :, None], lane3, SEG_LANES), axis=2
+        )
+        seg_base = tile_col0 + jax.lax.broadcasted_iota(
+            jnp.int32, (rt, seg), 1
+        ) * SEG_LANES
+        vals_parts.append(jnp.concatenate([m1, m2], axis=1))
+        ids_parts.append(jnp.concatenate(
+            [seg_base + jnp.minimum(a1, SEG_LANES - 1),
+             seg_base + jnp.minimum(a2, SEG_LANES - 1)], axis=1
+        ))
+    vals = jnp.concatenate(vals_parts, axis=1)
+    ids = jnp.concatenate(ids_parts, axis=1)
+    w = inner * ppt
+    slot = j % outer
+    for sl in range(outer):
+        @pl.when(slot == sl)
+        def _(sl=sl):
+            out_v_ref[:, sl * w:(sl + 1) * w] = vals
+            out_i_ref[:, sl * w:(sl + 1) * w] = ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("precision", "interpret", "row_tile", "col_tile",
+                     "inner"),
+)
+def pool_writer_band(
+    q: jax.Array,  # [M, D], M % row_tile == 0 (f32 or bf16)
+    refs: jax.Array,  # [N, D], N % (outer·inner·col_tile) == 0
+    n_valid: jax.Array,  # scalar int32 (#real ref rows)
+    precision: str = "highest",
+    interpret: bool = False,
+    row_tile: int = POOL_ROW_TILE,
+    col_tile: int = POOL_COL_TILE,
+    inner: int = 0,  # 0 = auto by dtype (VMEM: wider r block in bf16)
+):
+    """Banded pool writer: same output layout and best-2-per-128
+    contract as ``pool_writer`` (tile t of a band at band columns
+    [ppt·t, ppt·t+ppt) as [m1 × ppt/2 | m2 × ppt/2], band-major), but
+    built with ``inner`` column tiles per grid step and static-offset
+    band stores instead of the placement matmul. Ids are int32
+    end-to-end — no 2^24 corpus ceiling."""
+    if precision == "default":
+        q = q.astype(jnp.bfloat16)
+        refs = refs.astype(jnp.bfloat16)
+        precision = "highest"
+    if inner == 0:
+        # The r block (inner·col_tile × D) is double-buffered in VMEM:
+        # bf16 affords twice the tiles of f32 at the same budget.
+        inner = 4 if refs.dtype == jnp.bfloat16 else 2
+    m, d = q.shape
+    n = refs.shape[0]
+    ppt = 2 * (col_tile // SEG_LANES)
+    assert 128 % (inner * ppt) == 0 or (inner * ppt) % 128 == 0, (
+        inner, ppt,
+    )
+    outer = max(1, 128 // (inner * ppt))
+    assert m % row_tile == 0, m
+    assert n % (outer * inner * col_tile) == 0, (n, outer, inner)
+    grid = (m // row_tile, n // (inner * col_tile))
+    band_w = outer * inner * ppt
+    assert interpret or band_w % 128 == 0, band_w
+    import functools as _ft
+
+    out_v, out_i = pl.pallas_call(
+        _ft.partial(_pool_band_kernel, precision=precision,
+                    inner=inner, outer=outer, col_tile=col_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((inner * col_tile, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((row_tile, band_w),
+                         lambda i, j: (i, j // outer),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, band_w),
+                         lambda i, j: (i, j // outer),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, ppt * (n // col_tile)), jnp.float32),
+            jax.ShapeDtypeStruct((m, ppt * (n // col_tile)), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * d,
+            bytes_accessed=(m * d * (n // (inner * col_tile))
+                            + n * d * (m // row_tile)
+                            + 2 * m * ppt * (n // col_tile)) * 4,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -463,26 +463,34 @@ def pooled_candidates(
     # outweighs the HBM round trip it saves. Exactness is guarded by
     # the pool count-verify under either builder.
     pool_flag = os.environ.get("VSC2022_TPU_POOL_PALLAS", "")
+    band_variant = pool_flag in ("band", "interpret_band")
     use_kernel = (
         metric == "IP"
-        # The kernel carries corpus ids through an f32 placement
-        # matmul — exact only below 2^24; larger corpora route to the
-        # XLA builder (int ids throughout).
-        and n_pad < (1 << 24)
+        # v1 carries corpus ids through an f32 placement matmul —
+        # exact only below 2^24; the band variant rides int32 ids and
+        # has no such ceiling.
+        and (band_variant or n_pad < (1 << 24))
         and (
-            pool_flag == "interpret"
-            or (pool_flag == "1" and jax.default_backend() == "tpu")
+            pool_flag in ("interpret", "interpret_band")
+            or (
+                pool_flag in ("1", "band")
+                and jax.default_backend() == "tpu"
+            )
         )
     )
     if use_kernel:
         # Fused Pallas pool writer: the scores never touch HBM (the
         # XLA scan below is bandwidth-bound at ~3.5× the matmul time).
         # Tile-major pool layout, same best-2-per-128 guarantee.
+        # =band selects the banded rewrite (inner-tiled grid, static
+        # band stores — built against v1's measured per-grid-step
+        # overhead at 1M scale).
         from vsc2022_tpu.ops.pallas_kernels import (
             POOL_COL_TILE,
             POOL_ROW_TILE,
             POOL_TILES_PER_BAND,
             pool_writer,
+            pool_writer_band,
         )
 
         m_pad = _ceil_to(m, POOL_ROW_TILE)
@@ -491,9 +499,10 @@ def pooled_candidates(
         rk = refs if n_kpad == n_pad else jnp.pad(
             refs, ((0, n_kpad - n_pad), (0, 0))
         )
-        pv, pi = pool_writer(
+        writer = pool_writer_band if band_variant else pool_writer
+        pv, pi = writer(
             qk.astype(refs.dtype), rk, n_valid, precision=precision,
-            interpret=pool_flag == "interpret",
+            interpret=pool_flag.startswith("interpret"),
         )
         sel = _pool_select(
             pv, pi, m_pad, n_rows, k_eff, kappa,
