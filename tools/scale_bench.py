@@ -35,6 +35,12 @@ parser.add_argument("--k_per_query", type=int, default=1200)
 parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32")
 parser.add_argument("--repeats", type=int, default=3)
+parser.add_argument(
+    "--mutate", action="store_true",
+    help="Also time serving-scale corpus mutation: device-side append "
+    "of 1000 rows (the `add` path) and keep_rows compaction dropping "
+    "1000 rows (the `remove` path), at the staged corpus size.",
+)
 
 
 def l2n(x):
@@ -77,7 +83,7 @@ def main(args):
     flops = 2.0 * args.queries * (
         args.noise * args.dim + args.corpus * (args.dim + 1)
     )
-    print(json.dumps({
+    out = {
         "corpus_frames": args.corpus,
         "dtype": args.dtype,
         "stage_s": round(stage_s, 1),
@@ -85,7 +91,28 @@ def main(args):
         "search_s": round(best, 3),
         "query_videos_per_sec": round(args.query_videos / best, 1),
         "tflops": round(flops / best / 1e12, 2),
-    }))
+    }
+
+    if args.mutate:
+        # Serving `add`: only the new rows cross the host link.
+        grow = l2n(rng.standard_normal((1000, args.dim), dtype=np.float32))
+        t0 = time.perf_counter()
+        searcher.append_refs(grow)
+        jax.block_until_ready(searcher.searcher._refs)
+        out["append_1000_s"] = round(time.perf_counter() - t0, 3)
+        # Serving `remove`: device-side compaction of the survivors
+        # (drop 1000 rows spread across the corpus).
+        n_now = searcher.searcher.n_refs
+        drop = np.linspace(0, n_now - 1, 1000, dtype=np.int64)
+        keep = np.setdiff1d(
+            np.arange(n_now, dtype=np.int32), drop.astype(np.int32)
+        )
+        t0 = time.perf_counter()
+        searcher.keep_refs(keep)
+        jax.block_until_ready(searcher.searcher._refs)
+        out["compact_drop_1000_s"] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
