@@ -501,9 +501,9 @@ def bench_serving(results):
     rng = np.random.default_rng(11)
     n_serve_refs = 200  # smaller corpus: latency metric, not throughput
 
-    def videos(prefix, n, frames=FRAMES):
+    def videos(prefix, n, start=0, frames=FRAMES):
         out = []
-        for i in range(n):
+        for i in range(start, start + n):
             f = l2n(rng.standard_normal((frames, DIM), dtype=np.float32))
             out.append(VideoFeature(
                 video_id=f"{prefix}{i:06d}",
@@ -515,38 +515,33 @@ def bench_serving(results):
     refs = videos("R", n_serve_refs)
     queries = videos("Q", 30)
     queries[0].feature[10:30] = refs[0].feature[5:25]  # one planted copy
-    noise = videos("R", 100)
-    for i, vf in enumerate(noise):  # disjoint ids from the corpus
-        noise[i] = VideoFeature(
-            video_id=f"R{9000 + i:06d}", timestamps=vf.timestamps,
-            feature=vf.feature,
-        )
-    tmp = tempfile.mkdtemp(prefix="bench_serve_")
-    r_npz = os.path.join(tmp, "r.npz")
-    q_npz = os.path.join(tmp, "q.npz")
-    n_npz = os.path.join(tmp, "noise.npz")
-    store_features(r_npz, refs, Dataset.REFS)
-    store_features(q_npz, queries, Dataset.QUERIES)
-    store_features(n_npz, noise, Dataset.REFS)
+    noise = videos("R", 100, start=9000)  # ids disjoint from the corpus
+    with tempfile.TemporaryDirectory(prefix="bench_serve_") as tmp:
+        r_npz = os.path.join(tmp, "r.npz")
+        q_npz = os.path.join(tmp, "q.npz")
+        n_npz = os.path.join(tmp, "noise.npz")
+        store_features(r_npz, refs, Dataset.REFS)
+        store_features(q_npz, queries, Dataset.QUERIES)
+        store_features(n_npz, noise, Dataset.REFS)
 
-    t0 = time.perf_counter()
-    client = ServeClient.spawn(
-        r_npz, score_norm_features=n_npz, matches=True,
-        stderr=subprocess.DEVNULL,
-    )
-    try:
-        startup_s = time.perf_counter() - t0
-        client.search(q_npz)  # warm the request shapes (compile)
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            res = client.search(q_npz)
-            best = min(best, time.perf_counter() - t0)
-        assert res.n_candidates > 0 and res.n_matches > 0
-        results["serving_startup_s"] = round(startup_s, 2)
-        results["serving_warm_request_s"] = round(best, 3)
-    finally:
-        client.close(shutdown=True)
+        t0 = time.perf_counter()
+        client = ServeClient.spawn(
+            r_npz, score_norm_features=n_npz, matches=True,
+            stderr=subprocess.DEVNULL,
+        )
+        try:
+            startup_s = time.perf_counter() - t0
+            client.search(q_npz)  # warm the request shapes (compile)
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                res = client.search(q_npz)
+                best = min(best, time.perf_counter() - t0)
+            assert res.n_candidates > 0 and res.n_matches > 0
+            results["serving_startup_s"] = round(startup_s, 2)
+            results["serving_warm_request_s"] = round(best, 3)
+        finally:
+            client.close(shutdown=True)
 
 
 def main():

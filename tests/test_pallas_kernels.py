@@ -209,18 +209,14 @@ class TestPoolWriter:
             band = pool_writer_band(
                 jnp.asarray(q), jnp.asarray(r), nv, interpret=True, **kw
             )
-            if kw.get("precision") == "default":
-                # bf16 matmul of small ints is exact; pools must agree.
-                np.testing.assert_array_equal(
-                    np.asarray(v1[0]), np.asarray(band[0])
-                )
-            else:
-                np.testing.assert_array_equal(
-                    np.asarray(v1[0]), np.asarray(band[0])
-                )
-                np.testing.assert_array_equal(
-                    np.asarray(v1[1]), np.asarray(band[1])
-                )
+            # bf16 ("default") matmuls of small ints are exact, so
+            # values AND min-lane tie-break ids must agree everywhere.
+            np.testing.assert_array_equal(
+                np.asarray(v1[0]), np.asarray(band[0])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(v1[1]), np.asarray(band[1])
+            )
 
     @pytest.mark.parametrize(
         "flag", ["interpret", "interpret_band"]

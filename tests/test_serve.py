@@ -335,8 +335,6 @@ class TestRemoveFailureConsistency:
         # state dropped), so the error is survivable: the next search
         # restages and serves the survivors. Without this, a retry is
         # blocked forever by the not-indexed validation.
-        import argparse
-
         from vsc2022_tpu.localization import TNLocalizationMaxSim
         from vsc2022_tpu.retrieval.serve import _remove_refs
 

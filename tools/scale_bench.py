@@ -94,19 +94,29 @@ def main(args):
     }
 
     if args.mutate:
-        # Serving `add`: only the new rows cross the host link.
+        def drop_1000_keep_idx():
+            n_now = searcher.searcher.n_refs
+            drop = np.linspace(0, n_now - 1, 1000, dtype=np.int64)
+            return np.setdiff1d(
+                np.arange(n_now, dtype=np.int32), drop.astype(np.int32)
+            )
+
         grow = l2n(rng.standard_normal((1000, args.dim), dtype=np.float32))
+        # Untimed warm pass (same shapes as the timed one): a cold
+        # compile through the relay is ~30-60 s and would swamp the
+        # device-side mutation cost this metric is after.
+        searcher.append_refs(grow)
+        searcher.keep_refs(drop_1000_keep_idx())
+        jax.block_until_ready(searcher.searcher._refs)
+
+        # Serving `add`: only the new rows cross the host link.
         t0 = time.perf_counter()
         searcher.append_refs(grow)
         jax.block_until_ready(searcher.searcher._refs)
         out["append_1000_s"] = round(time.perf_counter() - t0, 3)
         # Serving `remove`: device-side compaction of the survivors
         # (drop 1000 rows spread across the corpus).
-        n_now = searcher.searcher.n_refs
-        drop = np.linspace(0, n_now - 1, 1000, dtype=np.int64)
-        keep = np.setdiff1d(
-            np.arange(n_now, dtype=np.int32), drop.astype(np.int32)
-        )
+        keep = drop_1000_keep_idx()
         t0 = time.perf_counter()
         searcher.keep_refs(keep)
         jax.block_until_ready(searcher.searcher._refs)

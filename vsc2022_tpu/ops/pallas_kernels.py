@@ -328,11 +328,10 @@ def pool_writer(
     # The TPU lowering wants a 128-divisible minor output dim (the
     # interpreter does not care — tests use tiny bands).
     assert interpret or (band * ppt) % 128 == 0, (band, col_tile)
-    import functools as _ft
 
     out_v, out_i = pl.pallas_call(
-        _ft.partial(_pool_writer_kernel, precision=precision,
-                    tiles_per_band=band),
+        functools.partial(_pool_writer_kernel, precision=precision,
+                          tiles_per_band=band),
         grid=grid,
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda i, j: (i, 0),
@@ -471,11 +470,10 @@ def pool_writer_band(
     grid = (m // row_tile, n // (inner * col_tile))
     band_w = outer * inner * ppt
     assert interpret or band_w % 128 == 0, band_w
-    import functools as _ft
 
     out_v, out_i = pl.pallas_call(
-        _ft.partial(_pool_band_kernel, precision=precision,
-                    inner=inner, outer=outer, col_tile=col_tile),
+        functools.partial(_pool_band_kernel, precision=precision,
+                          inner=inner, outer=outer, col_tile=col_tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda i, j: (i, 0),
