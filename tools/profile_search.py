@@ -45,7 +45,8 @@ parser.add_argument("--skip", default="", help="comma list of phases to skip")
 parser.add_argument(
     "--pool_tiles", default="",
     help="comma list of rowxcolxband Pallas pool-writer tilings to "
-    "sweep, e.g. 512x1024x8,512x2048x4,1024x2048x4",
+    "sweep, e.g. 512x1024x8,512x2048x4,1024x2048x4; prefix b for the "
+    "banded writer with rowxcolxinner, e.g. b512x1024x4,b256x1024x8",
 )
 parser.add_argument("--cpu", action="store_true",
                     help="run on host CPU (logic shakeout only)")
@@ -371,19 +372,34 @@ def main(args):
         from vsc2022_tpu.ops import pallas_kernels as PK
 
         for spec in args.pool_tiles.split(","):
-            rt_, ct_, band_ = (int(x) for x in spec.split("x"))
+            # rowxcolxband sweeps pool_writer (v1); a leading "b"
+            # (brtxctxinner, e.g. b512x1024x4) sweeps pool_writer_band
+            # with that inner count (outer derives from 128 lanes).
+            banded = spec.startswith("b")
+            rt_, ct_, k3 = (int(x) for x in spec.lstrip("b").split("x"))
+            ppt_ = 2 * (ct_ // 128)
+            pad_unit = (
+                max(1, 128 // (k3 * ppt_)) * k3 * ct_ if banded
+                else k3 * ct_
+            )
             m_pad = -(-m // rt_) * rt_
-            n_kpad = -(-n_pad // (band_ * ct_)) * (band_ * ct_)
+            n_kpad = -(-n_pad // pad_unit) * pad_unit
             qk = q if m_pad == m else jnp.pad(q, ((0, m_pad - m), (0, 0)))
             rk = refs if n_kpad == n_pad else jnp.pad(
                 refs, ((0, n_kpad - n_pad), (0, 0)))
 
             @jax.jit
-            def run_kernel(qk, rk, rt_=rt_, ct_=ct_, band_=band_):
-                pv, pi = PK.pool_writer(
-                    qk, rk, n_valid, precision=args.precision,
-                    row_tile=rt_, col_tile=ct_, tiles_per_band=band_,
-                )
+            def run_kernel(qk, rk, rt_=rt_, ct_=ct_, k3=k3, banded=banded):
+                if banded:
+                    pv, pi = PK.pool_writer_band(
+                        qk, rk, n_valid, precision=args.precision,
+                        row_tile=rt_, col_tile=ct_, inner=k3,
+                    )
+                else:
+                    pv, pi = PK.pool_writer(
+                        qk, rk, n_valid, precision=args.precision,
+                        row_tile=rt_, col_tile=ct_, tiles_per_band=k3,
+                    )
                 return jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
 
             try:
