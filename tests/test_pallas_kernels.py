@@ -218,6 +218,31 @@ class TestPoolWriter:
                 np.asarray(v1[1]), np.asarray(band[1])
             )
 
+    def test_band_writer_multi_band_matches_v1(self):
+        # Two full output bands: the banded writer's j//outer block
+        # map and in-band slot arithmetic must land every tile at the
+        # same flat position v1 uses.
+        from vsc2022_tpu.ops.pallas_kernels import (
+            POOL_COL_TILE,
+            POOL_ROW_TILE,
+            POOL_TILES_PER_BAND,
+            pool_writer,
+            pool_writer_band,
+        )
+
+        rng = np.random.RandomState(12)
+        m, d = POOL_ROW_TILE, 8
+        n = 2 * POOL_TILES_PER_BAND * POOL_COL_TILE
+        q = rng.randint(-2, 3, size=(m, d)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(n, d)).astype(np.float32)
+        nv = jnp.int32(n - 999)
+        v1 = pool_writer(jnp.asarray(q), jnp.asarray(r), nv, interpret=True)
+        band = pool_writer_band(
+            jnp.asarray(q), jnp.asarray(r), nv, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(v1[0]), np.asarray(band[0]))
+        np.testing.assert_array_equal(np.asarray(v1[1]), np.asarray(band[1]))
+
     @pytest.mark.parametrize(
         "flag", ["interpret", "interpret_band"]
     )
