@@ -422,11 +422,34 @@ def _pool_band_kernel(
     ids = jnp.concatenate(ids_parts, axis=1)
     w = inner * ppt
     slot = j % outer
+    if outer == 1:
+        out_v_ref[:] = vals
+        out_i_ref[:] = ids
+        return
+    # outer > 1: `outer` consecutive steps share one 128-wide output
+    # band (the block stays VMEM-resident across them). Each branch
+    # stores the FULL band with this step's slab zero-extended to its
+    # static window — full-block stores lower under any alignment,
+    # where a w-lane offset store might not (v1's header records a
+    # 16-lane offset store being rejected outright). Zeros are safe to
+    # add to −inf values and int32 ids alike (no products, no NaNs).
+    rt = vals.shape[0]
+
+    def placed(x, sl):
+        zeros = jnp.zeros((rt, w), x.dtype)
+        return jnp.concatenate(
+            [zeros] * sl + [x] + [zeros] * (outer - 1 - sl), axis=1
+        )
+
     for sl in range(outer):
         @pl.when(slot == sl)
         def _(sl=sl):
-            out_v_ref[:, sl * w:(sl + 1) * w] = vals
-            out_i_ref[:, sl * w:(sl + 1) * w] = ids
+            if sl == 0:
+                out_v_ref[:] = placed(vals, 0)
+                out_i_ref[:] = placed(ids, 0)
+            else:
+                out_v_ref[:] = out_v_ref[:] + placed(vals, sl)
+                out_i_ref[:] = out_i_ref[:] + placed(ids, sl)
 
 
 @functools.partial(
