@@ -463,7 +463,8 @@ def pool_writer_band(
     n_valid: jax.Array,  # scalar int32 (#real ref rows)
     precision: str = "highest",
     interpret: bool = False,
-    row_tile: int = POOL_ROW_TILE,
+    row_tile: int = 256,  # smaller than v1: the wider r block plus the
+    #                       score-tile temporaries must share VMEM
     col_tile: int = POOL_COL_TILE,
     inner: int = 0,  # 0 = auto by dtype (VMEM: wider r block in bf16)
 ):
