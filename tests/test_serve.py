@@ -714,6 +714,66 @@ class TestServeCLI:
             m.query_id == "Q000001" and m.ref_id == "R000001" for m in got
         )
 
+    def test_sharded_server_lifecycle_matches_unsharded(
+        self, served, tmp_path
+    ):
+        # A --sharded server (8 virtual CPU devices) must answer the
+        # full lifecycle — search, add, remove, save — bit-identically
+        # to the unsharded server.
+        tmp, queries, refs, noise = served
+        new_ref = VideoFeature(
+            video_id=88,
+            timestamps=np.arange(20, dtype=np.float64),
+            feature=l2n(
+                np.random.RandomState(41).randn(20, 24)
+            ).astype(np.float32),
+        )
+        add_npz = str(tmp_path / "add88.npz")
+        store_features(add_npz, [new_ref], Dataset.REFS)
+
+        def lifecycle(tag, *extra):
+            env = dict(
+                os.environ, VSC2022_TPU_FORCE_CPU="1",
+                XLA_FLAGS="--xla_force_host_platform_device_count=8",
+            )
+            proc = subprocess.Popen(
+                [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+                 "--ref_features", os.path.join(tmp, "r.npz"),
+                 "--score_norm_features", os.path.join(tmp, "noise.npz"),
+                 *extra],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+            )
+            try:
+                assert proc.stdout.readline().startswith("ready")
+
+                def req(line):
+                    proc.stdin.write(line + "\n")
+                    proc.stdin.flush()
+                    return proc.stdout.readline().strip().split("\t")
+
+                assert req(f"add\t{add_npz}")[:3] == ["ok", "added", "1"]
+                assert req("remove\tR000002")[:3] == ["ok", "removed", "1"]
+                out = tmp_path / f"{tag}.csv"
+                assert req(f"{os.path.join(tmp, 'q.npz')}\t{out}")[0] == "ok"
+                snap = tmp_path / f"{tag}_snap.npz"
+                assert req(f"save\t{snap}")[:3] == ["ok", "saved", "10"]
+                proc.stdin.write("quit\n")
+                proc.stdin.flush()
+                assert proc.wait(timeout=240) == 0
+            finally:
+                proc.kill()
+            return out, snap
+
+        plain_csv, plain_snap = lifecycle("plain")
+        shard_csv, shard_snap = lifecycle("shard", "--sharded")
+        with open(plain_csv, "rb") as a, open(shard_csv, "rb") as b:
+            assert a.read() == b.read()
+        # Snapshots carry identical contents (same video order, rows).
+        pa, pb = np.load(plain_snap), np.load(shard_snap)
+        for key in ("video_ids", "features", "timestamps"):
+            np.testing.assert_array_equal(pa[key], pb[key])
+
     def test_tcp_listen_mode(self, served, tmp_path):
         # --listen serves the same line protocol over TCP: sequential
         # clients each get the ready greeting; quit ends one session,
