@@ -595,6 +595,49 @@ class TestMutationFuzz:
         index.remove([1])
         assert index.features() == [] and index.video_metadata == {}
 
+    def test_sharded_interleaved_mutations_match_fresh(self):
+        # Compound add/remove over a corpus mesh: repeated GSPMD
+        # redistributions (growth re-pads, compaction shrinks) must
+        # still land every intermediate state on the fresh-stage
+        # layout exactly.
+        import jax
+
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+        from vsc2022_tpu.parallel.sharded_search import (
+            ShardedSimilaritySearcher,
+        )
+
+        assert len(jax.devices()) >= 8
+        mesh = corpus_mesh(8)
+        rng = np.random.RandomState(73)
+        q = rng.randint(-3, 4, size=(9, 16)).astype(np.float32)
+        live = rng.randint(-3, 4, size=(1500, 16)).astype(np.float32)
+        s = ShardedSimilaritySearcher(live, mesh)
+        s.global_topk(q, 20)  # stage before mutating
+
+        for step in range(6):
+            if step % 2 == 0:
+                grow = rng.randint(
+                    -3, 4, size=(int(rng.randint(200, 1200)), 16)
+                ).astype(np.float32)
+                s.append_rows(grow)
+                live = np.concatenate([live, grow])
+            else:
+                keep = np.flatnonzero(
+                    rng.rand(live.shape[0]) < 0.6
+                ).astype(np.int32)
+                s.keep_rows(keep)
+                live = live[keep]
+            fresh = ShardedSimilaritySearcher(live, mesh)
+            assert (s.shard_rows, s.col_block) == (
+                fresh.shard_rows, fresh.col_block,
+            ), f"geometry diverged at step {step}"
+            gq, gr, gs = s.global_topk(q, 50)
+            fq, fr, fs = fresh.global_topk(q, 50)
+            np.testing.assert_array_equal(gq, fq, err_msg=f"step {step}")
+            np.testing.assert_array_equal(gr, fr, err_msg=f"step {step}")
+            np.testing.assert_allclose(gs, fs, rtol=1e-6)
+
     def test_remove_to_empty_then_add(self):
         rng = np.random.RandomState(61)
 
