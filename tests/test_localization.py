@@ -682,3 +682,137 @@ class TestExactTies:
                 if bool(valid[0][p])
             ]
             assert got == [tuple(map(int, b)) for b in expect], (got, expect)
+
+
+class TestShardedRefTable:
+    """shard_ref_table: the resident ref frame table row-shards over
+    the corpus mesh (matching capacity scales with the pod). Every
+    similarity element is computed whole on the shard owning its ref
+    row and psum'd with exact zeros, so results are BIT-identical to
+    the unsharded localizer — including through add/remove."""
+
+    @staticmethod
+    def _mesh(n=8):
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        return corpus_mesh(n)
+
+    @staticmethod
+    def _key(m):
+        return (
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end, m.score,
+        )
+
+    def _ragged_case(self, rng, n_refs=5):
+        # Varied video lengths hit several (nq, nr) buckets, and an odd
+        # pair count exercises the batch padding to the mesh multiple.
+        q = l2n(rng.normal(size=(45, D))).astype(np.float32)
+        refs = []
+        for i in range(n_refs):
+            r = l2n(
+                rng.normal(size=(20 + 13 * i, D))
+            ).astype(np.float32)
+            if i % 2 == 0:  # plant a copy in every other ref
+                r[5:15, :] = q[20:30, :]
+            refs.append(make_feature(10 + i, r))
+        queries = [make_feature(1, q)]
+        pairs = [CandidatePair(1, 10 + i, 1.0) for i in range(n_refs)]
+        return queries, refs, pairs
+
+    def test_sharded_bitwise_matches_unsharded(self):
+        rng = np.random.RandomState(11)
+        queries, refs, pairs = self._ragged_case(rng)
+        mesh = self._mesh()
+        sharded = TNLocalizationMaxSim(
+            queries, refs, "TN", similarity_bias=0.5, mesh=mesh,
+            shard_ref_table=True,
+        )
+        plain = TNLocalizationMaxSim(
+            queries, refs, "TN", similarity_bias=0.5,
+        )
+        got = sharded.localize_all(pairs)
+        expect = plain.localize_all(pairs)
+        assert len(expect) >= 2
+        assert sorted(map(self._key, got)) == sorted(map(self._key, expect))
+        # The table really is distributed (not replicated on one chip).
+        assert len(sharded._r_table.sharding.device_set) == 8
+        assert not sharded._r_table.sharding.is_fully_replicated
+        assert sharded._r_table.shape[0] % 8 == 0
+        assert sharded._r_rows is not None
+
+    def test_sharded_add_refs_grows_over_mesh(self):
+        rng = np.random.RandomState(13)
+        queries, refs, pairs = self._ragged_case(rng, n_refs=3)
+        extra = l2n(rng.normal(size=(37, D))).astype(np.float32)
+        extra[0:10, :] = queries[0].feature[20:30, :]
+        added = [make_feature(99, extra)]
+        all_pairs = pairs + [CandidatePair(1, 99, 1.0)]
+        mesh = self._mesh()
+
+        grown = TNLocalizationMaxSim(
+            queries, refs, "TN", similarity_bias=0.5, mesh=mesh,
+            shard_ref_table=True,
+        )
+        grown.localize_all(pairs[:1])  # stage tables
+        grown.add_refs(added)
+        assert grown._r_table.shape[0] % 8 == 0
+        assert grown._r_rows == 1 + sum(
+            vf.feature.shape[0] for vf in refs + added
+        )
+        got = grown.localize_all(all_pairs)
+
+        fresh = TNLocalizationMaxSim(
+            queries, refs + added, "TN", similarity_bias=0.5,
+        )
+        expect = fresh.localize_all(all_pairs)
+        assert any(m.ref_id == 99 for m in expect)
+        assert sorted(map(self._key, got)) == sorted(map(self._key, expect))
+
+    def test_sharded_remove_refs_compacts_over_mesh(self):
+        rng = np.random.RandomState(17)
+        queries, refs, pairs = self._ragged_case(rng)
+        mesh = self._mesh()
+
+        shrunk = TNLocalizationMaxSim(
+            queries, refs, "TN", similarity_bias=0.5, mesh=mesh,
+            shard_ref_table=True,
+        )
+        shrunk.localize_all(pairs)  # stage tables
+        drop = [refs[1].video_id, refs[3].video_id]
+        shrunk.remove_refs(drop)
+        with pytest.raises(KeyError, match="not staged"):
+            shrunk.remove_refs([drop[0]])
+        survivors = [vf for vf in refs if vf.video_id not in drop]
+        assert shrunk._r_rows == 1 + sum(
+            vf.feature.shape[0] for vf in survivors
+        )
+        keep_pairs = [
+            p for p in pairs
+            if p.ref_id not in drop
+        ]
+        got = shrunk.localize_all(keep_pairs)
+
+        fresh = TNLocalizationMaxSim(
+            queries, survivors, "TN", similarity_bias=0.5,
+        )
+        expect = fresh.localize_all(keep_pairs)
+        assert len(expect) >= 2
+        assert sorted(map(self._key, got)) == sorted(map(self._key, expect))
+
+    def test_shard_ref_table_requires_mesh(self):
+        rng = np.random.RandomState(5)
+        queries, refs = make_planted_case(rng)
+        with pytest.raises(ValueError, match="requires a mesh"):
+            TNLocalizationMaxSim(
+                queries, refs, "TN", shard_ref_table=True
+            )
+
+    def test_dns_rejects_shard_ref_table(self):
+        from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
+
+        with pytest.raises(NotImplementedError, match="DnS"):
+            DnSLocalization(
+                {}, {}, [], [], model_type="TN",
+                mesh=self._mesh(), shard_ref_table=True,
+            )

@@ -740,7 +740,7 @@ class TestServeCLI:
                 [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
                  "--ref_features", os.path.join(tmp, "r.npz"),
                  "--score_norm_features", os.path.join(tmp, "noise.npz"),
-                 *extra],
+                 "--matches", *extra],
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
             )
@@ -755,7 +755,10 @@ class TestServeCLI:
                 assert req(f"add\t{add_npz}")[:3] == ["ok", "added", "1"]
                 assert req("remove\tR000002")[:3] == ["ok", "removed", "1"]
                 out = tmp_path / f"{tag}.csv"
-                assert req(f"{os.path.join(tmp, 'q.npz')}\t{out}")[0] == "ok"
+                m_out = tmp_path / f"{tag}_m.csv"
+                assert req(
+                    f"{os.path.join(tmp, 'q.npz')}\t{out}\t{m_out}"
+                )[0] == "ok"
                 snap = tmp_path / f"{tag}_snap.npz"
                 assert req(f"save\t{snap}")[:3] == ["ok", "saved", "10"]
                 proc.stdin.write("quit\n")
@@ -763,12 +766,20 @@ class TestServeCLI:
                 assert proc.wait(timeout=240) == 0
             finally:
                 proc.kill()
-            return out, snap
+            return out, snap, m_out
 
-        plain_csv, plain_snap = lifecycle("plain")
-        shard_csv, shard_snap = lifecycle("shard", "--sharded")
+        plain_csv, plain_snap, plain_m = lifecycle("plain")
+        shard_csv, shard_snap, shard_m = lifecycle("shard", "--sharded")
         with open(plain_csv, "rb") as a, open(shard_csv, "rb") as b:
             assert a.read() == b.read()
+        # Matches too: the sharded server row-shards the localizer's
+        # resident ref table over the mesh — results must stay
+        # bit-identical through the add/remove lifecycle.
+        with open(plain_m, "rb") as a, open(shard_m, "rb") as b:
+            assert a.read() == b.read()
+        from vsc2022_tpu.metrics import Match
+
+        assert len(Match.read_csv(str(plain_m))) >= 1
         # Snapshots carry identical contents (same video order, rows).
         pa, pb = np.load(plain_snap), np.load(shard_snap)
         for key in ("video_ids", "features", "timestamps"):

@@ -200,6 +200,12 @@ class DnSLocalization(TNLocalizationMaxSim):
         geometric_mean: bool = True,
         **kwargs,
     ):
+        if kwargs.get("shard_ref_table"):
+            # The fused chamfer path gathers from its own fine tables;
+            # sharding only the coarse side would not scale capacity.
+            raise NotImplementedError(
+                "shard_ref_table is not supported for DnS localization"
+            )
         super().__init__(queries_coarse, refs_coarse, model_type, **kwargs)
         self.queries_fine = queries_fine
         self.refs_fine = refs_fine

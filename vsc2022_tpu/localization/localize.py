@@ -70,6 +70,52 @@ def _gathered_pair_sims(
     return _pair_sims(q, r, bias, precision)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_sims_fn(mesh, axis: str, shard_rows: int, precision: str):
+    """Pair similarities from a ROW-SHARDED ref table.
+
+    The resident ref table shards over the corpus mesh (HBM capacity
+    for localization scales with the pod instead of one chip); each
+    shard gathers the rows it owns (others masked to zero) and runs
+    the same einsum as the unsharded path, so every (q, r) inner
+    product is computed whole on exactly one shard and every other
+    shard contributes exact zeros — the psum_scatter sum is therefore
+    bit-identical to the unsharded similarity, and it lands the sims
+    already batch-sharded for the TN DP (which partitions over pairs).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    prec = jax.lax.Precision(precision)
+
+    def body(r_local, q_table, q_idx, r_idx, bias):
+        start = jax.lax.axis_index(axis) * shard_rows
+        loc = r_idx - start
+        ok = (loc >= 0) & (loc < shard_rows)
+        r = jnp.take(r_local, jnp.clip(loc, 0, shard_rows - 1), axis=0)
+        r = jnp.where(ok[..., None], r, 0.0)
+        q = jnp.take(q_table, q_idx, axis=0)
+        part = jnp.einsum(
+            "bqd,brd->bqr", q, r, precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        sims = jax.lax.psum_scatter(
+            part, axis, scatter_dimension=0, tiled=True
+        )
+        return sims + bias
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(), P(), P()),
+        out_specs=P(axis),
+    )
+    return jax.jit(fn)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 class Localization(abc.ABC):
     @abc.abstractmethod
     def localize(self, candidate: CandidatePair) -> List[Match]:
@@ -118,6 +164,7 @@ class TNLocalization(LocalizationWithMetadata):
         adaptive_sigma: float = 2.5,
         vcsl_faithful: bool = False,
         mesh=None,
+        shard_ref_table: bool = False,
         **kwargs,
     ):
         super().__init__(queries, refs)
@@ -130,6 +177,13 @@ class TNLocalization(LocalizationWithMetadata):
         # the batched alignment with zero collectives — the TPU analog
         # of the reference's 16-process VCSL pool, but over chips).
         self._align_sharding = None
+        # shard_ref_table additionally ROW-SHARDS the resident ref
+        # frame table over the same mesh axis: matching capacity scales
+        # with the pod (the table was previously one single-device
+        # array) and results stay bit-identical (_sharded_sims_fn).
+        self._table_mesh = None
+        if shard_ref_table and mesh is None:
+            raise ValueError("shard_ref_table requires a mesh")
         if mesh is not None:
             from vsc2022_tpu.parallel.mesh import (
                 first_axis_sharding,
@@ -138,6 +192,8 @@ class TNLocalization(LocalizationWithMetadata):
 
             self._mesh_devices = first_axis_size(mesh)
             self._align_sharding = first_axis_sharding(mesh)
+            if shard_ref_table:
+                self._table_mesh = mesh
         if vcsl_faithful:
             # Parity configuration: published VCSL TN gating/extraction
             # (absolute min_sim, top-K=5, path-cell masking, max_iou
@@ -192,9 +248,14 @@ class TNLocalization(LocalizationWithMetadata):
         for m in refs:
             self.refs[m.video_id] = m
         if getattr(self, "_r_table", None) is not None:
-            self._r_table = self._grow_table(
-                self._r_table, self._r_offs, refs
-            )
+            if self._table_mesh is not None:
+                self._r_table, self._r_rows = self._grow_sharded(
+                    self._r_table, self._r_rows, self._r_offs, refs
+                )
+            else:
+                self._r_table = self._grow_table(
+                    self._r_table, self._r_offs, refs
+                )
 
     def remove_refs(self, video_ids) -> None:
         """Drop reference videos (serving `remove`). A staged ref table
@@ -211,14 +272,22 @@ class TNLocalization(LocalizationWithMetadata):
             del self.refs[v]
         if getattr(self, "_r_table", None) is not None:
             try:
-                self._r_table, self._r_offs = self._compact_table(
-                    self._r_table, self._r_offs, self.refs
-                )
+                if self._table_mesh is not None:
+                    (
+                        self._r_table, self._r_offs, self._r_rows,
+                    ) = self._compact_sharded(
+                        self._r_table, self._r_offs, self.refs
+                    )
+                else:
+                    self._r_table, self._r_offs = self._compact_table(
+                        self._r_table, self._r_offs, self.refs
+                    )
             except Exception:
                 # Compaction failed device-side: drop the staged table
                 # so the next alignment rebuilds from self.refs (which
                 # already shrank) instead of serving stale rows.
                 self._r_table, self._r_offs = None, None
+                self._r_rows = None
                 raise
 
     @staticmethod
@@ -242,6 +311,77 @@ class TNLocalization(LocalizationWithMetadata):
             new_offs[vid] = (cursor, n)
             cursor += n
         return jnp.take(table, jnp.asarray(idx), axis=0), new_offs
+
+    def _grow_sharded(self, table, logical, offsets, vids, row_fn=None):
+        """Sharded-table append (serving `add`): the new rows write at
+        the logical row count inside one jit whose out_shardings keeps
+        the table row-sharded — when the padding must grow, GSPMD
+        redistributes the resident rows over ICI; the corpus never
+        revisits the host link (same pattern as the sharded searcher's
+        append_rows)."""
+        cursor = int(logical)
+        rows = []
+        for vf in vids:
+            feat = (
+                np.asarray(vf.feature, dtype=np.float32)
+                if row_fn is None else row_fn(vf)
+            )
+            offsets[vf.video_id] = (cursor, feat.shape[0])
+            rows.append(feat)
+            cursor += feat.shape[0]
+        if not rows:
+            return table, logical
+        new_rows = np.concatenate(rows, axis=0)
+        n_dev = self._table_mesh.devices.size
+        n_pad = _ceil_to(cursor, n_dev)
+        grow = n_pad - int(table.shape[0])
+
+        def _append(tab, rws, offset):
+            if grow > 0:
+                tab = jnp.pad(tab, ((0, grow), (0, 0)))
+            return jax.lax.dynamic_update_slice(
+                tab, rws.astype(tab.dtype), (offset, 0)
+            )
+
+        table = jax.jit(_append, out_shardings=self._row_sharding())(
+            table, jnp.asarray(new_rows),
+            jnp.asarray(int(logical), jnp.int32),
+        )
+        return table, cursor
+
+    def _compact_sharded(self, table, offsets, source, row_fn=None):
+        """Sharded-table compaction (serving `remove`): one jitted
+        gather with sharded out_shardings lands the survivors on the
+        fresh-stage layout — survivors rebalance across shards over
+        ICI, only the int32 index vector crosses the host link."""
+        import functools as _ft
+
+        from vsc2022_tpu.ops.similarity import _compact_gather
+
+        del row_fn
+        spans = [(offsets[vid], vid) for vid in source]
+        idx = np.concatenate(
+            [np.zeros(1, dtype=np.int32)]
+            + [
+                np.arange(start, start + n, dtype=np.int32)
+                for (start, n), _ in spans
+            ]
+        )
+        new_total = int(idx.size)
+        n_dev = self._table_mesh.devices.size
+        n_pad = _ceil_to(new_total, n_dev)
+        idx_pad = np.zeros((n_pad,), dtype=np.int32)
+        idx_pad[:new_total] = idx
+        table = jax.jit(
+            _ft.partial(_compact_gather, n_pad=n_pad, new_total=new_total),
+            out_shardings=self._row_sharding(),
+        )(table, jnp.asarray(idx_pad))
+        new_offs = {}
+        cursor = 1
+        for (_, n), vid in spans:
+            new_offs[vid] = (cursor, n)
+            cursor += n
+        return table, new_offs, new_total
 
     def _grow_table(self, table, offsets, vids, row_fn=None):
         """Append videos' rows to a staged device table, extending
@@ -288,17 +428,51 @@ class TNLocalization(LocalizationWithMetadata):
         )
         return jnp.asarray(table), offsets
 
+    # -- sharded resident ref table (capacity scales with the mesh) ----
+
+    def _row_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._table_mesh
+        return NamedSharding(mesh, P(mesh.axis_names[0], None))
+
+    def _place_row_sharded(self, table):
+        """Pad a freshly built table to the mesh multiple and lay it
+        out row-sharded; returns (sharded table, logical row count).
+        Offsets address rows absolutely, so tail padding is invisible
+        to every gather."""
+        n_dev = self._table_mesh.devices.size
+        logical = int(table.shape[0])
+        n_pad = _ceil_to(logical, n_dev)
+        if n_pad != logical:
+            table = jnp.pad(table, ((0, n_pad - logical), (0, 0)))
+        return jax.device_put(table, self._row_sharding()), logical
+
     def _pair_tables(self):
         """Separate query/ref device tables: the ref table stages once
         and ``set_queries`` rebuilds only the query side — per-request
         cost is the new query rows, never a corpus-sized concat/copy.
-        (The DnS subclass mirrors this split for its fine tables.)"""
+        (The DnS subclass mirrors this split for its fine tables.)
+        Under ``shard_ref_table`` the ref table is row-sharded over the
+        corpus mesh and the query table replicated."""
         if getattr(self, "_r_table", None) is None:
             self._r_table, self._r_offs = self._build_table(self.refs)
+            self._r_rows = None
+            if self._table_mesh is not None:
+                self._r_table, self._r_rows = self._place_row_sharded(
+                    self._r_table
+                )
         if getattr(self, "_q_table", None) is None:
             self._q_table, self._q_offs = self._build_table(
                 self.queries, d_fallback=int(self._r_table.shape[1])
             )
+            if self._table_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._q_table = jax.device_put(
+                    self._q_table,
+                    NamedSharding(self._table_mesh, P(None, None)),
+                )
         return self._q_table, self._q_offs, self._r_table, self._r_offs
 
     @staticmethod
@@ -327,10 +501,34 @@ class TNLocalization(LocalizationWithMetadata):
         r_idx, r_len = self._indices_from(
             r_offs, [c.ref_id for c in candidates], nr
         )
-        sims = _gathered_pair_sims(
-            q_table, r_table, jnp.asarray(q_idx), jnp.asarray(r_idx),
-            jnp.float32(self.similarity_bias),
-        )
+        if self._table_mesh is not None:
+            # psum_scatter tiles the pair batch over the mesh, so pad
+            # it to the device count up front (pad rows gather the
+            # zero row and carry length 0; _localize_bucket's own
+            # padding then no-ops and its device_put sees the sims
+            # already laid out batch-sharded).
+            n_dev = self._table_mesh.devices.size
+            b_pad = _ceil_to(len(candidates), n_dev)
+            if b_pad != len(candidates):
+                grow = b_pad - len(candidates)
+                q_idx = np.pad(q_idx, ((0, grow), (0, 0)))
+                r_idx = np.pad(r_idx, ((0, grow), (0, 0)))
+                q_len = np.pad(q_len, (0, grow))
+                r_len = np.pad(r_len, (0, grow))
+            axis = self._table_mesh.axis_names[0]
+            fn = _sharded_sims_fn(
+                self._table_mesh, axis,
+                int(r_table.shape[0]) // n_dev, "highest",
+            )
+            sims = fn(
+                r_table, q_table, jnp.asarray(q_idx), jnp.asarray(r_idx),
+                jnp.float32(self.similarity_bias),
+            )
+        else:
+            sims = _gathered_pair_sims(
+                q_table, r_table, jnp.asarray(q_idx), jnp.asarray(r_idx),
+                jnp.float32(self.similarity_bias),
+            )
         return sims, jnp.asarray(q_len), jnp.asarray(r_len)
 
     # Overridable per subclass: fused DnS similarity needs ~11 live

@@ -253,6 +253,7 @@ def build_localizer(index, refs, args):
             [], index.localizer_ref_features(refs), model_type="TN",
             tn_max_step=5, min_length=4, similarity_bias=0.5,
             vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
+            shard_ref_table=index.mesh is not None,
         )
     refs_loc = [
         dataclasses.replace(vf, feature=l2_normalize_rows(vf.feature))
@@ -261,6 +262,7 @@ def build_localizer(index, refs, args):
     return TNLocalizationCandidateScore(
         [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
         vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
+        shard_ref_table=index.mesh is not None,
     )
 
 
