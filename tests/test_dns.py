@@ -408,3 +408,123 @@ class TestDnSTwoStageFlow:
         ))
         assert (tmp_path / "out" / "candidates.csv").exists()
         assert (tmp_path / "out" / "matches.csv").exists()
+
+
+class TestDnSShardedRefTables:
+    """shard_ref_table for DnS: both resident reference tables (coarse
+    and fine) row-shard over the corpus mesh. The chamfer is nonlinear
+    in the gathered rows, so the ROWS psum_scatter to their pair tile
+    (each row owned by exactly one shard → exact) before the fused
+    chamfer runs per tile — results must equal the unsharded localizer
+    through the add/remove lifecycle."""
+
+    @staticmethod
+    def _key(m):
+        return (
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end, m.score,
+        )
+
+    def _case(self, rng, n_refs=6):
+        def unit_regions(n):
+            x = rng.normal(size=(n, NUM_REGIONS, 16)).astype(np.float32)
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        def coarse_from(f):
+            p = f.mean(axis=1)
+            return p / np.linalg.norm(p, axis=-1, keepdims=True)
+
+        r_fine = [unit_regions(int(rng.randint(24, 40)))
+                  for _ in range(n_refs)]
+        q_fine = [unit_regions(30) for _ in range(3)]
+        q_fine[0][8:20] = r_fine[1][5:17]
+        q_fine[2][0:10] = r_fine[4][12:22]
+        refs_fine = {
+            f"R{i:06d}": vf(f"R{i:06d}", f.reshape(f.shape[0], -1))
+            for i, f in enumerate(r_fine)
+        }
+        queries_fine = {
+            f"Q{i:06d}": vf(f"Q{i:06d}", f.reshape(f.shape[0], -1))
+            for i, f in enumerate(q_fine)
+        }
+        refs_coarse = [
+            vf(f"R{i:06d}", coarse_from(f)) for i, f in enumerate(r_fine)
+        ]
+        queries_coarse = [
+            vf(f"Q{i:06d}", coarse_from(f)) for i, f in enumerate(q_fine)
+        ]
+        cands = [
+            CandidatePair(q.video_id, r.video_id, 1.0)
+            for q in queries_coarse
+            for r in refs_coarse
+        ]
+        return (queries_fine, refs_fine, queries_coarse, refs_coarse,
+                cands, unit_regions, coarse_from)
+
+    def _build(self, qf, rf, qc, rc, mesh=None, shard=False):
+        kw = {"mesh": mesh} if mesh is not None else {}
+        if shard:
+            kw["shard_ref_table"] = True
+        return DnSLocalization(
+            qf, rf, qc, rc, model_type="TN", tn_max_step=5,
+            min_length=4, similarity_bias=0.5, **kw,
+        )
+
+    def test_sharded_tables_match_unsharded(self):
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        rng = np.random.RandomState(29)
+        qf, rf, qc, rc, cands, _, _ = self._case(rng)
+        mesh = corpus_mesh(8)
+        sharded = self._build(qf, rf, qc, rc, mesh=mesh, shard=True)
+        plain = self._build(qf, rf, qc, rc)
+        got = sharded.localize_all(cands)
+        expect = plain.localize_all(cands)
+        assert len(expect) >= 2
+        assert sorted(map(self._key, got)) == sorted(
+            map(self._key, expect)
+        )
+        # Both resident ref tables really are distributed.
+        for tab in (sharded._r_table, sharded._fine_r_tab):
+            assert len(tab.sharding.device_set) == 8
+            assert not tab.sharding.is_fully_replicated
+        assert sharded._fine_r_rows is not None
+
+    def test_sharded_lifecycle_matches_fresh(self):
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        rng = np.random.RandomState(31)
+        (qf, rf, qc, rc, cands,
+         unit_regions, coarse_from) = self._case(rng)
+        mesh = corpus_mesh(8)
+
+        new_fine = unit_regions(27)
+        # Plant a copy from query 1 so the ADDED ref localizes.
+        new_fine[3:14] = np.asarray(
+            qf["Q000001"].feature
+        ).reshape(30, NUM_REGIONS, -1)[10:21]
+        add_rf = {"R000099": vf("R000099",
+                                new_fine.reshape(27, -1))}
+        add_rc = [vf("R000099", coarse_from(new_fine))]
+        drop = ["R000000", "R000003"]
+
+        mutated = self._build(qf, rf, qc, rc, mesh=mesh, shard=True)
+        mutated.localize_all(cands[:2])  # stage tables
+        mutated.add_refs(add_rc, refs_fine=add_rf)
+        mutated.remove_refs(drop)
+        final_pairs = [
+            c for c in cands if c.ref_id not in drop
+        ] + [CandidatePair(q.video_id, "R000099", 1.0) for q in qc]
+        got = mutated.localize_all(final_pairs)
+
+        surv_rc = [v for v in rc if v.video_id not in drop] + add_rc
+        surv_rf = {
+            k: v for k, v in rf.items() if k not in drop
+        }
+        surv_rf.update(add_rf)
+        fresh = self._build(qf, surv_rf, qc, surv_rc)
+        expect = fresh.localize_all(final_pairs)
+        assert any(m.ref_id == "R000099" for m in expect)
+        assert sorted(map(self._key, got)) == sorted(
+            map(self._key, expect)
+        )

@@ -807,12 +807,3 @@ class TestShardedRefTable:
             TNLocalizationMaxSim(
                 queries, refs, "TN", shard_ref_table=True
             )
-
-    def test_dns_rejects_shard_ref_table(self):
-        from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
-
-        with pytest.raises(NotImplementedError, match="DnS"):
-            DnSLocalization(
-                {}, {}, [], [], model_type="TN",
-                mesh=self._mesh(), shard_ref_table=True,
-            )

@@ -1292,3 +1292,105 @@ class TestServeClient:
             assert proc.wait(timeout=120) == 0
         finally:
             proc.kill()
+
+
+class TestDnSShardedServe:
+    """--sharded + --ref_fine_features: both DnS reference tables
+    (coarse retrieval corpus and the localizer's coarse+fine tables)
+    live row-sharded over the mesh; served candidates and matches must
+    be byte-identical to the unsharded DnS server through add/remove."""
+
+    def test_sharded_dns_serve_matches_unsharded(self, tmp_path):
+        from vsc2022_tpu.models.dns import NUM_REGIONS
+
+        rng = np.random.RandomState(37)
+
+        def unit_fine(n):
+            x = rng.normal(size=(n, NUM_REGIONS, 16)).astype(np.float32)
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        def coarse_from(fine):
+            pooled = fine.mean(axis=1)
+            return pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+        r_fine = [unit_fine(int(rng.randint(24, 40))) for _ in range(5)]
+        q_fine = [unit_fine(28) for _ in range(3)]
+        q_fine[0][8:20] = r_fine[0][5:17]
+        q_fine[1][2:12] = r_fine[2][10:20]
+        extra_fine = unit_fine(26)
+        extra_fine[4:16] = q_fine[2][6:18]  # planted in the added ref
+
+        def vids(prefix, fines, start=0):
+            fine_v, coarse_v = [], []
+            for i, f in enumerate(fines):
+                ts = np.arange(f.shape[0], dtype=np.float64)
+                vid = f"{prefix}{start + i:06d}"
+                fine_v.append(VideoFeature(
+                    video_id=vid, timestamps=ts,
+                    feature=f.reshape(f.shape[0], -1),
+                ))
+                coarse_v.append(VideoFeature(
+                    video_id=vid, timestamps=ts, feature=coarse_from(f),
+                ))
+            return fine_v, coarse_v
+
+        rf, rc = vids("R", r_fine)
+        qf, qc = vids("Q", q_fine)
+        af, ac = vids("R", [extra_fine], start=99)
+        paths = {}
+        for name, v, ds in (
+            ("rc", rc, Dataset.REFS), ("rf", rf, Dataset.REFS),
+            ("qc", qc, Dataset.QUERIES), ("qf", qf, Dataset.QUERIES),
+            ("ac", ac, Dataset.REFS), ("af", af, Dataset.REFS),
+        ):
+            paths[name] = str(tmp_path / f"{name}.npz")
+            store_features(paths[name], v, ds)
+
+        env = dict(
+            os.environ, VSC2022_TPU_FORCE_CPU="1",
+            XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        )
+
+        def lifecycle(tag, *extra):
+            proc = subprocess.Popen(
+                [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+                 "--ref_features", paths["rc"],
+                 "--ref_fine_features", paths["rf"], *extra],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+            )
+            try:
+                assert proc.stdout.readline().startswith("ready")
+
+                def req(line):
+                    proc.stdin.write(line + "\n")
+                    proc.stdin.flush()
+                    return proc.stdout.readline().strip().split("\t")
+
+                assert req(
+                    f"add\t{paths['ac']}\t{paths['af']}"
+                )[:3] == ["ok", "added", "1"]
+                assert req("remove\tR000001")[:3] == ["ok", "removed", "1"]
+                c_out = tmp_path / f"{tag}_c.csv"
+                m_out = tmp_path / f"{tag}_m.csv"
+                assert req(
+                    f"{paths['qc']}\t{paths['qf']}\t{c_out}\t{m_out}"
+                )[0] == "ok"
+                proc.stdin.write("quit\n")
+                proc.stdin.flush()
+                assert proc.wait(timeout=240) == 0
+            finally:
+                proc.kill()
+            return c_out, m_out
+
+        plain_c, plain_m = lifecycle("plain")
+        shard_c, shard_m = lifecycle("shard", "--sharded")
+        for a, b in ((plain_c, shard_c), (plain_m, shard_m)):
+            with open(a, "rb") as fa, open(b, "rb") as fb:
+                assert fa.read() == fb.read()
+        from vsc2022_tpu.metrics import Match
+
+        got = Match.read_csv(str(plain_m))
+        assert any(
+            m.query_id == "Q000002" and m.ref_id == "R000099" for m in got
+        )

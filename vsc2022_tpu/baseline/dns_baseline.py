@@ -177,6 +177,60 @@ def _gathered_dns_sims(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_dns_sims_fn(
+    mesh, axis: str, mc: int, mf: int, symmetric: bool, precision: str,
+    regions: int,
+):
+    """Fused DnS similarities from ROW-SHARDED reference tables.
+
+    The chamfer is nonlinear in the gathered ref rows (max/mean over
+    regions), so — unlike the linear SSCD-track sims — the ROWS
+    themselves cross shards: each shard masks-and-gathers the coarse
+    and fine rows it owns (exact zeros elsewhere) and a psum_scatter
+    over the pair batch hands every shard the TRUE rows of its pair
+    tile. The fused chamfer then runs per tile, landing the sims
+    already pair-sharded for the TN DP. Each ref row is owned by
+    exactly one shard, so the scattered rows are exact and the tile
+    chamfer sees the same inputs as the unsharded path."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    prec = jax.lax.Precision(precision)
+
+    def _tile_rows(local, idx, m):
+        start = jax.lax.axis_index(axis) * m
+        loc = idx - start
+        ok = (loc >= 0) & (loc < m)
+        rows = jnp.take(local, jnp.clip(loc, 0, m - 1), axis=0)
+        rows = jnp.where(ok[..., None], rows, 0.0)
+        return jax.lax.psum_scatter(
+            rows, axis, scatter_dimension=0, tiled=True
+        )
+
+    def body(
+        rc_local, rf_local, qc_table, qf_table,
+        qc_idx, rc_idx, qf_idx, rf_idx, bias,
+    ):
+        rc = _tile_rows(rc_local, rc_idx, mc)  # [B/S, NR, DC]
+        rf = _tile_rows(rf_local, rf_idx, mf)  # [B/S, NR, R*D]
+        qc = jnp.take(qc_table, qc_idx, axis=0)  # qc_idx arrives tiled
+        qf = jnp.take(qf_table, qf_idx, axis=0)
+        qf = qf.reshape(*qf.shape[:2], regions, -1)
+        rf = rf.reshape(*rf.shape[:2], regions, -1)
+        return _chamfer_fuse(qf, rf, qc, rc, bias, symmetric, prec)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis, None), P(None, None), P(None, None),
+            P(axis), P(), P(axis), P(), P(),
+        ),
+        out_specs=P(axis),
+    )
+    return jax.jit(fn)
+
+
 class DnSLocalization(TNLocalizationMaxSim):
     """Fine+coarse fused similarity feeding the TN aligner
     (the reference's VCSLLocalizationDnS; dns_baseline.py:108-163)."""
@@ -200,12 +254,6 @@ class DnSLocalization(TNLocalizationMaxSim):
         geometric_mean: bool = True,
         **kwargs,
     ):
-        if kwargs.get("shard_ref_table"):
-            # The fused chamfer path gathers from its own fine tables;
-            # sharding only the coarse side would not scale capacity.
-            raise NotImplementedError(
-                "shard_ref_table is not supported for DnS localization"
-            )
         super().__init__(queries_coarse, refs_coarse, model_type, **kwargs)
         self.queries_fine = queries_fine
         self.refs_fine = refs_fine
@@ -241,10 +289,17 @@ class DnSLocalization(TNLocalizationMaxSim):
             # Overwrites repoint their offsets at the appended rows
             # (the old rows become dead weight, same as the base
             # class); serving rejects duplicate ids before this.
-            self._fine_r_tab = self._grow_table(
-                self._fine_r_tab, self._fine_r_offs,
-                list(refs_fine.values()), row_fn=self._fine_rows,
-            )
+            if self._table_mesh is not None:
+                self._fine_r_tab, self._fine_r_rows = self._grow_sharded(
+                    self._fine_r_tab, self._fine_r_rows,
+                    self._fine_r_offs, list(refs_fine.values()),
+                    row_fn=self._fine_rows,
+                )
+            else:
+                self._fine_r_tab = self._grow_table(
+                    self._fine_r_tab, self._fine_r_offs,
+                    list(refs_fine.values()), row_fn=self._fine_rows,
+                )
 
     def remove_refs(self, video_ids) -> None:
         """Reference removal must drop the fine side too; both staged
@@ -254,11 +309,24 @@ class DnSLocalization(TNLocalizationMaxSim):
             self.refs_fine.pop(v, None)
         if getattr(self, "_fine_r_tab", None) is not None:
             try:
-                self._fine_r_tab, self._fine_r_offs = self._compact_table(
-                    self._fine_r_tab, self._fine_r_offs, self.refs_fine
-                )
+                if self._table_mesh is not None:
+                    (
+                        self._fine_r_tab, self._fine_r_offs,
+                        self._fine_r_rows,
+                    ) = self._compact_sharded(
+                        self._fine_r_tab, self._fine_r_offs,
+                        self.refs_fine,
+                    )
+                else:
+                    (
+                        self._fine_r_tab, self._fine_r_offs,
+                    ) = self._compact_table(
+                        self._fine_r_tab, self._fine_r_offs,
+                        self.refs_fine,
+                    )
             except Exception:
                 self._fine_r_tab, self._fine_r_offs = None, None
+                self._fine_r_rows = None
                 raise
 
     def _fine(self, vf: VideoFeature) -> np.ndarray:
@@ -279,12 +347,24 @@ class DnSLocalization(TNLocalizationMaxSim):
             self._fine_r_tab, self._fine_r_offs = self._build_table(
                 self.refs_fine, row_fn=self._fine_rows
             )
+            self._fine_r_rows = None
+            if self._table_mesh is not None:
+                (
+                    self._fine_r_tab, self._fine_r_rows,
+                ) = self._place_row_sharded(self._fine_r_tab)
         if getattr(self, "_fine_q_tab", None) is None:
             self._fine_q_tab, self._fine_q_offs = self._build_table(
                 self.queries_fine,
                 d_fallback=int(self._fine_r_tab.shape[1]),
                 row_fn=self._fine_rows,
             )
+            if self._table_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._fine_q_tab = jax.device_put(
+                    self._fine_q_tab,
+                    NamedSharding(self._table_mesh, P(None, None)),
+                )
         return (
             self._fine_q_tab, self._fine_q_offs,
             self._fine_r_tab, self._fine_r_offs,
@@ -310,14 +390,45 @@ class DnSLocalization(TNLocalizationMaxSim):
         rcol = np.arange(nr, dtype=np.int32)[None, :]
         q_mask = qcol < q_len[:, None]
         r_mask = rcol < r_len[:, None]
-        sims = _gathered_dns_sims(
-            qc_tab, rc_tab, qf_tab, rf_tab,
-            jnp.asarray(np.where(q_mask, qc_idx, 0)),
-            jnp.asarray(np.where(r_mask, rc_idx, 0)),
-            jnp.asarray(np.where(q_mask, qf_idx, 0)),
-            jnp.asarray(np.where(r_mask, rf_idx, 0)),
-            jnp.float32(self.similarity_bias), symmetric=self.symmetric,
-        )
+        qc_m = np.where(q_mask, qc_idx, 0)
+        rc_m = np.where(r_mask, rc_idx, 0)
+        qf_m = np.where(q_mask, qf_idx, 0)
+        rf_m = np.where(r_mask, rf_idx, 0)
+        if self._table_mesh is not None:
+            # Row-sharded ref tables: pad the pair batch to the mesh
+            # multiple (psum_scatter tiles it; pad rows gather the zero
+            # row and carry length 0, exactly like the SSCD path).
+            n_dev = self._table_mesh.devices.size
+            b = len(candidates)
+            b_pad = -(-b // n_dev) * n_dev
+            if b_pad != b:
+                grow = b_pad - b
+                qc_m = np.pad(qc_m, ((0, grow), (0, 0)))
+                rc_m = np.pad(rc_m, ((0, grow), (0, 0)))
+                qf_m = np.pad(qf_m, ((0, grow), (0, 0)))
+                rf_m = np.pad(rf_m, ((0, grow), (0, 0)))
+                q_len = np.pad(q_len, (0, grow))
+                r_len = np.pad(r_len, (0, grow))
+            fn = _sharded_dns_sims_fn(
+                self._table_mesh, self._table_mesh.axis_names[0],
+                int(rc_tab.shape[0]) // n_dev,
+                int(rf_tab.shape[0]) // n_dev,
+                self.symmetric, "highest", NUM_REGIONS,
+            )
+            sims = fn(
+                rc_tab, rf_tab, qc_tab, qf_tab,
+                jnp.asarray(qc_m), jnp.asarray(rc_m),
+                jnp.asarray(qf_m), jnp.asarray(rf_m),
+                jnp.float32(self.similarity_bias),
+            )
+        else:
+            sims = _gathered_dns_sims(
+                qc_tab, rc_tab, qf_tab, rf_tab,
+                jnp.asarray(qc_m), jnp.asarray(rc_m),
+                jnp.asarray(qf_m), jnp.asarray(rf_m),
+                jnp.float32(self.similarity_bias),
+                symmetric=self.symmetric,
+            )
         return sims, jnp.asarray(q_len), jnp.asarray(r_len)
 
 

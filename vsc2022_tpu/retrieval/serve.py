@@ -246,7 +246,7 @@ def build_localizer(index, refs, args):
             {}, refs_fine, [], refs, model_type="TN",
             fg_type=args.fg_type, tn_max_step=5, min_length=4,
             similarity_bias=0.5, vcsl_faithful=args.vcsl_faithful_tn,
-            mesh=index.mesh,
+            mesh=index.mesh, shard_ref_table=index.mesh is not None,
         )
     if args.score_norm_features:
         return TNLocalizationMaxSim(
