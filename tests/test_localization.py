@@ -807,3 +807,76 @@ class TestShardedRefTable:
             TNLocalizationMaxSim(
                 queries, refs, "TN", shard_ref_table=True
             )
+
+    def test_compounded_mutations_fuzz(self):
+        # Interleaved add / overwrite-add / remove compose: offsets go
+        # non-monotonic (overwrites repoint into appended rows, removes
+        # leave dead weight until compaction) — after every round the
+        # sharded-table localizer, the unsharded mutated localizer, and
+        # a fresh rebuild over the surviving refs must agree exactly.
+        rng = np.random.RandomState(41)
+        q = l2n(rng.normal(size=(30, D))).astype(np.float32)
+        queries = [make_feature(1, q)]
+
+        def new_ref(vid, plant):
+            n = int(rng.randint(12, 30))
+            r = l2n(rng.normal(size=(n, D))).astype(np.float32)
+            if plant:
+                r[2:10, :] = q[15:23, :]
+            return make_feature(vid, r)
+
+        live = {vid: new_ref(vid, vid % 2 == 0) for vid in range(10, 16)}
+        mesh = self._mesh()
+        sharded = TNLocalizationMaxSim(
+            list(queries), list(live.values()), "TN",
+            similarity_bias=0.5, mesh=mesh, shard_ref_table=True,
+        )
+        plain = TNLocalizationMaxSim(
+            list(queries), list(live.values()), "TN",
+            similarity_bias=0.5,
+        )
+        next_vid = 20
+        for round_i in range(4):
+            # Stage tables before mutating so the device-side
+            # grow/compact paths (not a lazy rebuild) are exercised.
+            warm = [CandidatePair(1, vid, 1.0) for vid in live][:1]
+            sharded.localize_all(warm)
+            plain.localize_all(warm)
+            adds = []
+            for _ in range(int(rng.randint(1, 3))):
+                vf_new = new_ref(next_vid, plant=True)
+                adds.append(vf_new)
+                live[next_vid] = vf_new
+                next_vid += 1
+            if round_i >= 1:
+                # Overwrite an existing id with fresh rows.
+                vid = int(rng.choice(sorted(live)))
+                vf_new = new_ref(vid, plant=False)
+                adds.append(vf_new)
+                live[vid] = vf_new
+            sharded.add_refs(adds)
+            plain.add_refs(adds)
+            drop = [
+                int(v) for v in rng.choice(
+                    sorted(live), size=int(rng.randint(1, 3)),
+                    replace=False,
+                )
+            ]
+            for v in drop:
+                del live[v]
+            sharded.remove_refs(drop)
+            plain.remove_refs(drop)
+
+            pairs = [CandidatePair(1, vid, 1.0) for vid in sorted(live)]
+            fresh = TNLocalizationMaxSim(
+                list(queries), list(live.values()), "TN",
+                similarity_bias=0.5,
+            )
+            expect = sorted(map(self._key, fresh.localize_all(pairs)))
+            assert sorted(
+                map(self._key, sharded.localize_all(pairs))
+            ) == expect, f"sharded diverged at round {round_i}"
+            assert sorted(
+                map(self._key, plain.localize_all(pairs))
+            ) == expect, f"unsharded diverged at round {round_i}"
+            assert len(expect) >= 1
