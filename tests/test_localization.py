@@ -880,3 +880,165 @@ class TestShardedRefTable:
                 map(self._key, plain.localize_all(pairs))
             ) == expect, f"unsharded diverged at round {round_i}"
             assert len(expect) >= 1
+
+
+class TestBf16RefTables:
+    """table_dtype="bfloat16": the resident REF tables store bf16 (2x
+    matching capacity per chip); gathered rows upcast to f32 before the
+    similarity einsum, so only the stored values round. On features
+    whose values are exactly bf16-representable the results must be
+    BIT-identical to f32 tables — which pins that nothing but the
+    storage dtype changed."""
+
+    @staticmethod
+    def _key(m):
+        return (
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end, m.score,
+        )
+
+    def _dyadic_case(self, rng, n_refs=4):
+        # Entries k/8 with |k| <= 4: exactly representable in bf16, and
+        # all similarity dot products are exact dyadics in f32 too.
+        def dyadic(shape):
+            return (
+                rng.randint(-4, 5, size=shape).astype(np.float32) / 8.0
+            )
+
+        q = dyadic((30, D))
+        refs = []
+        for i in range(n_refs):
+            r = dyadic((18 + 7 * i, D))
+            if i % 2 == 0:
+                r[3:13, :] = q[12:22, :]
+            refs.append(make_feature(10 + i, r))
+        queries = [make_feature(1, q)]
+        pairs = [CandidatePair(1, 10 + i, 1.0) for i in range(n_refs)]
+        return queries, refs, pairs
+
+    def _build(self, queries, refs, dtype, mesh=None, shard=False):
+        kw = {}
+        if mesh is not None:
+            kw["mesh"] = mesh
+            kw["shard_ref_table"] = shard
+        return TNLocalizationMaxSim(
+            queries, refs, "TN", similarity_bias=0.5,
+            table_dtype=dtype, **kw,
+        )
+
+    def test_bf16_table_bitwise_on_exact_features(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(43)
+        queries, refs, pairs = self._dyadic_case(rng)
+        f32 = self._build(queries, refs, "float32")
+        bf16 = self._build(queries, refs, "bfloat16")
+        expect = f32.localize_all(pairs)
+        got = bf16.localize_all(pairs)
+        assert len(expect) >= 1
+        assert sorted(map(self._key, got)) == sorted(map(self._key, expect))
+        assert bf16._r_table.dtype == jnp.bfloat16
+        assert f32._r_table.dtype == jnp.float32
+
+    def test_bf16_sharded_table_matches_f32(self):
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+
+        rng = np.random.RandomState(47)
+        queries, refs, pairs = self._dyadic_case(rng)
+        f32 = self._build(queries, refs, "float32")
+        bf16 = self._build(
+            queries, refs, "bfloat16", mesh=corpus_mesh(8), shard=True
+        )
+        expect = f32.localize_all(pairs)
+        got = bf16.localize_all(pairs)
+        assert len(expect) >= 1
+        assert sorted(map(self._key, got)) == sorted(map(self._key, expect))
+
+    def test_bf16_lifecycle_stays_bf16_and_exact(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(53)
+        queries, refs, pairs = self._dyadic_case(rng)
+        extra = (
+            rng.randint(-4, 5, size=(21, D)).astype(np.float32) / 8.0
+        )
+        extra[2:12, :] = queries[0].feature[12:22, :]
+        added = [make_feature(99, extra)]
+
+        live = self._build(queries, refs, "bfloat16")
+        live.localize_all(pairs[:1])  # stage
+        live.add_refs(added)
+        assert live._r_table.dtype == jnp.bfloat16  # concat must not promote
+        live.remove_refs([refs[1].video_id])
+        assert live._r_table.dtype == jnp.bfloat16
+        final = [
+            p for p in pairs if p.ref_id != refs[1].video_id
+        ] + [CandidatePair(1, 99, 1.0)]
+        got = live.localize_all(final)
+
+        fresh_refs = [r for r in refs if r.video_id != refs[1].video_id]
+        fresh = self._build(queries, fresh_refs + added, "bfloat16")
+        expect = fresh.localize_all(final)
+        assert any(m.ref_id == 99 for m in expect)
+        assert sorted(map(self._key, got)) == sorted(map(self._key, expect))
+
+    def test_dns_bf16_tables_bitwise_on_exact_features(self):
+        import jax.numpy as jnp
+
+        from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
+        from vsc2022_tpu.models.dns import NUM_REGIONS
+
+        rng = np.random.RandomState(59)
+
+        def dyadic_fine(n):
+            return (
+                rng.randint(-4, 5, size=(n, NUM_REGIONS, 16))
+                .astype(np.float32) / 8.0
+            )
+
+        r_fine = [dyadic_fine(int(rng.randint(20, 32))) for _ in range(4)]
+        q_fine = [dyadic_fine(26) for _ in range(2)]
+        q_fine[0][6:18] = r_fine[1][4:16]
+
+        def coarse_from(f):
+            # Mean over 9 regions is not dyadic; quantize to 1/8 so the
+            # coarse features stay bf16-exact too.
+            return np.round(f.mean(axis=1) * 8.0) / 8.0
+
+        qf = {f"Q{i:06d}": make_feature(
+            f"Q{i:06d}", f.reshape(f.shape[0], -1)
+        ) for i, f in enumerate(q_fine)}
+        rf = {f"R{i:06d}": make_feature(
+            f"R{i:06d}", f.reshape(f.shape[0], -1)
+        ) for i, f in enumerate(r_fine)}
+        qc = [make_feature(f"Q{i:06d}", coarse_from(f))
+              for i, f in enumerate(q_fine)]
+        rc = [make_feature(f"R{i:06d}", coarse_from(f))
+              for i, f in enumerate(r_fine)]
+        cands = [
+            CandidatePair(q.video_id, r.video_id, 1.0)
+            for q in qc for r in rc
+        ]
+
+        def build(dtype):
+            return DnSLocalization(
+                qf, rf, qc, rc, model_type="TN", similarity_bias=0.5,
+                table_dtype=dtype,
+            )
+
+        f32 = build("float32")
+        bf16 = build("bfloat16")
+        expect = f32.localize_all(cands)
+        got = bf16.localize_all(cands)
+        assert len(expect) >= 1
+        assert sorted(map(self._key, got)) == sorted(map(self._key, expect))
+        assert bf16._fine_r_tab.dtype == jnp.bfloat16
+        assert bf16._r_table.dtype == jnp.bfloat16
+
+    def test_invalid_table_dtype_rejected(self):
+        rng = np.random.RandomState(5)
+        queries, refs = make_planted_case(rng)
+        with pytest.raises(ValueError, match="table_dtype"):
+            TNLocalizationMaxSim(
+                queries, refs, "TN", table_dtype="float16"
+            )

@@ -167,9 +167,10 @@ def _gathered_dns_sims(
     split so a resident server replaces the query side per request
     without restaging the reference rows."""
     qc = jnp.take(qc_table, qc_idx, axis=0)
-    rc = jnp.take(rc_table, rc_idx, axis=0)
+    # Ref tables may be stored bfloat16 (capacity); compute in f32.
+    rc = jnp.take(rc_table, rc_idx, axis=0).astype(jnp.float32)
     qf = jnp.take(qf_table, qf_idx, axis=0)
-    rf = jnp.take(rf_table, rf_idx, axis=0)
+    rf = jnp.take(rf_table, rf_idx, axis=0).astype(jnp.float32)
     qf = qf.reshape(*qf.shape[:2], regions, -1)
     rf = rf.reshape(*rf.shape[:2], regions, -1)
     return _chamfer_fuse(
@@ -204,9 +205,11 @@ def _sharded_dns_sims_fn(
         ok = (loc >= 0) & (loc < m)
         rows = jnp.take(local, jnp.clip(loc, 0, m - 1), axis=0)
         rows = jnp.where(ok[..., None], rows, 0.0)
+        # Scatter in the stored dtype (bf16 tables halve the ICI
+        # bytes; owner-row + exact zeros sums exactly), upcast after.
         return jax.lax.psum_scatter(
             rows, axis, scatter_dimension=0, tiled=True
-        )
+        ).astype(jnp.float32)
 
     def body(
         rc_local, rf_local, qc_table, qf_table,
@@ -347,6 +350,10 @@ class DnSLocalization(TNLocalizationMaxSim):
             self._fine_r_tab, self._fine_r_offs = self._build_table(
                 self.refs_fine, row_fn=self._fine_rows
             )
+            if self._table_dtype != jnp.float32:
+                self._fine_r_tab = self._fine_r_tab.astype(
+                    self._table_dtype
+                )
             self._fine_r_rows = None
             if self._table_mesh is not None:
                 (

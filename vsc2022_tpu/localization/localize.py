@@ -66,7 +66,8 @@ def _gathered_pair_sims(
     precision: str = "highest",
 ) -> jax.Array:
     q = jnp.take(q_table, q_idx, axis=0)  # [B, NQ, D]
-    r = jnp.take(r_table, r_idx, axis=0)
+    # Ref tables may be stored bfloat16 (capacity); compute in f32.
+    r = jnp.take(r_table, r_idx, axis=0).astype(jnp.float32)
     return _pair_sims(q, r, bias, precision)
 
 
@@ -93,7 +94,7 @@ def _sharded_sims_fn(mesh, axis: str, shard_rows: int, precision: str):
         loc = r_idx - start
         ok = (loc >= 0) & (loc < shard_rows)
         r = jnp.take(r_local, jnp.clip(loc, 0, shard_rows - 1), axis=0)
-        r = jnp.where(ok[..., None], r, 0.0)
+        r = jnp.where(ok[..., None], r, 0.0).astype(jnp.float32)
         q = jnp.take(q_table, q_idx, axis=0)
         part = jnp.einsum(
             "bqd,brd->bqr", q, r, precision=prec,
@@ -165,6 +166,7 @@ class TNLocalization(LocalizationWithMetadata):
         vcsl_faithful: bool = False,
         mesh=None,
         shard_ref_table: bool = False,
+        table_dtype: str = "float32",
         **kwargs,
     ):
         super().__init__(queries, refs)
@@ -172,6 +174,16 @@ class TNLocalization(LocalizationWithMetadata):
             raise ValueError(f"Unsupported alignment model type: {model_type}")
         del concurrency, kwargs
         self.similarity_bias = similarity_bias
+        # Resident REF tables may store bfloat16 (2x matching capacity
+        # per chip, matching the retrieval corpus's --bf16 story); the
+        # gathered rows upcast to f32 before the similarity einsum, so
+        # only the stored feature values round. Query tables stay f32
+        # (per-request, never corpus-sized).
+        if table_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"Unsupported table_dtype: {table_dtype}")
+        self._table_dtype = (
+            jnp.float32 if table_dtype == "float32" else jnp.bfloat16
+        )
         # Optional jax.sharding.Mesh: candidate batches shard across its
         # first axis (each pair's DP is independent, so XLA partitions
         # the batched alignment with zero collectives — the TPU analog
@@ -400,9 +412,8 @@ class TNLocalization(LocalizationWithMetadata):
             cursor += feat.shape[0]
         if not rows:
             return table
-        return jnp.concatenate(
-            [table, jnp.asarray(np.concatenate(rows, axis=0))], axis=0
-        )
+        new = jnp.asarray(np.concatenate(rows, axis=0)).astype(table.dtype)
+        return jnp.concatenate([table, new], axis=0)
 
     @staticmethod
     def _build_table(source, d_fallback: int = 1, row_fn=None):
@@ -457,6 +468,8 @@ class TNLocalization(LocalizationWithMetadata):
         corpus mesh and the query table replicated."""
         if getattr(self, "_r_table", None) is None:
             self._r_table, self._r_offs = self._build_table(self.refs)
+            if self._table_dtype != jnp.float32:
+                self._r_table = self._r_table.astype(self._table_dtype)
             self._r_rows = None
             if self._table_mesh is not None:
                 self._r_table, self._r_rows = self._place_row_sharded(

@@ -148,7 +148,8 @@ parser.add_argument(
 )
 parser.add_argument(
     "--bf16", action="store_true",
-    help="Store and search the corpus in bfloat16 (2x HBM capacity)",
+    help="Store the corpus AND the resident localizer ref tables in "
+    "bfloat16 (2x HBM capacity; similarities still accumulate in f32)",
 )
 parser.add_argument(
     "--no_warmup", action="store_true",
@@ -247,6 +248,7 @@ def build_localizer(index, refs, args):
             fg_type=args.fg_type, tn_max_step=5, min_length=4,
             similarity_bias=0.5, vcsl_faithful=args.vcsl_faithful_tn,
             mesh=index.mesh, shard_ref_table=index.mesh is not None,
+            table_dtype="bfloat16" if args.bf16 else "float32",
         )
     if args.score_norm_features:
         return TNLocalizationMaxSim(
@@ -254,6 +256,7 @@ def build_localizer(index, refs, args):
             tn_max_step=5, min_length=4, similarity_bias=0.5,
             vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
             shard_ref_table=index.mesh is not None,
+            table_dtype="bfloat16" if args.bf16 else "float32",
         )
     refs_loc = [
         dataclasses.replace(vf, feature=l2_normalize_rows(vf.feature))
@@ -263,6 +266,7 @@ def build_localizer(index, refs, args):
         [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
         vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
         shard_ref_table=index.mesh is not None,
+        table_dtype="bfloat16" if args.bf16 else "float32",
     )
 
 
