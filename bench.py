@@ -598,7 +598,18 @@ def main():
             print(json.dumps(results))
             return
         print(result.stderr[-2000:], file=sys.stderr)
-    raise SystemExit("bench failed after 2 attempts")
+    # Both attempts failed (observed cause on this rig: multi-hour TPU
+    # relay outages — backend init hangs until the child timeout).
+    # Keep the one-JSON-line contract so the round records an explicit
+    # outage instead of a missing file.
+    print(json.dumps({
+        "metric": "query_videos_per_sec",
+        "unit": "videos/s",
+        "value": 0.0,
+        "vs_baseline": 0.0,
+        "error": "bench failed after 2 attempts "
+                 "(TPU unreachable or relay stalled)",
+    }))
 
 
 if __name__ == "__main__":

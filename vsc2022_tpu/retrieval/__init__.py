@@ -6,6 +6,7 @@ from vsc2022_tpu.retrieval.candidates import (  # noqa: F401
     ScoreAggregation,
 )
 from vsc2022_tpu.retrieval.client import (  # noqa: F401
+    InbandSearchResult,
     SearchResult,
     ServeClient,
     ServeError,

@@ -65,6 +65,16 @@ class SearchResult:
 
 
 @dataclasses.dataclass
+class InbandSearchResult:
+    """One answered in-band search (`search_features`): the result
+    objects themselves — no filesystem involved on either side."""
+
+    candidates: List[CandidatePair]
+    matches: Optional[List[Match]]
+    seconds: float
+
+
+@dataclasses.dataclass
 class ServeStats:
     """Live server state (the ``stats`` command)."""
 
@@ -127,9 +137,12 @@ class ServeClient:
             if on:
                 cmd.append(flag)
         cmd += list(extra_args)
+        # Binary pipes: the in-band commands (search_features /
+        # add_features / snapshot) move npz and CSV payload bytes over
+        # the same stream as the text commands.
         proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=stderr, text=True, env=env, cwd=cwd,
+            stderr=stderr, env=env, cwd=cwd,
         )
         try:
             return cls(proc.stdout, proc.stdin, proc=proc)
@@ -154,8 +167,8 @@ class ServeClient:
         try:
             sock.settimeout(None)
             return cls(
-                sock.makefile("r", encoding="utf-8"),
-                sock.makefile("w", encoding="utf-8"),
+                sock.makefile("rb"),
+                sock.makefile("wb"),
                 sock=sock,
             )
         except BaseException:
@@ -164,8 +177,14 @@ class ServeClient:
 
     # -- protocol ----------------------------------------------------
 
+    def _read_line(self) -> str:
+        return self._rfile.readline().decode("utf-8", "replace").strip()
+
+    def _write_line(self, line: str) -> None:
+        self._wfile.write((line + "\n").encode("utf-8"))
+
     def _read_ready(self):
-        line = self._rfile.readline().strip()
+        line = self._read_line()
         parts = line.split("\t")
         if parts[0] != "ready":
             detail = f"expected ready line, got: {line!r}"
@@ -183,18 +202,39 @@ class ServeClient:
             raise ServeError(detail)
         return int(parts[1]), float(parts[2])
 
-    def _rpc(self, line: str) -> List[str]:
-        self._wfile.write(line + "\n")
+    def _rpc(self, line: str, blobs: Sequence[bytes] = ()) -> List[str]:
+        self._write_line(line)
+        for blob in blobs:
+            self._wfile.write(blob)
         self._wfile.flush()
-        reply = self._rfile.readline()
+        reply = self._read_line()
         if not reply:
             raise ServeError("server closed the connection")
-        parts = reply.strip().split("\t")
+        parts = reply.split("\t")
         if parts[0] == "error":
             raise ServeError("\t".join(parts[1:]))
-        if parts[0] != "ok":
+        if parts[0] not in ("ok", "okb"):
             raise ServeError(f"malformed server reply: {reply!r}")
         return parts[1:]
+
+    def _read_blob(self, n: int) -> bytes:
+        blob = self._rfile.read(n)
+        if len(blob) != n:
+            raise ServeError(
+                f"short server payload: expected {n} bytes, "
+                f"got {len(blob)}"
+            )
+        return blob
+
+    @staticmethod
+    def _npz_bytes(features, dataset) -> bytes:
+        import io
+
+        from vsc2022_tpu.storage import store_features
+
+        buf = io.BytesIO()
+        store_features(buf, features, dataset)
+        return buf.getvalue()
 
     # -- requests ----------------------------------------------------
 
@@ -276,6 +316,83 @@ class ServeClient:
             raise ServeError(f"unexpected save reply: {parts!r}")
         return int(parts[1])
 
+    # -- in-band requests (no shared filesystem needed) ---------------
+
+    def search_features(
+        self, queries, *, queries_fine=None
+    ) -> InbandSearchResult:
+        """Search a list of VideoFeature directly: the query npz bytes
+        travel on the wire (`searchb`) and the result CSVs come back
+        the same way, parsed into objects — a remote --listen server
+        needs no shared filesystem. DnS servers need ``queries_fine``
+        (the fine VideoFeatures, list or dict)."""
+        import io
+
+        from vsc2022_tpu.metrics import Dataset
+
+        blobs = [self._npz_bytes(queries, Dataset.QUERIES)]
+        if queries_fine is not None:
+            fine = (
+                list(queries_fine.values())
+                if isinstance(queries_fine, dict) else list(queries_fine)
+            )
+            blobs.append(self._npz_bytes(fine, Dataset.QUERIES))
+        header = "\t".join(
+            ["searchb"] + [str(len(b)) for b in blobs]
+        )
+        parts = self._rpc(header, blobs=blobs)
+        # okb\t<n_cand>\t<cand_len>[\t<n_matches>\t<match_len>]\t<s>
+        cand_csv = self._read_blob(int(parts[1])).decode("utf-8")
+        candidates = CandidatePair.read_csv(io.StringIO(cand_csv))
+        matches = None
+        if len(parts) >= 5:
+            match_csv = self._read_blob(int(parts[3])).decode("utf-8")
+            matches = Match.read_csv(io.StringIO(match_csv))
+        return InbandSearchResult(
+            candidates=candidates, matches=matches,
+            seconds=float(parts[-1]),
+        )
+
+    def add_features(self, refs, refs_fine=None) -> int:
+        """Grow the served corpus from VideoFeature lists directly
+        (`addb`: the npz bytes travel on the wire). DnS servers need
+        the matching fine features too."""
+        from vsc2022_tpu.metrics import Dataset
+
+        blobs = [self._npz_bytes(refs, Dataset.REFS)]
+        if refs_fine is not None:
+            fine = (
+                list(refs_fine.values())
+                if isinstance(refs_fine, dict) else list(refs_fine)
+            )
+            blobs.append(self._npz_bytes(fine, Dataset.REFS))
+        header = "\t".join(["addb"] + [str(len(b)) for b in blobs])
+        parts = self._rpc(header, blobs=blobs)
+        if parts[0] != "added":
+            raise ServeError(f"unexpected addb reply: {parts!r}")
+        return int(parts[1])
+
+    def snapshot(self):
+        """Fetch the served corpus (after any adds/removes) as
+        VideoFeature lists (`saveb`: the npz bytes come back on the
+        wire). Returns (refs, refs_fine-or-None)."""
+        import io
+
+        from vsc2022_tpu.metrics import Dataset
+        from vsc2022_tpu.storage import load_features
+
+        parts = self._rpc("saveb")
+        # okb\t<n_videos>\t<len_coarse>[\t<len_fine>]\t<seconds>
+        refs = load_features(
+            io.BytesIO(self._read_blob(int(parts[1]))), Dataset.REFS
+        )
+        fine = None
+        if len(parts) >= 4:
+            fine = load_features(
+                io.BytesIO(self._read_blob(int(parts[2]))), Dataset.REFS
+            )
+        return refs, fine
+
     def stats(self) -> ServeStats:
         parts = self._rpc("stats")
         if parts[0] != "stats":
@@ -293,7 +410,7 @@ class ServeClient:
         server entirely instead of just this session. Managed child
         processes are reaped (killed after 30 s if wedged)."""
         try:
-            self._wfile.write(("shutdown" if shutdown else "quit") + "\n")
+            self._write_line("shutdown" if shutdown else "quit")
             self._wfile.flush()
         except (BrokenPipeError, ValueError, OSError):
             pass  # already gone

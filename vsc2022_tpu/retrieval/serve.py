@@ -289,18 +289,31 @@ def _localizer_queries(index, queries, args):
     ]
 
 
-def _add_refs(index, localizer, parts, args) -> str:
+def _add_refs(index, localizer, parts, args, payloads=None) -> str:
     """Serving-time corpus growth: extend the index (and the resident
     localizer tables) with new reference videos; the next search
     restages. Duplicate ids are rejected — the reference's FAISS add
     would silently append duplicate rows (vsc/index.py:87-94), but at
-    serving time a repeated id is a client bug."""
+    serving time a repeated id is a client bug. The in-band form
+    (`addb`, npz payload bytes on the wire) shares this body — its
+    sources are BytesIO instead of paths."""
     import dataclasses
+    import io
 
     t0 = time.perf_counter()
-    if len(parts) < 2:
-        raise ValueError("add needs a reference npz: add\\t<refs_npz>")
-    refs = load_features(parts[1], Dataset.REFS)
+    if payloads is not None:
+        want = 2 if (args.ref_fine_features and localizer is not None) else 1
+        if len(payloads) != want:
+            raise ValueError(
+                "addb needs payload lengths: addb\\t<npz_len>"
+                + ("\\t<fine_npz_len>" if want == 2 else "")
+            )
+        sources = [io.BytesIO(b) for b in payloads]
+    else:
+        if len(parts) < 2:
+            raise ValueError("add needs a reference npz: add\\t<refs_npz>")
+        sources = parts[1:]
+    refs = load_features(sources[0], Dataset.REFS)
     dup = [
         str(r.video_id) for r in refs
         if r.video_id in index.video_metadata
@@ -309,7 +322,7 @@ def _add_refs(index, localizer, parts, args) -> str:
         raise ValueError(f"Reference ids already indexed: {dup[:5]}")
     fine = None
     if args.ref_fine_features and localizer is not None:
-        if len(parts) < 3:
+        if len(sources) < 2:
             raise ValueError(
                 "DnS add needs two files: add\\t<coarse_npz>\\t<fine_npz>"
             )
@@ -319,7 +332,7 @@ def _add_refs(index, localizer, parts, args) -> str:
         # bad fine path failing after index.add would leave the index
         # grown but the localizer not, with the duplicate-id check
         # blocking a corrected retry forever.
-        fine = convert_to_dict(load_features(parts[2], Dataset.REFS))
+        fine = convert_to_dict(load_features(sources[1], Dataset.REFS))
         missing = [
             str(vf.video_id) for vf in refs if vf.video_id not in fine
         ]
@@ -422,7 +435,107 @@ def _save_refs(index, localizer, parts, args) -> str:
     )
 
 
-def serve_request(index, aggregation, localizer, line: str, args) -> str:
+def _search_candidates(index, aggregation, queries, args):
+    """Shared retrieval core of the path and in-band request forms:
+    retrieval budget → ranked candidate pairs."""
+    budget = args.retrieval_per_query * len(queries)
+    matches = index.search(queries, global_k=budget)
+    candidates = rank_candidates(matches, aggregation)
+    keep = args.pairs_per_query * len(queries)
+    return candidates[:keep]
+
+
+def _localize_candidates(
+    index, localizer, queries, queries_fine, candidates, args
+):
+    """Shared TN stage: swap the localizer's query side (ref tables
+    stay resident) and align the top candidate pairs."""
+    from vsc2022_tpu.baseline.pipeline import align_candidates
+
+    if queries_fine is not None:
+        localizer.set_queries(queries, queries_fine=queries_fine)
+    else:
+        localizer.set_queries(_localizer_queries(index, queries, args))
+    to_localize = candidates[: int(args.localize_per_query * len(queries))]
+    return align_candidates(localizer, to_localize)
+
+
+def _search_bytes(index, aggregation, localizer, payloads, args):
+    """In-band search (`searchb`): query npz bytes arrive on the wire
+    and the result CSVs return the same way — no shared filesystem
+    between client and a remote --listen server. Responses:
+    okb\\t<n_pairs>\\t<cand_len>[\\t<n_matches>\\t<match_len>]\\t<s>
+    followed by the CSV payload bytes."""
+    import io
+
+    from vsc2022_tpu.metrics import Match
+
+    t0 = time.perf_counter()
+    want = 2 if args.ref_fine_features else 1
+    if payloads is None or len(payloads) != want:
+        raise ValueError(
+            "searchb needs payload lengths: searchb\\t<npz_len>"
+            + ("\\t<fine_npz_len>" if want == 2 else "")
+        )
+    queries = load_features(io.BytesIO(payloads[0]), Dataset.QUERIES)
+    queries_fine = None
+    if want == 2:
+        from vsc2022_tpu.storage import convert_to_dict
+
+        queries_fine = convert_to_dict(
+            load_features(io.BytesIO(payloads[1]), Dataset.QUERIES)
+        )
+    candidates = _search_candidates(index, aggregation, queries, args)
+    found = None
+    if localizer is not None:
+        found = _localize_candidates(
+            index, localizer, queries, queries_fine, candidates, args
+        )
+    cand_io = io.StringIO()
+    CandidatePair.write_csv(candidates, cand_io)
+    blobs = [cand_io.getvalue().encode("utf-8")]
+    header = f"okb\t{len(candidates)}\t{len(blobs[0])}"
+    if found is not None:
+        match_io = io.StringIO()
+        Match.write_csv(found, match_io)
+        blobs.append(match_io.getvalue().encode("utf-8"))
+        header += f"\t{len(found)}\t{len(blobs[1])}"
+    return header + f"\t{time.perf_counter() - t0:.3f}", blobs
+
+
+def _save_bytes(index, localizer, args):
+    """In-band snapshot (`saveb`): the npz bytes return on the wire
+    (coarse, then fine in DnS mode) instead of server-side paths."""
+    import io
+
+    from vsc2022_tpu.storage import store_features
+
+    t0 = time.perf_counter()
+    feats = index.features()
+    if not feats:
+        raise ValueError(
+            "Nothing to save: the served corpus is empty "
+            "(every reference video was removed)"
+        )
+    coarse_io = io.BytesIO()
+    store_features(coarse_io, feats, Dataset.REFS)
+    blobs = [coarse_io.getvalue()]
+    if args.ref_fine_features:
+        fine_io = io.BytesIO()
+        store_features(
+            fine_io,
+            [localizer.refs_fine[vf.video_id] for vf in feats],
+            Dataset.REFS,
+        )
+        blobs.append(fine_io.getvalue())
+    header = f"okb\t{len(feats)}\t" + "\t".join(
+        str(len(b)) for b in blobs
+    )
+    return header + f"\t{time.perf_counter() - t0:.3f}", blobs
+
+
+def serve_request(index, aggregation, localizer, line: str, args,
+                  payloads=None):
     from vsc2022_tpu.metrics import Match
 
     parts = line.split("\t")
@@ -432,6 +545,12 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
         return _remove_refs(index, localizer, parts)
     if parts[0] == "save":
         return _save_refs(index, localizer, parts, args)
+    if parts[0] == "searchb":
+        return _search_bytes(index, aggregation, localizer, payloads, args)
+    if parts[0] == "addb":
+        return _add_refs(index, localizer, parts, args, payloads=payloads)
+    if parts[0] == "saveb":
+        return _save_bytes(index, localizer, args)
     if parts[0] == "stats":
         return (
             "ok\tstats"
@@ -461,37 +580,30 @@ def serve_request(index, aggregation, localizer, line: str, args) -> str:
     )
     t0 = time.perf_counter()
     queries = load_features(query_path, Dataset.QUERIES)
-    budget = args.retrieval_per_query * len(queries)
-    matches = index.search(queries, global_k=budget)
-    candidates = rank_candidates(matches, aggregation)
-    keep = args.pairs_per_query * len(queries)
-    candidates = candidates[:keep]
+    queries_fine = None
+    if fine_path is not None:
+        from vsc2022_tpu.storage import convert_to_dict
+
+        queries_fine = convert_to_dict(
+            load_features(fine_path, Dataset.QUERIES)
+        )
+    candidates = _search_candidates(index, aggregation, queries, args)
+    # Candidates land on disk before the TN stage so a localization
+    # failure still leaves them behind (the error response names it).
     CandidatePair.write_csv(candidates, out_csv)
     if localizer is None:
         return (
             f"ok\t{out_csv}\t{len(candidates)}"
             f"\t{time.perf_counter() - t0:.3f}"
         )
-    from vsc2022_tpu.baseline.pipeline import align_candidates
-
     matches_csv = (
         parts[2]
         if len(parts) > 2 and parts[2]
         else query_path + ".matches.csv"
     )
-    if fine_path is not None:
-        from vsc2022_tpu.storage import convert_to_dict
-
-        localizer.set_queries(
-            queries,
-            queries_fine=convert_to_dict(
-                load_features(fine_path, Dataset.QUERIES)
-            ),
-        )
-    else:
-        localizer.set_queries(_localizer_queries(index, queries, args))
-    to_localize = candidates[: int(args.localize_per_query * len(queries))]
-    found = align_candidates(localizer, to_localize)
+    found = _localize_candidates(
+        index, localizer, queries, queries_fine, candidates, args
+    )
     Match.write_csv(found, matches_csv)
     return (
         f"ok\t{out_csv}\t{len(candidates)}\t{matches_csv}\t{len(found)}"
@@ -568,36 +680,84 @@ def main(args):
         _serve_tcp(index, aggregation, localizer, args, stage_s)
     else:
         _serve_stream(
-            index, aggregation, localizer, args, sys.stdin, sys.stdout
+            index, aggregation, localizer, args,
+            sys.stdin.buffer, sys.stdout.buffer,
         )
+
+
+def _read_payloads(rfile, head):
+    """Read the in-band payload bytes a binary command announces in
+    its header (`<cmd>\\t<len1>[\\t<len2>...]`). Raises on malformed
+    lengths BEFORE consuming any payload bytes, and on short reads
+    (client hung up mid-payload)."""
+    try:
+        sizes = [int(n) for n in head[1:]]
+    except ValueError:
+        raise ValueError(
+            f"{head[0]} needs integer payload lengths, got {head[1:]}"
+        )
+    if not sizes or any(n < 0 for n in sizes):
+        raise ValueError(f"{head[0]} needs positive payload lengths")
+    payloads = []
+    for n in sizes:
+        blob = rfile.read(n)
+        if len(blob) != n:
+            raise EOFError(
+                f"short payload: expected {n} bytes, got {len(blob)}"
+            )
+        payloads.append(blob)
+    return payloads
 
 
 def _serve_stream(
     index, aggregation, localizer, args, rfile, wfile, lock=None
 ) -> bool:
-    """Answer one line stream until quit/shutdown/EOF; True = the
+    """Answer one request stream until quit/shutdown/EOF; True = the
     whole server should stop (not just this client session). ``lock``
     serializes device + localizer-state access across TCP client
-    threads (one chip, one request at a time)."""
+    threads (one chip, one request at a time). The streams are BINARY:
+    text commands arrive as lines, and the in-band commands (searchb /
+    addb / saveb) carry length-prefixed npz/CSV payload bytes on the
+    same stream — a remote --listen client needs no shared filesystem.
+    """
     import contextlib
 
-    for line in rfile:
-        line = line.strip()
+    while True:
+        raw = rfile.readline()
+        if not raw:
+            return False
+        line = raw.decode("utf-8", errors="replace").strip()
         if not line:
             continue
         if line == "quit":
             return False
         if line == "shutdown":
             return True
+        head = line.split("\t")
+        blobs = None
         try:
+            payloads = (
+                _read_payloads(rfile, head)
+                if head[0] in ("searchb", "addb")
+                else None
+            )
             with lock if lock is not None else contextlib.nullcontext():
                 response = serve_request(
-                    index, aggregation, localizer, line, args
+                    index, aggregation, localizer, line, args,
+                    payloads=payloads,
                 )
+            if isinstance(response, tuple):
+                response, blobs = response
+        except EOFError:
+            # Client died mid-payload: the stream is unrecoverable.
+            return False
         except Exception as exc:  # keep serving on request errors
             response = "error\t" + str(exc).replace("\n", " ")
-        print(response, file=wfile, flush=True)
-    return False
+        wfile.write((response + "\n").encode("utf-8"))
+        if blobs:
+            for blob in blobs:
+                wfile.write(blob)
+        wfile.flush()
 
 
 def _serve_tcp(index, aggregation, localizer, args, stage_s: float) -> None:
@@ -619,8 +779,8 @@ def _serve_tcp(index, aggregation, localizer, args, stage_s: float) -> None:
     def client_session(conn, addr):
         try:
             with conn:
-                rfile = conn.makefile("r", encoding="utf-8")
-                wfile = conn.makefile("w", encoding="utf-8")
+                rfile = conn.makefile("rb")
+                wfile = conn.makefile("wb")
                 # The greeting's video count is read live (under the
                 # device lock): `add` grows the corpus mid-lifetime,
                 # so the startup count would mislead late clients.
@@ -629,7 +789,8 @@ def _serve_tcp(index, aggregation, localizer, args, stage_s: float) -> None:
                         f"ready\t{len(index.video_metadata)}"
                         f"\t{stage_s:.1f}"
                     )
-                print(ready, file=wfile, flush=True)
+                wfile.write((ready + "\n").encode("utf-8"))
+                wfile.flush()
                 if _serve_stream(
                     index, aggregation, localizer, args, rfile, wfile,
                     lock=device_lock,
