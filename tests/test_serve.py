@@ -1601,3 +1601,219 @@ class TestInbandProtocol:
             assert [v.video_id for v in snap_refs] == [
                 v.video_id for v in snap_fine
             ]
+
+
+W_E2E, H_E2E, FRAMES_E2E = 48, 32, 8
+
+
+class TestEndToEndServe:
+    """extract / searchv on a resident SSCD model: end-to-end serving
+    from raw videos must equal the one-shot flow (inference CLI →
+    descriptor npz → path-based search) bit-for-bit. Decode uses stub
+    ffmpeg/ffprobe emitting frames derived from each video file's
+    content byte, so a query sharing a ref's byte is an exact copy."""
+
+    @pytest.fixture(scope="class")
+    def rig(self, tmp_path_factory):
+        import stat
+
+        tmp = tmp_path_factory.mktemp("e2e")
+        tools = tmp / "tools"
+        tools.mkdir()
+
+        def executable(path, content):
+            path.write_text(content)
+            os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
+
+        executable(
+            tools / "ffprobe",
+            "#!/usr/bin/env python3\n"
+            f'print(\'{{"streams": [{{"width": {W_E2E}, '
+            f'"height": {H_E2E}}}]}}\')\n',
+        )
+        executable(
+            tools / "ffmpeg",
+            "#!/usr/bin/env python3\n"
+            "import sys\n"
+            "path = sys.argv[sys.argv.index('-i') + 1]\n"
+            "seed = open(path, 'rb').read(1)[0]\n"
+            f"for j in range({FRAMES_E2E}):\n"
+            "    sys.stdout.buffer.write("
+            f"bytes([(seed + 17 * j) % 256]) * {W_E2E * H_E2E * 3})\n",
+        )
+        rdir, qdir = tmp / "refs", tmp / "queries"
+        rdir.mkdir()
+        qdir.mkdir()
+        for i, seed in enumerate([10, 60, 110]):
+            (rdir / f"R{i:06d}.mp4").write_bytes(bytes([seed]))
+        (qdir / "Q000000.mp4").write_bytes(bytes([200]))
+        # Q000001 = an exact copy of R000002 (same content byte).
+        (qdir / "Q000001.mp4").write_bytes(bytes([110]))
+
+        # One deterministic checkpoint shared by every process.
+        import jax
+        import jax.numpy as jnp
+
+        from vsc2022_tpu.models import SSCDModel
+        from vsc2022_tpu.utils.checkpoint import save_variables
+
+        variables = SSCDModel().init(
+            jax.random.PRNGKey(7), jnp.zeros((1, 224, 224, 3), jnp.float32)
+        )
+        ckpt = str(tmp / "sscd.npz")
+        save_variables(ckpt, variables)
+
+        def one_shot(dataset_path, out):
+            r = subprocess.run(
+                [sys.executable, "-m", "vsc2022_tpu.inference.cli",
+                 "--baseline", "sscd", "--accelerator", "cpu",
+                 "--checkpoint_path", ckpt,
+                 "--transforms", "RESIZE_224_SQUARE", "--batch_size", "8",
+                 "--dataset_path", dataset_path,
+                 "--ffmpeg_path", str(tools / "ffmpeg"),
+                 "--output_file", out],
+                cwd=REPO, env={**os.environ}, capture_output=True,
+                text=True, timeout=600,
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+
+        one_shot(str(rdir), str(tmp / "r.npz"))
+        one_shot(str(qdir), str(tmp / "q.npz"))
+
+        # Noise corpus (descriptor space, 512-d) for the SN+matches arm.
+        rng = np.random.RandomState(5)
+        noise = [
+            VideoFeature(
+                video_id=2000 + i,
+                timestamps=np.arange(20, dtype=np.float64),
+                feature=l2n(rng.randn(20, 512)).astype(np.float32),
+            )
+            for i in range(4)
+        ]
+        store_features(str(tmp / "noise.npz"), noise, Dataset.REFS)
+        return tmp, tools, rdir, qdir, ckpt
+
+    def _spawn(self, tmp, extra_args=(), **kw):
+        from vsc2022_tpu.retrieval import ServeClient
+
+        return ServeClient.spawn(
+            str(tmp / "r.npz"),
+            env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+            cwd=REPO, stderr=subprocess.DEVNULL,
+            extra_args=list(extra_args), **kw,
+        )
+
+    def test_extract_and_searchv_match_one_shot(self, rig, tmp_path):
+        from vsc2022_tpu.retrieval import ServeError
+
+        tmp, tools, rdir, qdir, ckpt = rig
+        with self._spawn(
+            tmp,
+            extra_args=[
+                "--baseline", "sscd", "--checkpoint_path", ckpt,
+                "--extract_transforms", "RESIZE_224_SQUARE",
+                "--extract_batch_size", "8",
+                "--ffmpeg_path", str(tools / "ffmpeg"),
+            ],
+        ) as client:
+            # `extract` equals the one-shot inference CLI, bit for bit.
+            out_npz = str(tmp_path / "served_q.npz")
+            n_videos, n_frames = client.extract(str(qdir), out_npz)
+            assert (n_videos, n_frames) == (2, 2 * FRAMES_E2E)
+            with np.load(out_npz) as a, np.load(tmp / "q.npz") as b:
+                assert list(a["video_ids"]) == list(b["video_ids"])
+                np.testing.assert_array_equal(a["features"], b["features"])
+                np.testing.assert_array_equal(
+                    a["timestamps"], b["timestamps"]
+                )
+
+            # `searchv` equals a path search over the one-shot npz.
+            client.search(
+                str(tmp / "q.npz"),
+                candidates_csv=str(tmp_path / "c1.csv"),
+            )
+            by_video = client.search_videos(
+                str(qdir), candidates_csv=str(tmp_path / "c2.csv"),
+            )
+            c1 = (tmp_path / "c1.csv").read_text()
+            c2 = (tmp_path / "c2.csv").read_text()
+            assert c1 == c2 and len(c2.splitlines()) > 1
+            assert by_video.n_candidates == len(c2.splitlines()) - 1
+            # The planted copy pair is among the candidates. (Raw
+            # SSCD descriptors are unnormalized, so without score
+            # normalization the IP magnitude tracks vector norms —
+            # rank assertions belong to the SN test below.)
+            rows = [ln.split(",") for ln in c2.splitlines()[1:]]
+            assert ("Q000001", "R000002") in {(r[0], r[1]) for r in rows}
+
+            # Default CSV naming anchors to the videos directory.
+            res = client.search_videos(str(qdir))
+            assert res.candidates_csv == str(qdir) + ".candidates.csv"
+            assert os.path.exists(res.candidates_csv)
+
+            with pytest.raises(ServeError, match="Not a video directory"):
+                client.search_videos(str(tmp_path / "missing"))
+
+    def test_searchv_serves_the_full_matching_track(self, rig, tmp_path):
+        """searchv under --score_norm_features --matches: the TN stage
+        runs on the extracted queries and both CSVs equal the
+        path-based request over the one-shot npz."""
+        tmp, tools, rdir, qdir, ckpt = rig
+        with self._spawn(
+            tmp,
+            score_norm_features=str(tmp / "noise.npz"),
+            matches=True,
+            extra_args=[
+                "--baseline", "sscd", "--checkpoint_path", ckpt,
+                "--extract_transforms", "RESIZE_224_SQUARE",
+                "--extract_batch_size", "8",
+                "--ffmpeg_path", str(tools / "ffmpeg"),
+            ],
+        ) as client:
+            client.search(
+                str(tmp / "q.npz"),
+                candidates_csv=str(tmp_path / "c1.csv"),
+                matches_csv=str(tmp_path / "m1.csv"),
+            )
+            res = client.search_videos(
+                str(qdir),
+                candidates_csv=str(tmp_path / "c2.csv"),
+                matches_csv=str(tmp_path / "m2.csv"),
+            )
+            assert res.matches_csv == str(tmp_path / "m2.csv")
+            assert (tmp_path / "c1.csv").read_text() == (
+                tmp_path / "c2.csv"
+            ).read_text()
+            assert (tmp_path / "m1.csv").read_text() == (
+                tmp_path / "m2.csv"
+            ).read_text()
+            # Typed result coherence. (Whether the degenerate
+            # constant-frame random-init similarity clears the TN gate
+            # is not a contract — copy localization is pinned on real
+            # feature geometry in the serve tests above; the contract
+            # HERE is searchv ≡ path search, asserted on both CSVs.)
+            assert res.n_matches == len(res.matches())
+
+    def test_no_resident_model_is_a_typed_error(self, rig):
+        from vsc2022_tpu.retrieval import ServeError
+
+        tmp, tools, rdir, qdir, ckpt = rig
+        with self._spawn(tmp) as client:
+            with pytest.raises(ServeError, match="No resident model"):
+                client.search_videos(str(qdir))
+            with pytest.raises(ServeError, match="No resident model"):
+                client.extract(str(qdir), str(tmp / "never.npz"))
+            # The session keeps serving after the errors.
+            assert client.stats().n_videos == 3
+
+    def test_weights_without_architecture_fail_startup(self, rig):
+        tmp, tools, rdir, qdir, ckpt = rig
+        proc = subprocess.run(
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+             "--ref_features", str(tmp / "r.npz"),
+             "--checkpoint_path", ckpt],
+            cwd=REPO, env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode != 0
+        assert "--baseline" in proc.stderr

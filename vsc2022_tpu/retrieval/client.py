@@ -263,7 +263,10 @@ class ServeClient:
             )
         if matches_csv is not None:
             fields.append(os.path.abspath(matches_csv))
-        parts = self._rpc("\t".join(fields))
+        return self._parse_search_reply(self._rpc("\t".join(fields)))
+
+    @staticmethod
+    def _parse_search_reply(parts: List[str]) -> SearchResult:
         if len(parts) >= 5:
             return SearchResult(
                 candidates_csv=parts[0], n_candidates=int(parts[1]),
@@ -315,6 +318,40 @@ class ServeClient:
         if parts[0] != "saved":
             raise ServeError(f"unexpected save reply: {parts!r}")
         return int(parts[1])
+
+    # -- end-to-end requests (resident model; server started with
+    #    --baseline + --checkpoint_path) --------------------------------
+
+    def extract(self, videos_dir: str, output_npz: str) -> Tuple[int, int]:
+        """Decode + embed a video directory on the server's resident
+        model, writing a descriptor npz. Returns (n_videos, n_frames).
+        """
+        parts = self._rpc(
+            f"extract\t{os.path.abspath(videos_dir)}"
+            f"\t{os.path.abspath(output_npz)}"
+        )
+        if parts[0] != "extracted":
+            raise ServeError(f"unexpected extract reply: {parts!r}")
+        return int(parts[1]), int(parts[2])
+
+    def search_videos(
+        self,
+        videos_dir: str,
+        *,
+        candidates_csv: Optional[str] = None,
+        matches_csv: Optional[str] = None,
+    ) -> SearchResult:
+        """Raw videos in, candidate/match CSVs out: the server embeds
+        the directory on its resident model and searches in one
+        request — query descriptors never touch disk."""
+        fields = ["searchv", os.path.abspath(videos_dir)]
+        if candidates_csv is not None or matches_csv is not None:
+            fields.append(
+                os.path.abspath(candidates_csv) if candidates_csv else ""
+            )
+        if matches_csv is not None:
+            fields.append(os.path.abspath(matches_csv))
+        return self._parse_search_reply(self._rpc("\t".join(fields)))
 
     # -- in-band requests (no shared filesystem needed) ---------------
 

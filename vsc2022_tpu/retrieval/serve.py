@@ -42,15 +42,41 @@ Wire protocol (line-oriented, identical over stdin/stdout or — with
     add refs:  add\t<refs_npz>\n   (DnS: add\t<coarse_npz>\t<fine_npz>\n)
     remove:    remove\t<video_id>[\t<video_id>...]\n
     save:      save\t<refs_npz>\n   (DnS: save\t<coarse_npz>\t<fine_npz>\n)
+    extract:   extract\t<videos_dir>\t<output_npz>\n
+    video in:  searchv\t<videos_dir>[\t<candidates_csv>[\t<matches_csv>]]\n
     stats:     stats\n
     response:  ok\t<candidates_csv>\t<n_pairs>\t<seconds>\n
          or:   ok\t<candidates_csv>\t<n_pairs>\t<matches_csv>\t<n_matches>\t<seconds>\n
          or:   ok\tadded\t<n_new_videos>\t<seconds>\n
          or:   ok\tremoved\t<n_videos>\t<n_frame_rows>\t<seconds>\n
          or:   ok\tsaved\t<n_videos>\t<refs_npz>[\t<fine_npz>]\t<seconds>\n
+         or:   ok\textracted\t<n_videos>\t<n_frames>\t<output_npz>\t<seconds>\n
          or:   ok\tstats\t<n_videos>\t<n_frames>\t<dtype>\t<sharded>\t<matches>\n
     error:     error\t<message>\n        (the server keeps serving)
     startup:   ready\t<n_ref_videos>\t<stage_seconds>\n
+
+In-band forms (for clients with no filesystem in common with the
+server — the payload bytes ride the request stream itself, length-
+prefixed, immediately after the header line):
+
+    search:    searchb\t<query_npz_len>[\t<fine_npz_len>]\n<bytes...>
+    add refs:  addb\t<refs_npz_len>[\t<fine_npz_len>]\n<bytes...>
+    snapshot:  saveb\n
+    response:  okb\t<n_pairs>\t<cand_csv_len>[\t<n_matches>\t<match_csv_len>]\t<seconds>\n<bytes...>
+         or:   ok\tadded\t<n_new_videos>\t<seconds>\n
+         or:   okb\t<n_videos>\t<coarse_npz_len>[\t<fine_npz_len>]\t<seconds>\n<bytes...>
+
+Both request forms run the same retrieval/TN core, so in-band results
+are bit-identical to the path protocol (tests/test_serve.py).
+
+End-to-end serving: with ``--baseline`` + ``--checkpoint_path`` a
+descriptor model stays device-resident next to the corpus, and
+requests can start from RAW VIDEOS — ``extract`` decodes + embeds a
+video directory to a descriptor npz (the serving analog of one
+inference CLI run, minus the per-invocation model/compile startup),
+and ``searchv`` embeds then searches in one request, query
+descriptors never touching disk. searchv results are bit-identical
+to extracting with the inference CLI and searching the npz.
 
 ``add`` grows the served corpus without a restart (the FAISS-``add``
 analog, reference: vsc/index.py:87-94): new reference videos join the
@@ -110,7 +136,7 @@ from vsc2022_tpu.retrieval.index import (
     ScoreNormalizedVideoIndex,
     VideoIndex,
 )
-from vsc2022_tpu.storage import load_features
+from vsc2022_tpu.storage import load_features, store_features
 
 # Module-level like the other CLIs: `python -m vsc2022_tpu serve`
 # dispatches through __main__.py, where __name__ is not "__main__".
@@ -185,6 +211,46 @@ parser.add_argument(
     "instead of stdin/stdout (port 0 binds a free port, reported on "
     "stdout as listening\\t<host>:<port>)",
 )
+extract_parser = parser.add_argument_group(
+    "Resident extraction",
+    "Optional end-to-end serving: keep a descriptor model resident "
+    "next to the staged corpus so requests can start from raw videos "
+    "(`extract` decodes + embeds a video directory to npz; `searchv` "
+    "embeds then searches in one request — query descriptors never "
+    "touch disk). Enabled by --baseline.",
+)
+extract_parser.add_argument(
+    "--baseline", choices=["sscd", "dino", "dns"],
+    help="Keep this descriptor model resident for extract/searchv "
+    "requests (weights via --checkpoint_path/--torchscript_path)",
+)
+extract_parser.add_argument(
+    "--checkpoint_path",
+    help="npz variable tree for the resident --baseline model",
+)
+extract_parser.add_argument(
+    "--torchscript_path",
+    help="TorchScript weights, converted at startup (requires torch)",
+)
+extract_parser.add_argument(
+    "--extract_transforms", default="RESIZE_320_CENTER",
+    help="InferenceTransforms preprocessing variant for the resident "
+    "model (RESIZE_320_CENTER for SSCD, RESIZE_224_SQUARE for DINO)",
+)
+extract_parser.add_argument("--extract_batch_size", type=int, default=32)
+extract_parser.add_argument(
+    "--extract_compute_dtype", choices=["float32", "bfloat16"],
+    default="float32",
+    help="bfloat16 runs the resident model forward MXU-native",
+)
+extract_parser.add_argument(
+    "--fold_bn", action="store_true",
+    help="Fold BatchNorm affines into the resident model's convs "
+    "(ResNet-family baselines)",
+)
+extract_parser.add_argument("--fps", type=float, default=1)
+extract_parser.add_argument("--ffmpeg_path", default="ffmpeg")
+extract_parser.add_argument("--video_extensions", default="mp4")
 
 
 def build_index(args):
@@ -267,6 +333,92 @@ def build_localizer(index, refs, args):
         vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
         shard_ref_table=index.mesh is not None,
         table_dtype="bfloat16" if args.bf16 else "float32",
+    )
+
+
+def build_extractor(args):
+    """Resident descriptor extractor for end-to-end serving: the
+    model's variables go device-resident once at startup, so
+    `extract` / `searchv` requests pay decode + forward only (the
+    one-shot analog re-loads the model per invocation:
+    vsc/baseline/inference_impl.py:173). Returns (extractor,
+    reader_factory) or None when no --baseline was requested."""
+    if not args.baseline:
+        if args.checkpoint_path or args.torchscript_path:
+            raise ValueError(
+                "--checkpoint_path/--torchscript_path need --baseline "
+                "to pick the model architecture"
+            )
+        return None
+    if not (args.checkpoint_path or args.torchscript_path):
+        raise ValueError(
+            "A resident model needs weights: --checkpoint_path or "
+            "--torchscript_path"
+        )
+    from functools import partial
+
+    from vsc2022_tpu.inference.cli import build_model
+    from vsc2022_tpu.inference.pipeline import DescriptorExtractor
+    from vsc2022_tpu.inference.transforms import InferenceTransforms
+    from vsc2022_tpu.inference.video_reader import FFMpegVideoReader
+
+    apply_fn, variables = build_model(args)
+    extractor = DescriptorExtractor(
+        apply_fn,
+        variables,
+        transform=InferenceTransforms[args.extract_transforms],
+        batch_size=args.extract_batch_size,
+        compute_dtype=args.extract_compute_dtype,
+    )
+    reader_factory = partial(
+        FFMpegVideoReader,
+        required_fps=args.fps,
+        ffmpeg_path=args.ffmpeg_path,
+    )
+    return extractor, reader_factory
+
+
+def _extract_feature_list(extractor_bundle, videos_path, args):
+    """Decode + embed every video in a directory on the resident
+    model, in sorted-filename order (the inference CLI's dataset
+    contract: vsc/baseline/inference_impl.py:94-109)."""
+    import os
+
+    from vsc2022_tpu.inference.pipeline import VideoDataset
+
+    if extractor_bundle is None:
+        raise ValueError(
+            "No resident model: start the server with --baseline and "
+            "--checkpoint_path to serve extract/searchv requests"
+        )
+    extractor, reader_factory = extractor_bundle
+    if not os.path.isdir(videos_path):
+        raise ValueError(f"Not a video directory: {videos_path}")
+    dataset = VideoDataset(
+        path=videos_path,
+        reader_factory=reader_factory,
+        extensions=args.video_extensions.split(","),
+    )
+    return list(extractor.extract(dataset))
+
+
+def _extract_videos(extractor_bundle, parts, args) -> str:
+    """`extract`: embed a video directory to a descriptor npz on the
+    resident model — the serving analog of one inference CLI run,
+    without the per-invocation process/model/compile startup."""
+    from vsc2022_tpu.storage import store_features
+
+    t0 = time.perf_counter()
+    if len(parts) < 3:
+        raise ValueError(
+            "extract needs: extract\\t<videos_dir>\\t<output_npz>"
+        )
+    feats = _extract_feature_list(extractor_bundle, parts[1], args)
+    store_features(parts[2], feats)
+    n_frames = sum(len(vf) for vf in feats)
+    return (
+        f"ok\textracted\t{len(feats)}\t{n_frames}\t{parts[2]}"
+        f"\t{time.perf_counter() - t0:.3f}"
     )
 
 
@@ -534,10 +686,78 @@ def _save_bytes(index, localizer, args):
     return header + f"\t{time.perf_counter() - t0:.3f}", blobs
 
 
-def serve_request(index, aggregation, localizer, line: str, args,
-                  payloads=None):
+def _respond_search(
+    index, aggregation, localizer, queries, queries_fine,
+    out_csv, matches_csv, args, t0
+) -> str:
+    """Candidates (+ optional TN matches) to CSVs, shared by the
+    path-based search and `searchv`. Candidates land on disk before
+    the TN stage so a localization failure still leaves them behind
+    (the error response names it)."""
     from vsc2022_tpu.metrics import Match
 
+    candidates = _search_candidates(index, aggregation, queries, args)
+    CandidatePair.write_csv(candidates, out_csv)
+    if localizer is None:
+        return (
+            f"ok\t{out_csv}\t{len(candidates)}"
+            f"\t{time.perf_counter() - t0:.3f}"
+        )
+    found = _localize_candidates(
+        index, localizer, queries, queries_fine, candidates, args
+    )
+    Match.write_csv(found, matches_csv)
+    return (
+        f"ok\t{out_csv}\t{len(candidates)}\t{matches_csv}\t{len(found)}"
+        f"\t{time.perf_counter() - t0:.3f}"
+    )
+
+
+def _search_videos(
+    index, aggregation, localizer, extractor, parts, args
+) -> str:
+    """`searchv`: raw videos in, candidate/match CSVs out — extraction
+    on the resident model feeds the search core directly; query
+    descriptors never touch disk."""
+    import io
+
+    t0 = time.perf_counter()
+    if args.ref_fine_features:
+        raise ValueError(
+            "searchv does not serve the DnS track: DnS queries need "
+            "the dns_index re-encoding — run extract, then dns_index, "
+            "then the two-file search form"
+        )
+    if len(parts) < 2:
+        raise ValueError(
+            "searchv needs: searchv\\t<videos_dir>"
+            "[\\t<candidates_csv>[\\t<matches_csv>]]"
+        )
+    feats = _extract_feature_list(extractor, parts[1], args)
+    # Round-trip through the frozen npz schema in memory so video ids
+    # and dtypes match the one-shot flow (inference CLI npz →
+    # Dataset.QUERIES load) exactly.
+    buf = io.BytesIO()
+    store_features(buf, feats)
+    buf.seek(0)
+    queries = load_features(buf, Dataset.QUERIES)
+    base = parts[1].rstrip("/")
+    out_csv = (
+        parts[2] if len(parts) > 2 and parts[2]
+        else base + ".candidates.csv"
+    )
+    matches_csv = (
+        parts[3] if len(parts) > 3 and parts[3]
+        else base + ".matches.csv"
+    )
+    return _respond_search(
+        index, aggregation, localizer, queries, None,
+        out_csv, matches_csv, args, t0,
+    )
+
+
+def serve_request(index, aggregation, localizer, line: str, args,
+                  payloads=None, extractor=None):
     parts = line.split("\t")
     if parts[0] == "add":
         return _add_refs(index, localizer, parts, args)
@@ -551,6 +771,12 @@ def serve_request(index, aggregation, localizer, line: str, args,
         return _add_refs(index, localizer, parts, args, payloads=payloads)
     if parts[0] == "saveb":
         return _save_bytes(index, localizer, args)
+    if parts[0] == "extract":
+        return _extract_videos(extractor, parts, args)
+    if parts[0] == "searchv":
+        return _search_videos(
+            index, aggregation, localizer, extractor, parts, args
+        )
     if parts[0] == "stats":
         return (
             "ok\tstats"
@@ -587,27 +813,14 @@ def serve_request(index, aggregation, localizer, line: str, args,
         queries_fine = convert_to_dict(
             load_features(fine_path, Dataset.QUERIES)
         )
-    candidates = _search_candidates(index, aggregation, queries, args)
-    # Candidates land on disk before the TN stage so a localization
-    # failure still leaves them behind (the error response names it).
-    CandidatePair.write_csv(candidates, out_csv)
-    if localizer is None:
-        return (
-            f"ok\t{out_csv}\t{len(candidates)}"
-            f"\t{time.perf_counter() - t0:.3f}"
-        )
     matches_csv = (
         parts[2]
         if len(parts) > 2 and parts[2]
         else query_path + ".matches.csv"
     )
-    found = _localize_candidates(
-        index, localizer, queries, queries_fine, candidates, args
-    )
-    Match.write_csv(found, matches_csv)
-    return (
-        f"ok\t{out_csv}\t{len(candidates)}\t{matches_csv}\t{len(found)}"
-        f"\t{time.perf_counter() - t0:.3f}"
+    return _respond_search(
+        index, aggregation, localizer, queries, queries_fine,
+        out_csv, matches_csv, args, t0,
     )
 
 
@@ -623,6 +836,9 @@ def main(args):
             )
         args.matches = True
     t0 = time.perf_counter()
+    # Extractor first: its flag validation (--baseline vs weights)
+    # should fail fast, before corpus staging pays the host link.
+    extractor = build_extractor(args)
     index, refs, dim = build_index(args)
     localizer = build_localizer(index, refs, args) if args.matches else None
     if not args.no_warmup:
@@ -677,11 +893,15 @@ def main(args):
         f"Serving {len(refs)} reference videos (staged in {stage_s:.1f}s)"
     )
     if args.listen:
-        _serve_tcp(index, aggregation, localizer, args, stage_s)
+        _serve_tcp(
+            index, aggregation, localizer, args, stage_s,
+            extractor=extractor,
+        )
     else:
         _serve_stream(
             index, aggregation, localizer, args,
             sys.stdin.buffer, sys.stdout.buffer,
+            extractor=extractor,
         )
 
 
@@ -710,7 +930,8 @@ def _read_payloads(rfile, head):
 
 
 def _serve_stream(
-    index, aggregation, localizer, args, rfile, wfile, lock=None
+    index, aggregation, localizer, args, rfile, wfile, lock=None,
+    extractor=None,
 ) -> bool:
     """Answer one request stream until quit/shutdown/EOF; True = the
     whole server should stop (not just this client session). ``lock``
@@ -744,7 +965,7 @@ def _serve_stream(
             with lock if lock is not None else contextlib.nullcontext():
                 response = serve_request(
                     index, aggregation, localizer, line, args,
-                    payloads=payloads,
+                    payloads=payloads, extractor=extractor,
                 )
             if isinstance(response, tuple):
                 response, blobs = response
@@ -760,7 +981,8 @@ def _serve_stream(
         wfile.flush()
 
 
-def _serve_tcp(index, aggregation, localizer, args, stage_s: float) -> None:
+def _serve_tcp(index, aggregation, localizer, args, stage_s: float,
+               extractor=None) -> None:
     """TCP accept loop speaking the stdin protocol, one thread per
     client: sessions interleave (an idle connection never blocks
     others) while a device lock serializes the actual requests —
@@ -793,7 +1015,7 @@ def _serve_tcp(index, aggregation, localizer, args, stage_s: float) -> None:
                 wfile.flush()
                 if _serve_stream(
                     index, aggregation, localizer, args, rfile, wfile,
-                    lock=device_lock,
+                    lock=device_lock, extractor=extractor,
                 ):
                     stop.set()
         except (BrokenPipeError, ConnectionResetError):
