@@ -193,3 +193,168 @@ def test_two_process_dcn_matches_single_process(
         np.testing.assert_array_equal(
             got[vid].timestamps, want[vid].timestamps
         )
+
+
+def test_two_process_serving_pod_matches_single_process(tmp_path):
+    """Multi-host resident serving: rank 0 speaks the client protocol
+    and relays every request over --control; rank 1 executes them in
+    SPMD lockstep so the corpus-mesh collectives never deadlock. The
+    full lifecycle (search with matches, add, remove, error, save,
+    in-band searchb) must be bit-identical to a single-process
+    unsharded server over the same request sequence."""
+    from vsc2022_tpu.metrics import Dataset
+    from vsc2022_tpu.storage import store_features
+    from vsc2022_tpu.types import VideoFeature
+
+    def l2n(x):
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(11)
+    d = 24
+    refs = [
+        VideoFeature(
+            video_id=i,
+            timestamps=np.arange(
+                n := int(rng.randint(20, 40)), dtype=np.float64
+            ),
+            feature=l2n(rng.randn(n, d)).astype(np.float32),
+        )
+        for i in range(10)
+    ]
+    noise = [
+        VideoFeature(
+            video_id=1000 + i,
+            timestamps=np.arange(25, dtype=np.float64),
+            feature=l2n(rng.randn(25, d)).astype(np.float32),
+        )
+        for i in range(6)
+    ]
+    queries = []
+    for i in range(3):
+        f = l2n(rng.randn(30, d)).astype(np.float32)
+        if i < 2:
+            f[10:18] = refs[i].feature[5:13]
+        queries.append(
+            VideoFeature(
+                video_id=i, timestamps=np.arange(30, dtype=np.float64),
+                feature=f,
+            )
+        )
+    r_npz = str(tmp_path / "r.npz")
+    noise_npz = str(tmp_path / "noise.npz")
+    q_npz = str(tmp_path / "q.npz")
+    add_npz = str(tmp_path / "add.npz")
+    store_features(r_npz, refs, Dataset.REFS)
+    store_features(noise_npz, noise, Dataset.REFS)
+    store_features(q_npz, queries, Dataset.QUERIES)
+    store_features(
+        add_npz,
+        [VideoFeature(
+            video_id=77,
+            timestamps=np.arange(20, dtype=np.float64),
+            feature=l2n(
+                np.random.RandomState(41).randn(20, d)
+            ).astype(np.float32),
+        )],
+        Dataset.REFS,
+    )
+    with open(q_npz, "rb") as f:
+        q_bytes = f.read()
+
+    def drive(proc, tag):
+        """The client request sequence; returns output file paths and
+        the in-band candidate CSV bytes."""
+        def req(line):
+            proc.stdin.write((line + "\n").encode("utf-8"))
+            proc.stdin.flush()
+            return proc.stdout.readline().decode("utf-8").strip().split("\t")
+
+        out1 = str(tmp_path / f"{tag}_1.csv")
+        m1 = str(tmp_path / f"{tag}_1m.csv")
+        assert req(f"{q_npz}\t{out1}\t{m1}")[0] == "ok"
+        assert req(f"add\t{add_npz}")[:3] == ["ok", "added", "1"]
+        assert req("remove\tR000002")[:3] == ["ok", "removed", "1"]
+        # An error request must keep every rank consistent and serving.
+        assert req("remove\tR999999")[0] == "error"
+        out2 = str(tmp_path / f"{tag}_2.csv")
+        m2 = str(tmp_path / f"{tag}_2m.csv")
+        assert req(f"{q_npz}\t{out2}\t{m2}")[0] == "ok"
+        # In-band search on the mutated corpus: payload bytes are
+        # relayed verbatim to the followers.
+        proc.stdin.write(f"searchb\t{len(q_bytes)}\n".encode("utf-8"))
+        proc.stdin.write(q_bytes)
+        proc.stdin.flush()
+        head = proc.stdout.readline().decode("utf-8").strip().split("\t")
+        assert head[0] == "okb", head
+        cand_bytes = proc.stdout.read(int(head[2]))
+        match_bytes = proc.stdout.read(int(head[4]))
+        snap = str(tmp_path / f"{tag}_snap.npz")
+        assert req(f"save\t{snap}")[:3] == ["ok", "saved", "10"]
+        proc.stdin.write(b"quit\n")
+        proc.stdin.flush()
+        return out1, m1, out2, m2, cand_bytes, match_bytes, snap
+
+    def spawn(extra, n_local_devices):
+        env = dict(
+            os.environ, VSC2022_TPU_FORCE_CPU="1",
+            XLA_FLAGS=(
+                "--xla_force_host_platform_device_count="
+                f"{n_local_devices}"
+            ),
+        )
+        return subprocess.Popen(
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+             "--ref_features", r_npz,
+             "--score_norm_features", noise_npz,
+             "--matches", *extra],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, env=env, cwd=REPO,
+        )
+
+    # Oracle: one unsharded single-process server.
+    oracle = spawn([], 8)
+    try:
+        assert oracle.stdout.readline().startswith(b"ready")
+        want = drive(oracle, "single")
+        assert oracle.wait(timeout=240) == 0
+    finally:
+        oracle.kill()
+
+    # Pod: 2 ranks x 4 virtual devices, corpus sharded over all 8.
+    coord, control = _free_port(), _free_port()
+    pod_flags = [
+        "--sharded", "--coordinator", f"localhost:{coord}",
+        "--num_processes", "2", "--control", f"localhost:{control}",
+    ]
+    leader = spawn([*pod_flags, "--process_id", "0"], 4)
+    follower = spawn([*pod_flags, "--process_id", "1"], 4)
+
+    def wait_line(proc, prefix):
+        # The gloo rendezvous chats on stdout; skip until the protocol
+        # line arrives.
+        for _ in range(50):
+            line = proc.stdout.readline()
+            if line.startswith(prefix):
+                return
+            assert line, f"EOF waiting for {prefix!r}"
+        raise AssertionError(f"never saw {prefix!r}")
+
+    try:
+        wait_line(follower, b"follower")
+        wait_line(leader, b"ready")
+        got = drive(leader, "pod")
+        assert leader.wait(timeout=240) == 0
+        # quit on the leader releases the follower via the relay.
+        assert follower.wait(timeout=240) == 0
+    finally:
+        leader.kill()
+        follower.kill()
+
+    for w, g in zip(want[:4], got[:4]):
+        with open(w, "rb") as a, open(g, "rb") as b:
+            assert a.read() == b.read(), (w, g)
+    assert want[4] == got[4]  # in-band candidates CSV bytes
+    assert want[5] == got[5]  # in-band matches CSV bytes
+    pa, pb = np.load(want[6]), np.load(got[6])
+    for key in ("video_ids", "features", "timestamps"):
+        np.testing.assert_array_equal(pa[key], pb[key])

@@ -113,6 +113,19 @@ def _sharded_sims_fn(mesh, axis: str, shard_rows: int, precision: str):
     return jax.jit(fn)
 
 
+def _fetch(x) -> np.ndarray:
+    """Device→host pull that also works when the array is sharded over
+    a multi-PROCESS mesh (pod serving): non-addressable shards can't be
+    np.asarray'd directly, so all ranks all-gather the global value —
+    every rank calls this from the same SPMD request, so the collective
+    stays in lockstep."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -581,9 +594,9 @@ class TNLocalization(LocalizationWithMetadata):
             q_len = jax.device_put(q_len, self._align_sharding)
             r_len = jax.device_put(r_len, self._align_sharding)
         boxes, valid, box_scores = tn_align(sims, q_len, r_len, self.params)
-        boxes = np.asarray(boxes)[: len(chunk)]
-        valid = np.asarray(valid)[: len(chunk)]
-        box_scores = np.asarray(box_scores)[: len(chunk)]
+        boxes = _fetch(boxes)[: len(chunk)]
+        valid = _fetch(valid)[: len(chunk)]
+        box_scores = _fetch(box_scores)[: len(chunk)]
 
         matches = []
         for bi, candidate in enumerate(chunk):

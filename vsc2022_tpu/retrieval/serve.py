@@ -100,6 +100,19 @@ schema, in corpus row order — restarting the server on the snapshot
 reproduces the live state bit-for-bit. DnS servers save the fine
 features to a second npz.
 
+Multi-host (DCN) pods: every rank runs this CLI with the same flags
+plus its ``--process_id``; ``--coordinator`` rendezvouses
+``jax.distributed`` so the ``--sharded`` corpus mesh spans all ranks'
+chips (pod-scale HBM). Rank 0 speaks the client protocol; every
+request it accepts is first relayed verbatim to the follower ranks
+over the ``--control`` socket, so all ranks execute the same device
+program in the same order — a collective entered by one rank alone
+would deadlock the mesh. Followers never write files (CSV/npz outputs
+are the leader's); path-based commands assume a shared filesystem,
+while the in-band forms (searchb/addb) need none since their payload
+bytes ride the relay. Leader exit (quit/shutdown/EOF) releases the
+followers.
+
 Omitted output paths default to ``<query_npz_path>.candidates.csv`` /
 ``.matches.csv``. ``quit`` (or EOF) ends the session — in TCP mode
 that closes one client connection and the server accepts the next;
@@ -210,6 +223,27 @@ parser.add_argument(
     help="HOST:PORT — serve the same line protocol over a TCP socket "
     "instead of stdin/stdout (port 0 binds a free port, reported on "
     "stdout as listening\\t<host>:<port>)",
+)
+multihost_parser = parser.add_argument_group(
+    "Multi-host (DCN)",
+    "Pod serving: every rank runs this CLI with the same flags (plus "
+    "its --process_id); the corpus mesh spans all ranks' chips, rank "
+    "0 speaks the client protocol, and every device-touching request "
+    "is relayed to the follower ranks over --control so the SPMD "
+    "program stays in lockstep. Path-based commands need a shared "
+    "filesystem; the in-band forms (searchb/addb) need none — their "
+    "payload bytes are relayed verbatim. Requires --sharded.",
+)
+multihost_parser.add_argument(
+    "--coordinator",
+    help="HOST:PORT of the jax.distributed coordinator (rank 0)",
+)
+multihost_parser.add_argument("--num_processes", type=int, default=1)
+multihost_parser.add_argument("--process_id", type=int, default=0)
+multihost_parser.add_argument(
+    "--control",
+    help="HOST:PORT of rank 0's request-relay socket (same value on "
+    "every rank; rank 0 binds it, followers connect)",
 )
 extract_parser = parser.add_argument_group(
     "Resident extraction",
@@ -402,19 +436,20 @@ def _extract_feature_list(extractor_bundle, videos_path, args):
     return list(extractor.extract(dataset))
 
 
-def _extract_videos(extractor_bundle, parts, args) -> str:
+def _extract_videos(extractor_bundle, parts, args, leader=True) -> str:
     """`extract`: embed a video directory to a descriptor npz on the
     resident model — the serving analog of one inference CLI run,
-    without the per-invocation process/model/compile startup."""
-    from vsc2022_tpu.storage import store_features
-
+    without the per-invocation process/model/compile startup. The
+    output npz is leader-only (multi-host followers run the same
+    device program but never write files)."""
     t0 = time.perf_counter()
     if len(parts) < 3:
         raise ValueError(
             "extract needs: extract\\t<videos_dir>\\t<output_npz>"
         )
     feats = _extract_feature_list(extractor_bundle, parts[1], args)
-    store_features(parts[2], feats)
+    if leader:
+        store_features(parts[2], feats)
     n_frames = sum(len(vf) for vf in feats)
     return (
         f"ok\textracted\t{len(feats)}\t{n_frames}\t{parts[2]}"
@@ -550,12 +585,12 @@ def _remove_refs(index, localizer, parts) -> str:
     )
 
 
-def _save_refs(index, localizer, parts, args) -> str:
+def _save_refs(index, localizer, parts, args, leader=True) -> str:
     """Snapshot the current (possibly add/remove-mutated) reference
     set to npz in the standard schema, corpus row order — a restart on
-    the snapshot reproduces the live server bit-for-bit."""
-    from vsc2022_tpu.storage import store_features
-
+    the snapshot reproduces the live server bit-for-bit. Snapshots are
+    pure host work off the add-order feature blocks; follower ranks
+    skip the writes (leader-only files)."""
     t0 = time.perf_counter()
     if len(parts) < 2:
         raise ValueError("save needs an output path: save\\t<refs_npz>")
@@ -577,9 +612,10 @@ def _save_refs(index, localizer, parts, args) -> str:
         fine = [localizer.refs_fine[vf.video_id] for vf in feats]
     # Coarse first: if it fails, no partial snapshot is left behind
     # (a coarse-only leftover from a fine-write failure at least loads).
-    store_features(parts[1], feats, Dataset.REFS)
-    if fine is not None:
-        store_features(parts[2], fine, Dataset.REFS)
+    if leader:
+        store_features(parts[1], feats, Dataset.REFS)
+        if fine is not None:
+            store_features(parts[2], fine, Dataset.REFS)
     tail = f"\t{parts[2]}" if args.ref_fine_features else ""
     return (
         f"ok\tsaved\t{len(feats)}\t{parts[1]}{tail}"
@@ -655,12 +691,13 @@ def _search_bytes(index, aggregation, localizer, payloads, args):
     return header + f"\t{time.perf_counter() - t0:.3f}", blobs
 
 
-def _save_bytes(index, localizer, args):
+def _save_bytes(index, localizer, args, leader=True):
     """In-band snapshot (`saveb`): the npz bytes return on the wire
-    (coarse, then fine in DnS mode) instead of server-side paths."""
+    (coarse, then fine in DnS mode) instead of server-side paths.
+    Snapshots are pure host work, so multi-host follower ranks skip
+    the (corpus-sized) serialization entirely — only the leader has a
+    client to send the bytes to."""
     import io
-
-    from vsc2022_tpu.storage import store_features
 
     t0 = time.perf_counter()
     feats = index.features()
@@ -669,6 +706,8 @@ def _save_bytes(index, localizer, args):
             "Nothing to save: the served corpus is empty "
             "(every reference video was removed)"
         )
+    if not leader:
+        return f"ok\tfollower-save\t{len(feats)}", []
     coarse_io = io.BytesIO()
     store_features(coarse_io, feats, Dataset.REFS)
     blobs = [coarse_io.getvalue()]
@@ -688,16 +727,19 @@ def _save_bytes(index, localizer, args):
 
 def _respond_search(
     index, aggregation, localizer, queries, queries_fine,
-    out_csv, matches_csv, args, t0
+    out_csv, matches_csv, args, t0, leader=True
 ) -> str:
     """Candidates (+ optional TN matches) to CSVs, shared by the
     path-based search and `searchv`. Candidates land on disk before
     the TN stage so a localization failure still leaves them behind
-    (the error response names it)."""
+    (the error response names it). Follower ranks (multi-host SPMD)
+    run the same device program but skip the file writes — those are
+    the leader's."""
     from vsc2022_tpu.metrics import Match
 
     candidates = _search_candidates(index, aggregation, queries, args)
-    CandidatePair.write_csv(candidates, out_csv)
+    if leader:
+        CandidatePair.write_csv(candidates, out_csv)
     if localizer is None:
         return (
             f"ok\t{out_csv}\t{len(candidates)}"
@@ -706,7 +748,8 @@ def _respond_search(
     found = _localize_candidates(
         index, localizer, queries, queries_fine, candidates, args
     )
-    Match.write_csv(found, matches_csv)
+    if leader:
+        Match.write_csv(found, matches_csv)
     return (
         f"ok\t{out_csv}\t{len(candidates)}\t{matches_csv}\t{len(found)}"
         f"\t{time.perf_counter() - t0:.3f}"
@@ -714,7 +757,7 @@ def _respond_search(
 
 
 def _search_videos(
-    index, aggregation, localizer, extractor, parts, args
+    index, aggregation, localizer, extractor, parts, args, leader=True
 ) -> str:
     """`searchv`: raw videos in, candidate/match CSVs out — extraction
     on the resident model feeds the search core directly; query
@@ -752,30 +795,31 @@ def _search_videos(
     )
     return _respond_search(
         index, aggregation, localizer, queries, None,
-        out_csv, matches_csv, args, t0,
+        out_csv, matches_csv, args, t0, leader=leader,
     )
 
 
 def serve_request(index, aggregation, localizer, line: str, args,
-                  payloads=None, extractor=None):
+                  payloads=None, extractor=None, leader=True):
     parts = line.split("\t")
     if parts[0] == "add":
         return _add_refs(index, localizer, parts, args)
     if parts[0] == "remove":
         return _remove_refs(index, localizer, parts)
     if parts[0] == "save":
-        return _save_refs(index, localizer, parts, args)
+        return _save_refs(index, localizer, parts, args, leader=leader)
     if parts[0] == "searchb":
         return _search_bytes(index, aggregation, localizer, payloads, args)
     if parts[0] == "addb":
         return _add_refs(index, localizer, parts, args, payloads=payloads)
     if parts[0] == "saveb":
-        return _save_bytes(index, localizer, args)
+        return _save_bytes(index, localizer, args, leader=leader)
     if parts[0] == "extract":
-        return _extract_videos(extractor, parts, args)
+        return _extract_videos(extractor, parts, args, leader=leader)
     if parts[0] == "searchv":
         return _search_videos(
-            index, aggregation, localizer, extractor, parts, args
+            index, aggregation, localizer, extractor, parts, args,
+            leader=leader,
         )
     if parts[0] == "stats":
         return (
@@ -820,11 +864,47 @@ def serve_request(index, aggregation, localizer, line: str, args,
     )
     return _respond_search(
         index, aggregation, localizer, queries, queries_fine,
-        out_csv, matches_csv, args, t0,
+        out_csv, matches_csv, args, t0, leader=leader,
     )
 
 
 def main(args):
+    multihost = (args.num_processes or 1) > 1
+    if multihost:
+        if not args.coordinator:
+            raise Exception(
+                "--num_processes > 1 requires --coordinator host:port "
+                "(rank 0's jax.distributed rendezvous address)"
+            )
+        if not args.control:
+            raise Exception(
+                "--num_processes > 1 requires --control host:port "
+                "(rank 0's request-relay socket)"
+            )
+        if not args.sharded:
+            raise Exception(
+                "Multi-host serving shards the corpus over the pod "
+                "mesh: pass --sharded on every rank"
+            )
+        if not 0 <= args.process_id < args.num_processes:
+            raise Exception(
+                f"--process_id {args.process_id} out of range "
+                f"[0, {args.num_processes})"
+            )
+        from vsc2022_tpu.parallel.mesh import initialize_distributed
+
+        logger.info(
+            "Joining serving pod as rank %d of %d (coordinator: %s)",
+            args.process_id, args.num_processes, args.coordinator,
+        )
+        initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
+    elif args.coordinator or args.control or args.process_id:
+        raise Exception(
+            "--coordinator/--control/--process_id need "
+            "--num_processes > 1"
+        )
     if args.ref_fine_features:
         if args.score_norm_features:
             # The reference applies score normalization at dns_index
@@ -887,22 +967,35 @@ def main(args):
             )
     stage_s = time.perf_counter() - t0
     aggregation = MaxScoreAggregation()
-    ready = f"ready\t{len(refs)}\t{stage_s:.1f}"
-    print(ready, flush=True)
-    logger.info(
-        f"Serving {len(refs)} reference videos (staged in {stage_s:.1f}s)"
-    )
-    if args.listen:
-        _serve_tcp(
-            index, aggregation, localizer, args, stage_s,
-            extractor=extractor,
+    if multihost and args.process_id != 0:
+        # Follower rank: no client protocol — execute the leader's
+        # relayed requests in lockstep until it releases the pod.
+        print(f"follower\t{args.process_id}\t{stage_s:.1f}", flush=True)
+        _follow(index, aggregation, localizer, args, extractor=extractor)
+        logger.info("Follower rank released by the leader; exiting")
+        return
+    relay = _Relay(args) if multihost else None
+    try:
+        ready = f"ready\t{len(refs)}\t{stage_s:.1f}"
+        print(ready, flush=True)
+        logger.info(
+            f"Serving {len(refs)} reference videos "
+            f"(staged in {stage_s:.1f}s)"
         )
-    else:
-        _serve_stream(
-            index, aggregation, localizer, args,
-            sys.stdin.buffer, sys.stdout.buffer,
-            extractor=extractor,
-        )
+        if args.listen:
+            _serve_tcp(
+                index, aggregation, localizer, args, stage_s,
+                extractor=extractor, relay=relay,
+            )
+        else:
+            _serve_stream(
+                index, aggregation, localizer, args,
+                sys.stdin.buffer, sys.stdout.buffer,
+                extractor=extractor, relay=relay,
+            )
+    finally:
+        if relay is not None:
+            relay.close()
 
 
 def _read_payloads(rfile, head):
@@ -929,9 +1022,104 @@ def _read_payloads(rfile, head):
     return payloads
 
 
+class _Relay:
+    """Leader-side fan-out of every device-touching request to the
+    follower ranks, in execution order (forward() runs under the
+    device lock): multi-host SPMD means every rank must execute the
+    same program — the leader alone entering a collective would
+    deadlock the mesh. close() releases the followers (idempotent;
+    wired into main's finally so any leader exit path frees the pod).
+    """
+
+    def __init__(self, args):
+        import socket
+
+        host, port = args.control.rsplit(":", 1)
+        srv = socket.create_server((host, int(port)))
+        # Staging is collective, so live followers arrive at connect()
+        # when the leader arrives here; a rank that is minutes late is
+        # dead, and hanging in accept() would wedge the whole pod.
+        srv.settimeout(180.0)
+        self._conns = []
+        logger.info(
+            "Waiting for %d follower rank(s) on %s",
+            args.num_processes - 1, args.control,
+        )
+        for _ in range(args.num_processes - 1):
+            conn, addr = srv.accept()
+            self._conns.append(conn)
+            logger.info("Follower attached from %s:%d", *addr[:2])
+        srv.close()
+        self._closed = False
+
+    def forward(self, raw: bytes, payloads) -> None:
+        for conn in self._conns:
+            conn.sendall(raw)
+            for blob in payloads or ():
+                conn.sendall(blob)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        for conn in self._conns:
+            try:
+                conn.sendall(b"shutdown\n")
+                conn.close()
+            except OSError:
+                pass
+
+
+def _follow(index, aggregation, localizer, args, extractor=None) -> None:
+    """Follower-rank request loop: execute every request the leader
+    relays (same bytes, same order) so the collective device program
+    stays in lockstep. File outputs are leader-only; request errors
+    are deterministic across ranks (same inputs), so an erroring
+    request leaves every rank equally clean."""
+    import socket
+
+    host, port = args.control.rsplit(":", 1)
+    deadline = time.monotonic() + 120
+    while True:
+        try:
+            sock = socket.create_connection((host, int(port)))
+            break
+        except OSError:
+            if time.monotonic() > deadline:
+                raise
+            time.sleep(0.2)
+    logger.info("Follower rank connected to the leader control channel")
+    with sock:
+        rfile = sock.makefile("rb")
+        while True:
+            raw = rfile.readline()
+            if not raw:
+                return
+            line = raw.decode("utf-8", errors="replace").strip()
+            if not line:
+                continue
+            if line == "shutdown":
+                return
+            head = line.split("\t")
+            try:
+                payloads = (
+                    _read_payloads(rfile, head)
+                    if head[0] in ("searchb", "addb")
+                    else None
+                )
+                serve_request(
+                    index, aggregation, localizer, line, args,
+                    payloads=payloads, extractor=extractor, leader=False,
+                )
+            except EOFError:
+                return
+            except Exception as exc:
+                logger.info("Follower request error: %s", exc)
+
+
 def _serve_stream(
     index, aggregation, localizer, args, rfile, wfile, lock=None,
-    extractor=None,
+    extractor=None, relay=None,
 ) -> bool:
     """Answer one request stream until quit/shutdown/EOF; True = the
     whole server should stop (not just this client session). ``lock``
@@ -963,6 +1151,11 @@ def _serve_stream(
                 else None
             )
             with lock if lock is not None else contextlib.nullcontext():
+                if relay is not None:
+                    # Fan the raw request out to the follower ranks
+                    # BEFORE executing it, under the same lock, so
+                    # every rank runs the collectives in this order.
+                    relay.forward(raw, payloads)
                 response = serve_request(
                     index, aggregation, localizer, line, args,
                     payloads=payloads, extractor=extractor,
@@ -982,7 +1175,7 @@ def _serve_stream(
 
 
 def _serve_tcp(index, aggregation, localizer, args, stage_s: float,
-               extractor=None) -> None:
+               extractor=None, relay=None) -> None:
     """TCP accept loop speaking the stdin protocol, one thread per
     client: sessions interleave (an idle connection never blocks
     others) while a device lock serializes the actual requests —
@@ -1015,7 +1208,7 @@ def _serve_tcp(index, aggregation, localizer, args, stage_s: float,
                 wfile.flush()
                 if _serve_stream(
                     index, aggregation, localizer, args, rfile, wfile,
-                    lock=device_lock, extractor=extractor,
+                    lock=device_lock, extractor=extractor, relay=relay,
                 ):
                     stop.set()
         except (BrokenPipeError, ConnectionResetError):
