@@ -358,3 +358,97 @@ def test_two_process_serving_pod_matches_single_process(tmp_path):
     pa, pb = np.load(want[6]), np.load(got[6])
     for key in ("video_ids", "features", "timestamps"):
         np.testing.assert_array_equal(pa[key], pb[key])
+
+
+def test_serving_pod_follower_death_fails_fast(tmp_path):
+    """Failure contract: when a follower rank dies, device requests
+    must turn into error responses (executing a collective on a broken
+    pod would hang the leader forever), and the leader must still exit
+    cleanly on quit."""
+    import signal
+    import time as _time
+
+    from vsc2022_tpu.metrics import Dataset
+    from vsc2022_tpu.storage import store_features
+    from vsc2022_tpu.types import VideoFeature
+
+    rng = np.random.RandomState(5)
+    d = 16
+    refs = [
+        VideoFeature(
+            video_id=i, timestamps=np.arange(20, dtype=np.float64),
+            feature=(f := rng.randn(20, d).astype(np.float32))
+            / np.linalg.norm(f, axis=1, keepdims=True),
+        )
+        for i in range(6)
+    ]
+    q = rng.randn(15, d).astype(np.float32)
+    queries = [
+        VideoFeature(
+            video_id=0, timestamps=np.arange(15, dtype=np.float64),
+            feature=q / np.linalg.norm(q, axis=1, keepdims=True),
+        )
+    ]
+    r_npz, q_npz = str(tmp_path / "r.npz"), str(tmp_path / "q.npz")
+    store_features(r_npz, refs, Dataset.REFS)
+    store_features(q_npz, queries, Dataset.QUERIES)
+
+    coord, control = _free_port(), _free_port()
+
+    def spawn(rank):
+        env = dict(
+            os.environ, VSC2022_TPU_FORCE_CPU="1",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        return subprocess.Popen(
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+             "--ref_features", r_npz, "--sharded",
+             "--coordinator", f"localhost:{coord}",
+             "--num_processes", "2", "--control", f"localhost:{control}",
+             "--process_id", str(rank)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, env=env, cwd=REPO,
+        )
+
+    leader, follower = spawn(0), spawn(1)
+
+    def wait_line(proc, prefix):
+        for _ in range(50):
+            line = proc.stdout.readline()
+            if line.startswith(prefix):
+                return
+            assert line, f"EOF waiting for {prefix!r}"
+        raise AssertionError(f"never saw {prefix!r}")
+
+    def req(line):
+        leader.stdin.write((line + "\n").encode("utf-8"))
+        leader.stdin.flush()
+        return leader.stdout.readline().decode("utf-8").strip()
+
+    try:
+        wait_line(follower, b"follower")
+        wait_line(leader, b"ready")
+        out = str(tmp_path / "c.csv")
+        assert req(f"{q_npz}\t{out}").startswith("ok\t")
+
+        follower.send_signal(signal.SIGKILL)
+        follower.wait(timeout=60)
+        _time.sleep(0.5)  # let the FIN reach the leader's control conn
+
+        first = req(f"{q_npz}\t{out}")
+        assert first.startswith("error\t"), first
+        assert "rank" in first and "restart" in first, first
+        second = req(f"{q_npz}\t{out}")
+        assert second.startswith("error\t"), second
+        assert "degraded" in second, second
+
+        leader.stdin.write(b"quit\n")
+        leader.stdin.flush()
+        # The leader must TERMINATE on quit (not hang in a half-pod
+        # collective). Exit code is nonzero by design: jax.distributed's
+        # shutdown barrier fails when a peer died, which tells a pod
+        # supervisor this rank needs a restart rather than a clean end.
+        leader.wait(timeout=120)
+    finally:
+        leader.kill()
+        follower.kill()

@@ -1053,10 +1053,38 @@ class _Relay:
         self._closed = False
 
     def forward(self, raw: bytes, payloads) -> None:
-        for conn in self._conns:
-            conn.sendall(raw)
-            for blob in payloads or ():
-                conn.sendall(blob)
+        """Relay one request to every follower, failing FAST if any
+        rank died: executing a collective on a broken pod would hang
+        the leader, so a dead follower turns device requests into
+        error responses instead. Followers never write on the control
+        socket, so readability (EOF) is the liveness check; a race
+        where a rank dies after its relay is the distributed runtime's
+        heartbeat to surface."""
+        import select
+
+        if self._closed:
+            raise RuntimeError(
+                "The pod is degraded (a follower rank died); restart "
+                "every rank"
+            )
+        readable, _, _ = select.select(self._conns, [], [], 0)
+        if readable:
+            self.close()
+            raise RuntimeError(
+                "A follower rank died (control channel EOF); the pod "
+                "mesh is broken — restart every rank"
+            )
+        try:
+            for conn in self._conns:
+                conn.sendall(raw)
+                for blob in payloads or ():
+                    conn.sendall(blob)
+        except OSError as exc:
+            self.close()
+            raise RuntimeError(
+                f"Relaying to a follower rank failed ({exc}); the pod "
+                "mesh is broken — restart every rank"
+            )
 
     def close(self) -> None:
         if self._closed:
