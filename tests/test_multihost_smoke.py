@@ -452,3 +452,150 @@ def test_serving_pod_follower_death_fails_fast(tmp_path):
     finally:
         leader.kill()
         follower.kill()
+
+
+def test_serving_pod_dns_two_stage_matches_single_process(tmp_path):
+    """The DnS two-stage matching track over a 2-rank serving pod:
+    the two-file request form (coarse + fine query npz) relays to the
+    followers, both resident reference tables shard over the pod mesh,
+    and search/add/save stay bit-identical to a single-process
+    unsharded DnS server."""
+    from vsc2022_tpu.metrics import Dataset
+    from vsc2022_tpu.models.dns import NUM_REGIONS
+    from vsc2022_tpu.storage import store_features
+    from vsc2022_tpu.types import VideoFeature
+
+    rng = np.random.RandomState(23)
+    rdim = 16
+
+    def unit_fine(n):
+        x = rng.normal(size=(n, NUM_REGIONS, rdim)).astype(np.float32)
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    def coarse_from(fine):
+        pooled = fine.mean(axis=1)
+        return pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+    r_fine = [unit_fine(int(rng.randint(24, 40))) for _ in range(4)]
+    q_fine = [unit_fine(28) for _ in range(3)]
+    q_fine[0][8:20] = r_fine[0][5:17]
+    q_fine[1][2:12] = r_fine[2][10:20]
+
+    def feats(prefix, fines):
+        flat = [
+            VideoFeature(
+                video_id=f"{prefix}{i:06d}",
+                timestamps=np.arange(f.shape[0], dtype=np.float64),
+                feature=f.reshape(f.shape[0], -1),
+            )
+            for i, f in enumerate(fines)
+        ]
+        coarse = [
+            VideoFeature(
+                video_id=v.video_id, timestamps=v.timestamps,
+                feature=coarse_from(f),
+            )
+            for v, f in zip(flat, fines)
+        ]
+        return flat, coarse
+
+    rf, rc = feats("R", r_fine)
+    qf, qc = feats("Q", q_fine)
+    paths = {}
+    for name, vids, ds in (
+        ("rc", rc, Dataset.REFS), ("rf", rf, Dataset.REFS),
+        ("qc", qc, Dataset.QUERIES), ("qf", qf, Dataset.QUERIES),
+    ):
+        paths[name] = str(tmp_path / f"{name}.npz")
+        store_features(paths[name], vids, ds)
+    nr_fine = unit_fine(14)
+    nrf = VideoFeature(
+        video_id="R000099",
+        timestamps=np.arange(14, dtype=np.float64),
+        feature=nr_fine.reshape(14, -1),
+    )
+    nrc = VideoFeature(
+        video_id="R000099", timestamps=nrf.timestamps,
+        feature=coarse_from(nr_fine),
+    )
+    add_c, add_f = str(tmp_path / "add_c.npz"), str(tmp_path / "add_f.npz")
+    store_features(add_c, [nrc], Dataset.REFS)
+    store_features(add_f, [nrf], Dataset.REFS)
+
+    def spawn(extra, n_local_devices):
+        env = dict(
+            os.environ, VSC2022_TPU_FORCE_CPU="1",
+            XLA_FLAGS=(
+                "--xla_force_host_platform_device_count="
+                f"{n_local_devices}"
+            ),
+        )
+        return subprocess.Popen(
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+             "--ref_features", paths["rc"],
+             "--ref_fine_features", paths["rf"], *extra],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, env=env, cwd=REPO,
+        )
+
+    def drive(proc, tag):
+        def req(line):
+            proc.stdin.write((line + "\n").encode("utf-8"))
+            proc.stdin.flush()
+            return proc.stdout.readline().decode("utf-8").strip().split("\t")
+
+        c1 = str(tmp_path / f"{tag}_c1.csv")
+        m1 = str(tmp_path / f"{tag}_m1.csv")
+        assert req(f"{paths['qc']}\t{paths['qf']}\t{c1}\t{m1}")[0] == "ok"
+        assert req(f"add\t{add_c}\t{add_f}")[:3] == ["ok", "added", "1"]
+        c2 = str(tmp_path / f"{tag}_c2.csv")
+        m2 = str(tmp_path / f"{tag}_m2.csv")
+        assert req(f"{paths['qc']}\t{paths['qf']}\t{c2}\t{m2}")[0] == "ok"
+        snap_c = str(tmp_path / f"{tag}_snap_c.npz")
+        snap_f = str(tmp_path / f"{tag}_snap_f.npz")
+        assert req(f"save\t{snap_c}\t{snap_f}")[:3] == ["ok", "saved", "5"]
+        proc.stdin.write(b"quit\n")
+        proc.stdin.flush()
+        return c1, m1, c2, m2, snap_c, snap_f
+
+    oracle = spawn([], 8)
+    try:
+        assert oracle.stdout.readline().startswith(b"ready")
+        want = drive(oracle, "single")
+        assert oracle.wait(timeout=240) == 0
+    finally:
+        oracle.kill()
+
+    coord, control = _free_port(), _free_port()
+    pod_flags = [
+        "--sharded", "--coordinator", f"localhost:{coord}",
+        "--num_processes", "2", "--control", f"localhost:{control}",
+    ]
+    leader = spawn([*pod_flags, "--process_id", "0"], 4)
+    follower = spawn([*pod_flags, "--process_id", "1"], 4)
+
+    def wait_line(proc, prefix):
+        for _ in range(50):
+            line = proc.stdout.readline()
+            if line.startswith(prefix):
+                return
+            assert line, f"EOF waiting for {prefix!r}"
+        raise AssertionError(f"never saw {prefix!r}")
+
+    try:
+        wait_line(follower, b"follower")
+        wait_line(leader, b"ready")
+        got = drive(leader, "pod")
+        assert leader.wait(timeout=240) == 0
+        assert follower.wait(timeout=240) == 0
+    finally:
+        leader.kill()
+        follower.kill()
+
+    for w, g in zip(want[:4], got[:4]):
+        with open(w, "rb") as a, open(g, "rb") as b:
+            assert a.read() == b.read(), (w, g)
+    for w, g in zip(want[4:], got[4:]):
+        pa, pb = np.load(w), np.load(g)
+        for key in ("video_ids", "features", "timestamps"):
+            np.testing.assert_array_equal(pa[key], pb[key])
