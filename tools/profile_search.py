@@ -76,7 +76,14 @@ def main(args):
     def timeit(label, fn, n=args.repeats):
         if label in skip:
             return None
-        fn()  # warm (compile via persistent cache)
+        try:
+            fn()  # warm (compile via persistent cache)
+        except Exception as exc:  # noqa: BLE001 — a failing arm (e.g.
+            # a Pallas tile spec that OOMs scoped VMEM on real
+            # hardware) must not abort the rest of the sweep.
+            msg = str(exc).replace("\n", " ")[:180]
+            print(f"  {label:14s}    FAILED: {msg}", flush=True)
+            return None
         best = float("inf")
         for _ in range(n):
             t0 = time.perf_counter()

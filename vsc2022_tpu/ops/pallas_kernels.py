@@ -479,9 +479,14 @@ def pool_writer_band(
         refs = refs.astype(jnp.bfloat16)
         precision = "highest"
     if inner == 0:
-        # The r block (inner·col_tile × D) is double-buffered in VMEM:
-        # bf16 affords twice the tiles of f32 at the same budget.
-        inner = 4 if refs.dtype == jnp.bfloat16 else 2
+        # inner is bounded by SCOPED VMEM, not the r block: the kernel
+        # body unrolls `inner` score tiles and Mosaic stack-allocates
+        # every iteration's [row_tile, col_tile] f32 temporaries
+        # simultaneously (~5.7 MB each at 256x1024) against a 16 MB
+        # scoped budget. inner=4 compiled in the interpreter but OOM'd
+        # on real v5e (22.75M scoped, measured round 3) — 2 is the
+        # widest default that fits regardless of input dtype.
+        inner = 2
     m, d = q.shape
     n = refs.shape[0]
     ppt = 2 * (col_tile // SEG_LANES)
