@@ -104,6 +104,83 @@ def cpu_pipeline(q, r, noise):
     return top_q[order], top_r[order], top_s[order]
 
 
+def _rpc_floor_ms(n=10):
+    """Per-dispatch RPC round-trip floor on this rig's relay (a tiny
+    jitted op, best-of-n). Recorded every round so relay-speed swings
+    in the raw wall-time metrics are attributable: when rpc_floor_ms
+    doubles round-over-round, so do all dispatch-bound numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jax.device_put(jnp.float32(0.0))
+    np.asarray(f(x))  # warm/compile
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def _retrieval_compute_probe(searcher, queries, nq, k, reps=4):
+    """Relay-variance-cancelled device compute per search: run the
+    fused SN candidate graph `reps` times inside ONE executable
+    (lax.scan whose carry depends on each iteration's output, so XLA
+    cannot hoist or CSE the body) and difference against the
+    1-repetition executable. The per-dispatch RPC cost and the D2H
+    pull appear once in both and cancel; what remains is pure device
+    compute — the number that CANNOT swing on relay jitter
+    round-over-round. Covers the dominant fused dispatch (bias +
+    candidates + τ + counts), not the small repair/host-unpack tail."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from vsc2022_tpu.ops.similarity import _fused_sn_candidates_packed
+
+    s = searcher.searcher
+    ns = searcher.noise_searcher
+    kappa_eff, k_eff = s._plan(nq, k, None)
+    rb = s._plan_row_block(nq)
+    q_dev = ns._stage_queries(queries, rb)
+    jax.block_until_ready(q_dev)
+    mode = s._collection_mode(q_dev.shape[0], kappa_eff, True)
+
+    @functools.partial(jax.jit, static_argnames=("n_rep",))
+    def run(q_staged, n_rep):
+        def body(carry, _):
+            packed, _, _, _ = _fused_sn_candidates_packed(
+                q_staged.at[0, 0].add(carry),
+                ns._refs, ns._n_valid, ns._ref_sq,
+                s._refs, s._n_valid, s._ref_sq,
+                jnp.asarray(nq, jnp.int32),
+                jnp.asarray(k_eff, jnp.int32),
+                beta=float(searcher.beta), kappa=kappa_eff,
+                noise_col_block=ns.col_block, col_block=s.col_block,
+                precision=s.precision, approx=mode, row_block=rb,
+            )
+            # Denormal-scale carry: numerically inert, but a real data
+            # dependence from each output to the next input.
+            nxt = (packed.ravel()[0].astype(jnp.float32) % 2.0) * 1e-38
+            return nxt, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_rep)
+        return c
+
+    def t(n_rep, samples=3):
+        np.asarray(run(q_dev, n_rep))  # warm/compile
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            np.asarray(run(q_dev, n_rep))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((t(reps) - t(1)) / (reps - 1), 0.0)
+
+
 def bench_retrieval(results):
     import jax
 
@@ -182,6 +259,17 @@ def bench_retrieval(results):
         & set(zip(cqi[:1000].tolist(), cri[:1000].tolist()))
     ) / 1000.0
     assert agreement > 0.99, f"TPU/CPU search disagree: {agreement:.3f}"
+
+    # In-dispatch differenced device compute (relay-independent): the
+    # round-over-round regression tracker. The raw *_device numbers
+    # below still carry per-dispatch RPC jitter (r02 433 → r03 287
+    # qvideos/s on nothing but relay speed); this one cannot.
+    probe_s = _retrieval_compute_probe(searcher, q, q.shape[0], GLOBAL_K)
+    results["retrieval_device_compute_s"] = round(probe_s, 4)
+    results["retrieval_qps_compute"] = round(
+        N_QUERY_VIDEOS / probe_s, 2
+    ) if probe_s > 0 else 0.0
+    results["rpc_floor_ms"] = round(_rpc_floor_ms(), 1)
 
     results["retrieval_qps"] = round(N_QUERY_VIDEOS / e2e_s, 2)
     # Device-resident rate: excludes the query H2D, so it tracks the
@@ -533,13 +621,20 @@ def bench_serving(results):
             startup_s = time.perf_counter() - t0
             client.search(q_npz)  # warm the request shapes (compile)
             best = float("inf")
+            best_server = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
                 res = client.search(q_npz)
                 best = min(best, time.perf_counter() - t0)
+                # Server-reported handler time (the response's last
+                # field): excludes client wire/pipe overhead, so it
+                # tracks the server's own work. Still dispatch-RPC
+                # bound — read it alongside rpc_floor_ms.
+                best_server = min(best_server, res.seconds)
             assert res.n_candidates > 0 and res.n_matches > 0
             results["serving_startup_s"] = round(startup_s, 2)
             results["serving_warm_request_s"] = round(best, 3)
+            results["serving_warm_server_s"] = round(best_server, 3)
         finally:
             client.close(shutdown=True)
 

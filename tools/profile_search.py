@@ -78,17 +78,18 @@ def main(args):
             return None
         try:
             fn()  # warm (compile via persistent cache)
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — a failing arm (e.g.
             # a Pallas tile spec that OOMs scoped VMEM on real
-            # hardware) must not abort the rest of the sweep.
+            # hardware, or a relay stall surfacing mid-repeat) must not
+            # abort the rest of the sweep.
             msg = str(exc).replace("\n", " ")[:180]
             print(f"  {label:14s}    FAILED: {msg}", flush=True)
             return None
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
         print(f"  {label:14s} {best * 1e3:9.1f} ms", flush=True)
         return best
 
@@ -409,12 +410,10 @@ def main(args):
                     )
                 return jnp.sum(pv) + jnp.sum(pi).astype(jnp.float32)
 
-            try:
-                timeit(f"pool_krn[{spec}]",
-                       lambda f=run_kernel, a=qk, b=rk: sync(f(a, b)))
-            except Exception as exc:  # noqa: BLE001 — VMEM overflow etc.
-                print(f"  pool_krn[{spec}]  FAILED: {str(exc)[:160]}",
-                      flush=True)
+            # timeit itself catches warm/repeat failures (VMEM
+            # overflow etc.) and reports through one FAILED path.
+            timeit(f"pool_krn[{spec}]",
+                   lambda f=run_kernel, a=qk, b=rk: sync(f(a, b)))
 
     timeit("pool_ys_transpose", lambda: sync(pool_ys(q, refs)))
 

@@ -466,7 +466,7 @@ def pool_writer_band(
     row_tile: int = 256,  # smaller than v1: the wider r block plus the
     #                       score-tile temporaries must share VMEM
     col_tile: int = POOL_COL_TILE,
-    inner: int = 0,  # 0 = auto by dtype (VMEM: wider r block in bf16)
+    inner: int = 0,  # 0 = auto (fixed 2; bounded by scoped VMEM)
 ):
     """Banded pool writer: same output layout and best-2-per-128
     contract as ``pool_writer`` (tile t of a band at band columns
