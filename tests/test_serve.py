@@ -379,6 +379,297 @@ class TestRemoveFailureConsistency:
             _remove_refs(index, localizer, ["remove", "R000001"])
 
 
+class TestAddFailureConsistency:
+    """Mid-`add` device failures must leave the index and the resident
+    localizer AGREEING (both grown host-side, staged device state
+    dropped), so the error is survivable: the next search/alignment
+    restages and serves the combined corpus. Mirrors the `remove`
+    failure contract (reference atomicity analog: FAISS add,
+    vsc/index.py:87-94)."""
+
+    def _build(self, mesh=None):
+        import argparse
+
+        from vsc2022_tpu.localization import TNLocalizationMaxSim
+
+        rng = np.random.RandomState(73)
+        _, refs, noise = _make_data(rng)
+        refs = [
+            VideoFeature(
+                video_id=f"R{i:06d}", timestamps=vf.timestamps,
+                feature=vf.feature,
+            )
+            for i, vf in enumerate(refs)
+        ]
+        index = ScoreNormalizedVideoIndex(
+            refs[0].dimensions(), noise, beta=1.2, mesh=mesh
+        )
+        index.add(refs)
+        # A new ref video that copies frames from the probe query, so
+        # post-failure searches provably serve the grown corpus.
+        probe = VideoFeature(
+            video_id="Q000000",
+            timestamps=np.arange(30, dtype=np.float64),
+            feature=l2n(rng.randn(30, 24)).astype(np.float32),
+        )
+        new_ref = VideoFeature(
+            video_id="R000099",
+            timestamps=np.arange(20, dtype=np.float64),
+            feature=np.concatenate(
+                [probe.feature[5:20],
+                 l2n(rng.randn(5, 24)).astype(np.float32)]
+            ),
+        )
+        localizer = TNLocalizationMaxSim(
+            [probe], index.localizer_ref_features(refs),
+            model_type="TN", similarity_bias=0.5,
+        )
+        args = argparse.Namespace(
+            ref_fine_features=None, score_norm_features="noise.npz"
+        )
+        return index, localizer, probe, new_ref, args
+
+    def _add_npz(self, tmp_path, new_ref):
+        path = str(tmp_path / "add_new.npz")
+        store_features(path, [new_ref], Dataset.REFS)
+        return path
+
+    def _assert_survivable(self, index, localizer, probe, new_ref):
+        from vsc2022_tpu.retrieval.serve import _remove_refs
+
+        # Both holders grew; the next search restages and serves the
+        # new video (the planted probe frames must hit it).
+        assert new_ref.video_id in index.video_metadata
+        assert new_ref.video_id in localizer.refs
+        got = index.search([probe], global_k=40)
+        assert any(pm.ref_id == new_ref.video_id for pm in got)
+        # The holders agree, so the id remains removable.
+        _remove_refs(index, localizer, ["remove", new_ref.video_id])
+        assert new_ref.video_id not in index.video_metadata
+        assert new_ref.video_id not in localizer.refs
+
+    def test_index_device_append_failure(self, monkeypatch, tmp_path):
+        from vsc2022_tpu.retrieval.serve import _add_refs
+
+        index, localizer, probe, new_ref, args = self._build()
+        index.search([probe], global_k=40)  # stage
+
+        def boom(rows):
+            raise RuntimeError("simulated relay failure")
+
+        monkeypatch.setattr(index._searcher, "append_refs", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            _add_refs(
+                index, localizer,
+                ["add", self._add_npz(tmp_path, new_ref)], args,
+            )
+        assert index._searcher is None  # staged state dropped
+        self._assert_survivable(index, localizer, probe, new_ref)
+
+    def test_sharded_index_device_append_failure(
+        self, monkeypatch, tmp_path
+    ):
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+        from vsc2022_tpu.retrieval.serve import _add_refs
+
+        index, localizer, probe, new_ref, args = self._build(
+            mesh=corpus_mesh(8)
+        )
+        index.search([probe], global_k=40)  # stage
+
+        def boom(rows):
+            raise RuntimeError("simulated relay failure")
+
+        monkeypatch.setattr(index._searcher, "append_refs", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            _add_refs(
+                index, localizer,
+                ["add", self._add_npz(tmp_path, new_ref)], args,
+            )
+        assert index._searcher is None
+        self._assert_survivable(index, localizer, probe, new_ref)
+
+    def test_localizer_table_grow_failure(self, monkeypatch, tmp_path):
+        from vsc2022_tpu.metrics import CandidatePair
+        from vsc2022_tpu.retrieval.serve import _add_refs
+
+        index, localizer, probe, new_ref, args = self._build()
+        index.search([probe], global_k=40)
+        localizer.set_queries([probe])
+        localizer._pair_tables()  # stage the resident ref table
+        assert localizer._r_table is not None
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated relay failure")
+
+        monkeypatch.setattr(localizer, "_grow_table", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            _add_refs(
+                index, localizer,
+                ["add", self._add_npz(tmp_path, new_ref)], args,
+            )
+        # Staged table dropped; host dicts grown on BOTH holders.
+        assert localizer._r_table is None
+        monkeypatch.undo()
+        # The next alignment rebuilds the table from the grown refs
+        # and localizes the planted copy against the NEW video.
+        localizer.set_queries(index.localizer_queries([probe]))
+        matches = localizer.localize_all([
+            CandidatePair(
+                query_id=probe.video_id, ref_id=new_ref.video_id,
+                score=1.0,
+            )
+        ])
+        assert any(m.ref_id == new_ref.video_id for m in matches)
+        self._assert_survivable(index, localizer, probe, new_ref)
+
+
+class TestDnSAddFailureConsistency:
+    """The DnS localizer's two resident ref tables (coarse + fine)
+    must survive a device failure mid-grow the same way: host dicts
+    grown on both sides, the failed table dropped for rebuild."""
+
+    def test_fine_table_grow_failure(self, monkeypatch):
+        from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
+        from vsc2022_tpu.metrics import CandidatePair
+        from vsc2022_tpu.models.dns import NUM_REGIONS
+
+        rng = np.random.RandomState(83)
+        d = 16
+
+        def fine_of(frames):
+            base = frames[:, None, :].repeat(NUM_REGIONS, axis=1)
+            jit = 0.05 * rng.randn(*base.shape).astype(np.float32)
+            reg = base + jit
+            reg /= np.linalg.norm(reg, axis=-1, keepdims=True)
+            return reg.reshape(frames.shape[0], -1)
+
+        def pair_of(vid, frames):
+            fine = VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(frames.shape[0], dtype=np.float64),
+                feature=fine_of(frames),
+            )
+            coarse = VideoFeature(
+                video_id=vid, timestamps=fine.timestamps,
+                feature=l2n(frames),
+            )
+            return coarse, fine
+
+        q_frames = l2n(rng.randn(20, d)).astype(np.float32)
+        r_frames = [
+            l2n(rng.randn(18, d)).astype(np.float32) for _ in range(3)
+        ]
+        new_frames = np.concatenate(
+            [q_frames[4:16], l2n(rng.randn(4, d)).astype(np.float32)]
+        )
+        qc, qf = pair_of("Q000000", q_frames)
+        refs = [pair_of(f"R{i:06d}", f) for i, f in enumerate(r_frames)]
+        nc, nf = pair_of("R000099", new_frames)
+
+        loc = DnSLocalization(
+            {qf.video_id: qf},
+            {f.video_id: f for _, f in refs},
+            [qc], [c for c, _ in refs],
+            model_type="TN", fg_type="att", similarity_bias=0.5,
+        )
+        # Stage both resident ref tables with one alignment.
+        loc.localize_all([
+            CandidatePair(
+                query_id="Q000000", ref_id="R000000", score=1.0
+            )
+        ])
+        assert loc._fine_r_tab is not None and loc._r_table is not None
+
+        real_grow = loc._grow_table
+
+        def boom(table, offsets, vids, row_fn=None):
+            if row_fn is not None:  # only the fine grow passes row_fn
+                raise RuntimeError("simulated relay failure")
+            return real_grow(table, offsets, vids, row_fn=row_fn)
+
+        monkeypatch.setattr(loc, "_grow_table", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            loc.add_refs([nc], refs_fine={nf.video_id: nf})
+        # Host dicts grew on BOTH sides; the failed fine table dropped
+        # (the coarse grow succeeded and stays resident).
+        assert nc.video_id in loc.refs
+        assert nf.video_id in loc.refs_fine
+        assert loc._fine_r_tab is None
+        assert loc._r_table is not None
+        monkeypatch.undo()
+        # The next alignment rebuilds the fine table from the grown
+        # dict and localizes the planted copy against the NEW video.
+        loc.set_queries([qc], queries_fine={qf.video_id: qf})
+        matches = loc.localize_all([
+            CandidatePair(
+                query_id="Q000000", ref_id="R000099", score=1.0
+            )
+        ])
+        assert any(m.ref_id == "R000099" for m in matches)
+
+
+class TestSaveFailureConsistency:
+    """A failed `save` must mutate nothing: the server keeps serving
+    and a retry succeeds (snapshots are pure host work off the
+    add-order feature blocks)."""
+
+    def test_fine_write_failure_leaves_state_unmutated(
+        self, monkeypatch, tmp_path
+    ):
+        import argparse
+
+        from vsc2022_tpu.retrieval import serve as serve_mod
+
+        rng = np.random.RandomState(77)
+        _, refs, noise = _make_data(rng)
+        index = ScoreNormalizedVideoIndex(
+            refs[0].dimensions(), noise, beta=1.2
+        )
+        index.add(refs)
+
+        class FineLoc:
+            refs_fine = {
+                vf.video_id: vf for vf in index.features()
+            }
+
+        args = argparse.Namespace(
+            ref_fine_features="fine.npz", score_norm_features=None
+        )
+        coarse_out = str(tmp_path / "snap_coarse.npz")
+        fine_out = str(tmp_path / "snap_fine.npz")
+        before = index.features()
+
+        real_store = serve_mod.store_features
+
+        def fail_fine(path, feats, *a, **k):
+            if path == fine_out:
+                raise OSError("simulated disk failure")
+            return real_store(path, feats, *a, **k)
+
+        monkeypatch.setattr(serve_mod, "store_features", fail_fine)
+        with pytest.raises(OSError, match="simulated"):
+            serve_mod._save_refs(
+                index, FineLoc(), ["save", coarse_out, fine_out], args
+            )
+        # Nothing mutated; the coarse-only leftover at least loads.
+        after = index.features()
+        assert [vf.video_id for vf in after] == [
+            vf.video_id for vf in before
+        ]
+        from vsc2022_tpu.storage import load_features
+
+        assert os.path.exists(coarse_out)
+        assert len(load_features(coarse_out, Dataset.REFS)) == len(refs)
+        monkeypatch.undo()
+        # Retry succeeds and writes both files.
+        resp = serve_mod._save_refs(
+            index, FineLoc(), ["save", coarse_out, fine_out], args
+        )
+        assert resp.startswith("ok\tsaved")
+        assert os.path.exists(fine_out)
+
+
 class TestServeCLI:
     @pytest.fixture(scope="class")
     def served(self):
@@ -394,9 +685,13 @@ class TestServeCLI:
         return tmp, queries, refs, noise
 
     def _spawn(self, *args):
+        # --f32: these tests pin bit-identity against the batch
+        # pipelines' float32 default (the serving default is bf16;
+        # TestServeCLI.test_default_bf16_staging pins that path).
         env = dict(os.environ, VSC2022_TPU_FORCE_CPU="1")
         return subprocess.Popen(
-            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve", *args],
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+             "--f32", *args],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
         )
@@ -456,6 +751,63 @@ class TestServeCLI:
                 format_video_id(c.ref_id, Dataset.REFS),
             )
             for c in expect
+        ]
+        np.testing.assert_allclose(
+            df.score.to_numpy(),
+            np.array([c.score for c in expect]),
+            atol=1e-5,
+        )
+
+    def test_default_bf16_staging(self, served, tmp_path):
+        # With no dtype flag the server stages the corpus in bfloat16
+        # (the serving default: 2x capacity per chip; candidate µAP /
+        # segment AP hold within seed noise — docs/synthetic_results.md).
+        # Responses must equal the in-process bf16 serving index and
+        # stats must report the staged dtype.
+        import pandas as pd
+
+        from vsc2022_tpu.storage import load_features
+
+        tmp, queries, refs, noise = served
+        env = dict(os.environ, VSC2022_TPU_FORCE_CPU="1")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+             "--ref_features", os.path.join(tmp, "r.npz"),
+             "--score_norm_features", os.path.join(tmp, "noise.npz")],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+        )
+        out = str(tmp_path / "bf16_c.csv")
+        try:
+            assert proc.stdout.readline().startswith("ready")
+            proc.stdin.write(f"{os.path.join(tmp, 'q.npz')}\t{out}\n")
+            proc.stdin.flush()
+            resp = proc.stdout.readline().strip().split("\t")
+            assert resp[0] == "ok", resp
+            proc.stdin.write("stats\n")
+            proc.stdin.flush()
+            st = proc.stdout.readline().strip().split("\t")
+            assert st[:2] == ["ok", "stats"] and st[4] == "bfloat16", st
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+        qd = load_features(os.path.join(tmp, "q.npz"), Dataset.QUERIES)
+        rd = load_features(os.path.join(tmp, "r.npz"), Dataset.REFS)
+        nd = load_features(os.path.join(tmp, "noise.npz"), Dataset.REFS)
+        index = ScoreNormalizedVideoIndex(
+            rd[0].dimensions(), nd, beta=1.2, dtype="bfloat16"
+        )
+        index.add(rd)
+        matches = index.search(qd, global_k=1200 * len(qd))
+        expect = rank_candidates(matches, MaxScoreAggregation())[
+            : 25 * len(qd)
+        ]
+        df = pd.read_csv(out)
+        assert [(r.query_id, r.ref_id) for r in df.itertuples()] == [
+            (c.query_id, c.ref_id) for c in expect
         ]
         np.testing.assert_allclose(
             df.score.to_numpy(),
@@ -740,7 +1092,7 @@ class TestServeCLI:
                 [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
                  "--ref_features", os.path.join(tmp, "r.npz"),
                  "--score_norm_features", os.path.join(tmp, "noise.npz"),
-                 "--matches", *extra],
+                 "--matches", "--f32", *extra],
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
             )
@@ -1089,6 +1441,215 @@ class TestServeCLI:
         ] == expect_pairs
 
 
+class TestConcurrentTCPClients:
+    """N concurrent TCP clients interleaving search / add / remove /
+    save against one server: the device lock serializes requests, so
+    every response must be consistent with SOME serial order. The
+    check exploits locality: each client mutates only its OWN
+    reference video, and a score-normalized pair score depends only on
+    (query, ref, noise) — never on the rest of the corpus — so every
+    CSV row must bit-match the offline per-pair score whenever the ref
+    is present, and presence/absence must respect each client's
+    program order. Snapshots must be valid states (base ∪ adds-alive),
+    and the final corpus must equal base + never-removed adds."""
+
+    N_CLIENTS = 4
+
+    def test_interleaved_mutations_serialize(self, tmp_path):
+        import socket
+        import threading
+
+        import pandas as pd
+
+        rng = np.random.RandomState(41)
+        queries, refs, noise = _make_data(rng, n_queries=2, plant=0)
+        tmp = str(tmp_path)
+        store_features(os.path.join(tmp, "q.npz"), queries, Dataset.QUERIES)
+        store_features(os.path.join(tmp, "r.npz"), refs, Dataset.REFS)
+        store_features(os.path.join(tmp, "noise.npz"), noise, Dataset.REFS)
+
+        # Per-client reference videos: client i owns R00009i, planted
+        # to strongly match query (i % 2), so its presence in a
+        # candidate list is guaranteed whenever it is in the corpus.
+        own_refs = []
+        for i in range(self.N_CLIENTS):
+            q = queries[i % 2]
+            feat = np.concatenate([
+                q.feature[3:17],
+                l2n(rng.randn(6, q.feature.shape[1])).astype(np.float32),
+            ])
+            vf = VideoFeature(
+                video_id=90 + i,
+                timestamps=np.arange(20, dtype=np.float64),
+                feature=feat,
+            )
+            own_refs.append(vf)
+            store_features(
+                os.path.join(tmp, f"add{i}.npz"), [vf], Dataset.REFS
+            )
+
+        # Offline per-pair truth over the full union (pair scores are
+        # corpus-independent under score normalization).
+        union = refs + own_refs
+        qn, rn = score_normalize(queries, union, noise, beta=1.2)
+        expected = {}
+        for c in CandidateGeneration(rn, MaxScoreAggregation()).query(
+            qn, global_k=100000
+        ):
+            from vsc2022_tpu.metrics import format_video_id
+
+            expected[(
+                format_video_id(c.query_id, Dataset.QUERIES),
+                format_video_id(c.ref_id, Dataset.REFS),
+            )] = c.score
+
+        env = dict(os.environ, VSC2022_TPU_FORCE_CPU="1")
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+                "--ref_features", os.path.join(tmp, "r.npz"),
+                "--score_norm_features", os.path.join(tmp, "noise.npz"),
+                "--listen", "127.0.0.1:0", "--f32",
+            ],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+        )
+        own_ids = [f"R{90 + i:06d}" for i in range(self.N_CLIENTS)]
+        base_ids = {f"R{vf.video_id:06d}" for vf in refs}
+        results = [None] * self.N_CLIENTS
+        try:
+            assert proc.stdout.readline().startswith("ready")
+            listening = proc.stdout.readline().strip().split("\t")
+            assert listening[0] == "listening", listening
+            host, port = listening[1].rsplit(":", 1)
+
+            def client(i):
+                remover = i % 2 == 0
+                ops, resps = [], []
+                with socket.create_connection(
+                    (host, int(port)), timeout=300
+                ) as s:
+                    r = s.makefile("r", encoding="utf-8")
+                    w = s.makefile("w", encoding="utf-8")
+                    assert r.readline().startswith("ready")
+
+                    def req(line):
+                        w.write(line + "\n")
+                        w.flush()
+                        resp = r.readline().strip().split("\t")
+                        ops.append(line.split("\t")[0])
+                        resps.append(resp)
+                        return resp
+
+                    qpath = os.path.join(tmp, "q.npz")
+                    c1 = os.path.join(tmp, f"t{i}_s1.csv")
+                    c2 = os.path.join(tmp, f"t{i}_s2.csv")
+                    snap = os.path.join(tmp, f"t{i}_snap.npz")
+                    req(f"add\t{os.path.join(tmp, f'add{i}.npz')}")
+                    req(f"{qpath}\t{c1}")
+                    req(f"save\t{snap}")
+                    if remover:
+                        req(f"remove\t{own_ids[i]}")
+                    req(f"{qpath}\t{c2}")
+                    w.write("quit\n")
+                    w.flush()
+                results[i] = (remover, resps)
+
+            threads = [
+                threading.Thread(target=client, args=(i,))
+                for i in range(self.N_CLIENTS)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+                assert not t.is_alive(), "client thread hung"
+
+            # Final state through a last session: stats + save.
+            with socket.create_connection(
+                (host, int(port)), timeout=300
+            ) as s:
+                r = s.makefile("r", encoding="utf-8")
+                w = s.makefile("w", encoding="utf-8")
+                assert r.readline().startswith("ready")
+                w.write("stats\n")
+                w.flush()
+                st = r.readline().strip().split("\t")
+                final_snap = os.path.join(tmp, "final_snap.npz")
+                w.write(f"save\t{final_snap}\n")
+                w.flush()
+                assert r.readline().split("\t")[0] == "ok"
+                w.write("shutdown\n")
+                w.flush()
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+        keepers = {
+            own_ids[i] for i in range(self.N_CLIENTS) if i % 2 != 0
+        }
+        # Every response of every client succeeded.
+        for i, (remover, resps) in enumerate(results):
+            assert results[i] is not None, f"client {i} died"
+            for resp in resps:
+                assert resp[0] == "ok", (i, resp)
+
+        def presence(csv_path):
+            df = pd.read_csv(csv_path)
+            got = set()
+            for row in df.itertuples():
+                key = (row.query_id, row.ref_id)
+                if row.ref_id in base_ids or row.ref_id in set(own_ids):
+                    # Scores bit-match the offline per-pair truth.
+                    assert key in expected, key
+                    assert abs(row.score - expected[key]) < 1e-4, (
+                        key, row.score, expected[key]
+                    )
+                got.add(row.ref_id)
+            return got
+
+        for i, (remover, _) in enumerate(results):
+            s1 = presence(os.path.join(tmp, f"t{i}_s1.csv"))
+            s2 = presence(os.path.join(tmp, f"t{i}_s2.csv"))
+            # Program order: own add precedes search1; own remove
+            # precedes search2. Other clients' ids may come and go.
+            assert own_ids[i] in s1, f"client {i} search1 missed own add"
+            if remover:
+                assert own_ids[i] not in s2, (
+                    f"client {i} search2 saw its removed video"
+                )
+            else:
+                assert own_ids[i] in s2
+            # Base refs are never removed: always served.
+            assert base_ids <= s1 and base_ids <= s2
+            # Each snapshot is a valid state: base ∪ (some alive adds),
+            # own id included (saved between own add and own remove).
+            from vsc2022_tpu.storage import load_features
+
+            snap_ids = {
+                vf.video_id
+                for vf in load_features(
+                    os.path.join(tmp, f"t{i}_snap.npz"), Dataset.REFS
+                )
+            }
+            assert base_ids <= snap_ids
+            assert own_ids[i] in snap_ids
+            assert snap_ids - base_ids <= set(own_ids)
+
+        # Final corpus = base + never-removed adds, exactly.
+        assert st[0] == "ok" and st[1] == "stats", st
+        assert int(st[2]) == len(refs) + len(keepers), st
+        from vsc2022_tpu.storage import load_features
+
+        final_ids = {
+            vf.video_id
+            for vf in load_features(
+                os.path.join(tmp, "final_snap.npz"), Dataset.REFS
+            )
+        }
+        assert final_ids == base_ids | keepers
+
+
 class TestServeClient:
     """The Python client wrapper must round-trip the full protocol —
     spawn + TCP attach, search/add/stats, typed errors — against a
@@ -1132,7 +1693,9 @@ class TestServeClient:
 
             st = client.stats()
             assert (st.n_videos, st.n_frames) == (len(refs), n_frames)
-            assert st.dtype == "float32"
+            # The serving default stages bfloat16 (round 4;
+            # docs/synthetic_results.md) — stats reports it.
+            assert st.dtype == "bfloat16"
             assert not st.sharded and st.matches
 
             res = client.search(

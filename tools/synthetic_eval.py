@@ -98,6 +98,29 @@ parser.add_argument(
     help="Run the corruption × TN-mode × descriptor grid and print a "
     "markdown table.",
 )
+parser.add_argument(
+    "--dtype", choices=["float32", "bfloat16"], default="float32",
+    help="Retrieval staging dtype: bfloat16 stages corpus, queries and "
+    "SN noise in bf16 through the real search pipeline (localization "
+    "stays f32, as in the serving index).",
+)
+parser.add_argument(
+    "--collection", choices=["auto", "stream", "pooled"], default="auto",
+    help="Force the candidate-collection design (normally picked by "
+    "corpus size at POOL_MIN_CORPUS).",
+)
+parser.add_argument(
+    "--bf16_sweep", action="store_true",
+    help="Quality validation grid for the bf16 staging decision: "
+    "{default, hard, calibrated, hard+calibrated} corruptions × "
+    "{float32, bfloat16} staging × {stream, pooled} collection × "
+    "seeds, printing per-arm candidate µAP / segment AP and the "
+    "bf16−f32 deltas against seed noise.",
+)
+parser.add_argument(
+    "--bf16_sweep_seeds", type=int, default=3,
+    help="Seeds per arm in --bf16_sweep.",
+)
 
 
 def l2n(x):
@@ -241,14 +264,32 @@ def build_benchmark(args, dim=None, hard=None, calibrated=None):
     return queries, refs, noise, gt
 
 
-def run_pipeline(queries, refs, noise, gt, score_norm=True, vcsl=False):
-    """Full matching pipeline → (candidate µAP, segment AP, counts)."""
+def run_pipeline(
+    queries, refs, noise, gt, score_norm=True, vcsl=False,
+    dtype="float32", collection="auto",
+):
+    """Full matching pipeline → (candidate µAP, segment AP, counts).
+
+    ``dtype`` is the retrieval STAGING dtype (corpus + queries + SN
+    noise); localization similarity stays f32 either way, matching the
+    serving index. ``collection`` forces the candidate-collection
+    design (stream / pooled) via the same env hook the tests pin."""
     gt_pairs = CandidatePair.from_matches(gt)
     if score_norm:
-        q, r = score_normalize(queries, refs, noise, beta=1.2)
+        q, r = score_normalize(queries, refs, noise, beta=1.2, dtype=dtype)
     else:
         q, r = queries, refs
-    candidates = search(q, r)
+    prev = os.environ.get("VSC2022_TPU_COLLECTION")
+    if collection != "auto":
+        os.environ["VSC2022_TPU_COLLECTION"] = collection
+    try:
+        candidates = search(q, r, dtype=dtype)
+    finally:
+        if collection != "auto":
+            if prev is None:
+                os.environ.pop("VSC2022_TPU_COLLECTION", None)
+            else:
+                os.environ["VSC2022_TPU_COLLECTION"] = prev
     uap = average_precision(gt_pairs, candidates).ap
     matches = localize_and_verify(
         q, r, candidates, score_normalization=score_norm, vcsl_faithful=vcsl
@@ -260,6 +301,8 @@ def run_pipeline(queries, refs, noise, gt, score_norm=True, vcsl=False):
 def main(args):
     if args.sweep:
         return run_sweep(args)
+    if args.bf16_sweep:
+        return run_bf16_sweep(args)
 
     queries, refs, noise, gt = build_benchmark(args)
     report = {"num_gt": len(gt)}
@@ -268,7 +311,8 @@ def main(args):
     )
     for mode in modes:
         uap, seg, n_cand, n_match = run_pipeline(
-            queries, refs, noise, gt, vcsl=(mode == "vcsl")
+            queries, refs, noise, gt, vcsl=(mode == "vcsl"),
+            dtype=args.dtype, collection=args.collection,
         )
         tag = "" if len(modes) == 1 else f"_{mode}"
         report[f"candidate_uap{tag}"] = round(uap, 4)
@@ -291,6 +335,89 @@ def main(args):
         report["dns_segment_ap"] = round(run_dns_variant(args)[0], 4)
 
     print(json.dumps(report))
+
+
+def run_bf16_sweep(args):
+    """The bf16 staging quality decision grid (see CLAUDE.md roadmap):
+    does staging corpus/queries/SN-noise in bf16 move candidate µAP or
+    segment AP outside seed noise? Runs the real pipeline end to end
+    per arm; collection design is forced both ways so the decision
+    covers streaming AND pooled candidate collection."""
+    import copy
+
+    regimes = [
+        ("default", dict(hard=False, calibrated=False)),
+        ("hard", dict(hard=True, calibrated=False)),
+        ("calibrated", dict(hard=False, calibrated=True)),
+        ("hard+calibrated", dict(hard=True, calibrated=True)),
+    ]
+    seeds = list(range(args.bf16_sweep_seeds))
+    rows, deltas = [], {"uap": [], "seg": []}
+    for regime, kw in regimes:
+        for collection in ("stream", "pooled"):
+            for seed in seeds:
+                a = copy.copy(args)
+                a.seed = seed
+                queries, refs, noise, gt = build_benchmark(a, **kw)
+                per_dtype = {}
+                for dtype in ("float32", "bfloat16"):
+                    uap, seg, _, _ = run_pipeline(
+                        queries, refs, noise, gt,
+                        vcsl=(args.tn_mode == "vcsl"),
+                        dtype=dtype, collection=collection,
+                    )
+                    per_dtype[dtype] = (uap, seg)
+                    rows.append((
+                        regime, collection, seed, dtype,
+                        len(gt), round(uap, 4), round(seg, 4),
+                    ))
+                deltas["uap"].append(
+                    per_dtype["bfloat16"][0] - per_dtype["float32"][0]
+                )
+                deltas["seg"].append(
+                    per_dtype["bfloat16"][1] - per_dtype["float32"][1]
+                )
+    print("| corruptions | collection | seed | staging dtype | gt "
+          "| candidate µAP | segment AP |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print("| " + " | ".join(str(x) for x in r) + " |")
+    # Seed-noise yardstick: spread of the f32 arms across seeds within
+    # each (regime, collection) cell, vs the bf16−f32 paired deltas.
+    f32_by_cell = {}
+    for regime, collection, seed, dtype, _, uap, seg in rows:
+        if dtype == "float32":
+            f32_by_cell.setdefault((regime, collection), []).append(
+                (uap, seg)
+            )
+    spreads_uap = [
+        max(v[0] for v in vals) - min(v[0] for v in vals)
+        for vals in f32_by_cell.values()
+    ]
+    spreads_seg = [
+        max(v[1] for v in vals) - min(v[1] for v in vals)
+        for vals in f32_by_cell.values()
+    ]
+    summary = {
+        "bf16_minus_f32_uap_mean": round(float(np.mean(deltas["uap"])), 4),
+        "bf16_minus_f32_uap_max_abs": round(
+            float(np.max(np.abs(deltas["uap"]))), 4
+        ),
+        "bf16_minus_f32_seg_mean": round(float(np.mean(deltas["seg"])), 4),
+        "bf16_minus_f32_seg_max_abs": round(
+            float(np.max(np.abs(deltas["seg"]))), 4
+        ),
+        "f32_seed_spread_uap_mean": round(float(np.mean(spreads_uap)), 4),
+        "f32_seed_spread_seg_mean": round(float(np.mean(spreads_seg)), 4),
+    }
+    summary["bf16_within_seed_noise"] = bool(
+        summary["bf16_minus_f32_uap_max_abs"]
+        <= max(summary["f32_seed_spread_uap_mean"], 0.01)
+        and summary["bf16_minus_f32_seg_max_abs"]
+        <= max(summary["f32_seed_spread_seg_mean"], 0.01)
+    )
+    print(json.dumps(summary))
+    return rows, summary
 
 
 def run_sweep(args):

@@ -286,23 +286,38 @@ class DnSLocalization(TNLocalizationMaxSim):
             raise ValueError(
                 "DnS localization needs fine features: pass refs_fine"
             )
-        super().add_refs(refs_coarse)
+        # Fine dict first: if the coarse table grow fails device-side
+        # (base class drops its table and raises), BOTH sides' host
+        # dicts still hold the new videos — the next alignment rebuilds
+        # both tables rather than KeyError-ing on a half-added id.
         self.refs_fine.update(refs_fine)
+        super().add_refs(refs_coarse)
         if getattr(self, "_fine_r_tab", None) is not None:
             # Overwrites repoint their offsets at the appended rows
             # (the old rows become dead weight, same as the base
             # class); serving rejects duplicate ids before this.
-            if self._table_mesh is not None:
-                self._fine_r_tab, self._fine_r_rows = self._grow_sharded(
-                    self._fine_r_tab, self._fine_r_rows,
-                    self._fine_r_offs, list(refs_fine.values()),
-                    row_fn=self._fine_rows,
-                )
-            else:
-                self._fine_r_tab = self._grow_table(
-                    self._fine_r_tab, self._fine_r_offs,
-                    list(refs_fine.values()), row_fn=self._fine_rows,
-                )
+            try:
+                if self._table_mesh is not None:
+                    self._fine_r_tab, self._fine_r_rows = (
+                        self._grow_sharded(
+                            self._fine_r_tab, self._fine_r_rows,
+                            self._fine_r_offs, list(refs_fine.values()),
+                            row_fn=self._fine_rows,
+                        )
+                    )
+                else:
+                    self._fine_r_tab = self._grow_table(
+                        self._fine_r_tab, self._fine_r_offs,
+                        list(refs_fine.values()), row_fn=self._fine_rows,
+                    )
+            except Exception:
+                # Same failure contract as the base class: drop the
+                # staged fine table so the next alignment rebuilds it
+                # from refs_fine (already grown) instead of serving a
+                # table whose offsets miss the new videos.
+                self._fine_r_tab, self._fine_r_offs = None, None
+                self._fine_r_rows = None
+                raise
 
     def remove_refs(self, video_ids) -> None:
         """Reference removal must drop the fine side too; both staged

@@ -173,7 +173,10 @@ def main(args):
     score_normalization = bool(args.score_norm_features)
     if score_normalization:
         noise = load_features(args.score_norm_features, Dataset.REFS)
-        queries, refs = score_normalize(queries, refs, noise, beta=1.2)
+        queries, refs = score_normalize(
+            queries, refs, noise, beta=1.2,
+            dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+        )
         os.makedirs(args.output_path, exist_ok=True)
         store_features(os.path.join(args.output_path, "sn_queries.npz"), queries)
         store_features(os.path.join(args.output_path, "sn_refs.npz"), refs)

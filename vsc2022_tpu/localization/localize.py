@@ -273,14 +273,24 @@ class TNLocalization(LocalizationWithMetadata):
         for m in refs:
             self.refs[m.video_id] = m
         if getattr(self, "_r_table", None) is not None:
-            if self._table_mesh is not None:
-                self._r_table, self._r_rows = self._grow_sharded(
-                    self._r_table, self._r_rows, self._r_offs, refs
-                )
-            else:
-                self._r_table = self._grow_table(
-                    self._r_table, self._r_offs, refs
-                )
+            try:
+                if self._table_mesh is not None:
+                    self._r_table, self._r_rows = self._grow_sharded(
+                        self._r_table, self._r_rows, self._r_offs, refs
+                    )
+                else:
+                    self._r_table = self._grow_table(
+                        self._r_table, self._r_offs, refs
+                    )
+            except Exception:
+                # Growth failed device-side: drop the staged table so
+                # the next alignment rebuilds from self.refs (which
+                # already includes the new videos) instead of serving
+                # a table whose offsets miss them (mirrors the
+                # remove_refs failure contract).
+                self._r_table, self._r_offs = None, None
+                self._r_rows = None
+                raise
 
     def remove_refs(self, video_ids) -> None:
         """Drop reference videos (serving `remove`). A staged ref table

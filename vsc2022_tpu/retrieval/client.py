@@ -107,6 +107,7 @@ class ServeClient:
         matches: bool = False,
         sharded: bool = False,
         bf16: bool = False,
+        f32: bool = False,
         vcsl_faithful_tn: bool = False,
         no_warmup: bool = False,
         extra_args: Sequence[str] = (),
@@ -131,6 +132,7 @@ class ServeClient:
             ("--matches", matches),
             ("--sharded", sharded),
             ("--bf16", bf16),
+            ("--f32", f32),
             ("--vcsl_faithful_tn", vcsl_faithful_tn),
             ("--no_warmup", no_warmup),
         ]:

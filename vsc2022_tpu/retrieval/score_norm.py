@@ -118,7 +118,11 @@ def score_normalize(
     l2_normalize: bool = True,
     replace_dim: bool = True,
     beta: float = 1.0,
+    dtype: str = "float32",
 ) -> Tuple[List[VideoFeature], List[VideoFeature]]:
+    """``dtype="bfloat16"`` stages the noise corpus (and computes the
+    noise-NN bias) in bf16, mirroring the serving index's --bf16 SN
+    path (sn_search.SNSearcher): biases coarsen to bf16 resolution."""
     _check_independent(refs, score_norm_refs)
     if score_norm_refs is not None and replace_dim:
         queries, refs, score_norm_refs = _drop_min_variance_dim(
@@ -133,7 +137,7 @@ def score_normalize(
 
     logger.info(f"Score-normalizing with beta={beta}")
     noise_corpus = np.concatenate([ref.feature for ref in score_norm_refs], axis=0)
-    searcher = SimilaritySearcher(noise_corpus.astype(np.float32))
+    searcher = SimilaritySearcher(noise_corpus.astype(np.float32), dtype=dtype)
 
     # One fused pass over ALL query frames: nearest-noise similarity
     # (the reference loops a FAISS search per video;

@@ -185,10 +185,19 @@ parser.add_argument(
     "--sharded", action="store_true",
     help="Shard the reference corpus across all local devices",
 )
-parser.add_argument(
+_dtype_group = parser.add_mutually_exclusive_group()
+_dtype_group.add_argument(
     "--bf16", action="store_true",
     help="Store the corpus AND the resident localizer ref tables in "
-    "bfloat16 (2x HBM capacity; similarities still accumulate in f32)",
+    "bfloat16 (2x HBM capacity; similarities still accumulate in f32). "
+    "This is the serving DEFAULT since quality validation "
+    "(docs/synthetic_results.md): the flag is kept for compatibility.",
+)
+_dtype_group.add_argument(
+    "--f32", action="store_true",
+    help="Stage the corpus and localizer ref tables in float32 — "
+    "strict bit-parity with the batch pipelines' default dtype, at "
+    "half the corpus capacity per chip.",
 )
 parser.add_argument(
     "--no_warmup", action="store_true",
@@ -287,6 +296,17 @@ extract_parser.add_argument("--ffmpeg_path", default="ffmpeg")
 extract_parser.add_argument("--video_extensions", default="mp4")
 
 
+def staging_dtype(args) -> str:
+    """The serving staging dtype: bfloat16 by DEFAULT (2x corpus and
+    ref-table capacity per chip, faster staging; candidate µAP and
+    segment AP hold within seed noise across corruption regimes and
+    both collection designs — docs/synthetic_results.md). ``--f32``
+    opts out for strict bit-parity with the batch pipelines' default;
+    the reference has no capacity story at all (FAISS Flat is
+    f32-only, vsc/index.py:82)."""
+    return "float32" if getattr(args, "f32", False) else "bfloat16"
+
+
 def build_index(args):
     refs = load_features(args.ref_features, Dataset.REFS)
     dim = refs[0].dimensions()
@@ -295,7 +315,7 @@ def build_index(args):
         from vsc2022_tpu.parallel.mesh import corpus_mesh
 
         mesh = corpus_mesh()
-    dtype = "bfloat16" if args.bf16 else "float32"
+    dtype = staging_dtype(args)
     if args.score_norm_features:
         noise = load_features(args.score_norm_features, Dataset.REFS)
         index = ScoreNormalizedVideoIndex(
@@ -348,7 +368,7 @@ def build_localizer(index, refs, args):
             fg_type=args.fg_type, tn_max_step=5, min_length=4,
             similarity_bias=0.5, vcsl_faithful=args.vcsl_faithful_tn,
             mesh=index.mesh, shard_ref_table=index.mesh is not None,
-            table_dtype="bfloat16" if args.bf16 else "float32",
+            table_dtype=staging_dtype(args),
         )
     if args.score_norm_features:
         return TNLocalizationMaxSim(
@@ -356,7 +376,7 @@ def build_localizer(index, refs, args):
             tn_max_step=5, min_length=4, similarity_bias=0.5,
             vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
             shard_ref_table=index.mesh is not None,
-            table_dtype="bfloat16" if args.bf16 else "float32",
+            table_dtype=staging_dtype(args),
         )
     refs_loc = [
         dataclasses.replace(vf, feature=l2_normalize_rows(vf.feature))
@@ -366,7 +386,7 @@ def build_localizer(index, refs, args):
         [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
         vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
         shard_ref_table=index.mesh is not None,
-        table_dtype="bfloat16" if args.bf16 else "float32",
+        table_dtype=staging_dtype(args),
     )
 
 
@@ -527,11 +547,7 @@ def _add_refs(index, localizer, parts, args, payloads=None) -> str:
             raise ValueError(
                 f"Fine npz is missing coarse videos: {missing[:5]}"
             )
-    # Index next: it validates (dims, noise-id overlap) before
-    # mutating, so a rejected add never leaves the localizer
-    # half-extended.
-    index.add(refs)
-    if localizer is not None:
+    def grow_localizer():
         if fine is not None:
             localizer.add_refs(refs, refs_fine=fine)
         elif args.score_norm_features:
@@ -545,6 +561,36 @@ def _add_refs(index, localizer, parts, args, payloads=None) -> str:
                 )
                 for vf in refs
             ])
+
+    # Index next: it validates (dims, noise-id overlap) before
+    # mutating, so a rejected add never leaves the localizer
+    # half-extended.
+    try:
+        index.add(refs)
+    except Exception:
+        if (
+            localizer is not None
+            and refs
+            and refs[0].video_id in index.video_metadata
+        ):
+            # Past validation the index raises only on a device-append
+            # failure — and then its HOST bookkeeping already holds the
+            # new rows (staged searcher dropped; the next search
+            # restages). Grow the localizer too before surfacing the
+            # error, or the holders would disagree and a remove of
+            # these ids would be rejected forever (mirrors the
+            # _remove_refs failure contract). A secondary device
+            # failure inside the localizer grow still leaves its host
+            # dicts grown and its staged tables dropped (the
+            # localizer's own failure contract), so the holders agree
+            # either way; surface the ORIGINAL error.
+            try:
+                grow_localizer()
+            except Exception:
+                pass
+        raise
+    if localizer is not None:
+        grow_localizer()
     return f"ok\tadded\t{len(refs)}\t{time.perf_counter() - t0:.3f}"
 
 
