@@ -1,0 +1,206 @@
+"""The one-command parity dress rehearsal (``python -m vsc2022_tpu
+parity``) end to end on synthetic stand-ins: the full protocol —
+matching runs under both TN configurations + raw, the frozen eval
+CLIs, the collated summary with reference deltas — and stage resume,
+so real-artifact day is a single resumable command (reference runbook
+it rehearses: docs/baseline.md:62-135)."""
+
+import importlib.util
+import json
+import os
+import stat
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vsc2022_tpu.metrics import Dataset, Match
+from vsc2022_tpu.storage import store_features
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_synthetic_eval():
+    spec = importlib.util.spec_from_file_location(
+        "synthetic_eval", os.path.join(REPO, "tools", "synthetic_eval.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run(cmd, timeout=1200):
+    return subprocess.run(
+        cmd, cwd=REPO, text=True, timeout=timeout,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+    )
+
+
+class TestParityPrecomputedFeatures:
+    @pytest.fixture(scope="class")
+    def rig(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("parity")
+        se = _load_synthetic_eval()
+        args = se.parser.parse_args(
+            ["--queries", "12", "--refs", "30", "--noise_videos", "10",
+             "--dim", "32", "--calibrated"]
+        )
+        queries, refs, noise, gt = se.build_benchmark(args)
+        paths = {
+            "q": str(tmp / "q.npz"),
+            "r": str(tmp / "r.npz"),
+            "n": str(tmp / "noise.npz"),
+            "gt": str(tmp / "gt.csv"),
+        }
+        store_features(paths["q"], queries, Dataset.QUERIES)
+        store_features(paths["r"], refs, Dataset.REFS)
+        store_features(paths["n"], noise, Dataset.REFS)
+        Match.write_csv(gt, paths["gt"])
+        return tmp, paths
+
+    def test_full_protocol_and_resume(self, rig, tmp_path):
+        tmp, paths = rig
+        out = str(tmp_path / "run")
+        cmd = [
+            sys.executable, "-m", "vsc2022_tpu", "parity",
+            "--output_path", out,
+            "--query_features", paths["q"],
+            "--ref_features", paths["r"],
+            "--noise_features", paths["n"],
+            "--ground_truth", paths["gt"],
+        ]
+        proc = _run(cmd)
+        assert proc.returncode == 0, proc.stdout[-3000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+        # Every protocol artifact the reference runbook produces.
+        for run in ("sn_faithful", "sn_tuned", "raw"):
+            for f in ("candidates.csv", "matches.csv"):
+                assert os.path.exists(os.path.join(out, run, f)), (run, f)
+        for run in ("sn_faithful", "sn_tuned"):
+            assert os.path.exists(
+                os.path.join(out, run, "sn_queries.npz")
+            )
+        assert os.path.exists(os.path.join(out, "parity_summary.json"))
+        assert os.path.exists(
+            os.path.join(out, "descriptor_candidates.csv")
+        )
+
+        # Collated metrics + reference deltas for every arm.
+        m = summary["metrics"]
+        for key in (
+            "descriptor_uap", "segment_ap_sn_faithful",
+            "segment_ap_sn_tuned", "segment_ap_raw",
+        ):
+            assert key in m and 0.0 <= m[key] <= 1.0, (key, m)
+        assert summary["targets"]["segment_ap_sn"] == 0.4692
+        assert set(summary["delta_vs_reference"]) == {
+            "segment_ap_sn_faithful", "segment_ap_sn_tuned",
+            "segment_ap_raw", "descriptor_uap",
+        }
+        # On the calibrated synthetic benchmark the planted copies are
+        # genuinely recoverable — a broken pipeline would score ~0.
+        assert m["segment_ap_sn_tuned"] > 0.5
+        assert m["descriptor_uap"] > 0.5
+
+        # Resume: a second invocation reuses every artifact (no stage
+        # reruns) and reproduces the identical summary.
+        proc2 = _run(cmd)
+        assert proc2.returncode == 0, proc2.stdout[-3000:]
+        assert "Reusing existing artifact" in proc2.stdout
+        assert "sscd_baseline" not in proc2.stdout  # no matching rerun
+        summary2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+        assert summary2["metrics"] == summary["metrics"]
+
+
+class TestParityFromVideos:
+    def test_inference_stages_from_stub_videos(self, tmp_path):
+        # The video → inference arm with a resident checkpoint and a
+        # stub ffmpeg/ffprobe pair (no ffmpeg in this image): parity
+        # must run inference per dataset role and carry the npz into
+        # the matching stages.
+        w, h, frames = 48, 32, 6
+        tools = tmp_path / "tools"
+        tools.mkdir()
+
+        def executable(path, content):
+            path.write_text(content)
+            os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
+
+        executable(
+            tools / "ffprobe",
+            "#!/usr/bin/env python3\n"
+            f'print(\'{{"streams": [{{"width": {w}, "height": {h}}}]}}\')\n',
+        )
+        executable(
+            tools / "ffmpeg",
+            "#!/usr/bin/env python3\n"
+            "import sys\n"
+            "path = sys.argv[sys.argv.index('-i') + 1]\n"
+            "seed = open(path, 'rb').read(1)[0]\n"
+            f"for j in range({frames}):\n"
+            "    sys.stdout.buffer.write("
+            f"bytes([(seed + 13 * j) % 256]) * {w * h * 3})\n",
+        )
+        dirs = {}
+        for role, names in (
+            ("queries", [("Q000000.mp4", 200), ("Q000001.mp4", 110)]),
+            ("refs", [("R000000.mp4", 10), ("R000001.mp4", 110)]),
+            # Noise ids must be disjoint from the refs (the score-norm
+            # independence rule).
+            ("noise", [("R000100.mp4", 55), ("R000101.mp4", 77)]),
+        ):
+            d = tmp_path / role
+            d.mkdir()
+            for name, seed in names:
+                (d / name).write_bytes(bytes([seed]))
+            dirs[role] = str(d)
+
+        import jax
+        import jax.numpy as jnp
+
+        jax.config.update("jax_platforms", "cpu")
+        from vsc2022_tpu.models import SSCDModel
+        from vsc2022_tpu.utils.checkpoint import save_variables
+
+        variables = SSCDModel().init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 224, 224, 3), jnp.float32)
+        )
+        ckpt = str(tmp_path / "sscd.npz")
+        save_variables(ckpt, variables)
+
+        out = str(tmp_path / "run")
+        proc = _run([
+            sys.executable, "-m", "vsc2022_tpu", "parity",
+            "--output_path", out,
+            "--queries_dataset", dirs["queries"],
+            "--refs_dataset", dirs["refs"],
+            "--noise_dataset", dirs["noise"],
+            "--checkpoint_path", ckpt,
+            "--accelerator", "cpu",
+            "--transforms", "RESIZE_224_SQUARE",
+            "--batch_size", "8",
+            "--ffmpeg_path", str(tools / "ffmpeg"),
+        ])
+        assert proc.returncode == 0, proc.stdout[-3000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        for role in ("queries", "refs", "noise"):
+            npz = os.path.join(out, f"{role}.npz")
+            assert summary["artifacts"]["features"][role] == npz
+            with np.load(npz) as z:
+                assert z["features"].shape[0] == 2 * frames
+        # No ground truth → metrics skipped, artifacts still complete.
+        assert summary["metrics"] == {}
+        for run in ("sn_faithful", "sn_tuned", "raw"):
+            assert os.path.exists(
+                os.path.join(out, run, "candidates.csv")
+            )
+        # Q000001 copies R000001 (same content byte): the match must
+        # surface in the score-normalized candidates.
+        import pandas as pd
+
+        df = pd.read_csv(os.path.join(out, "sn_tuned", "candidates.csv"))
+        top = df[df.query_id == "Q000001"].iloc[0]
+        assert top.ref_id == "R000001"

@@ -26,6 +26,10 @@ COMMANDS = {
         "vsc2022_tpu.retrieval.serve",
         "Resident retrieval server (corpus staged once)",
     ),
+    "parity": (
+        "vsc2022_tpu.parity",
+        "One-command real-data parity dress rehearsal",
+    ),
 }
 
 
