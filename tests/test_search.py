@@ -929,7 +929,14 @@ class TestPooledCollection:
     pooled_candidates): exactness under its specific failure modes —
     clustered hits hiding rank-(keep+1) entries inside one lane
     segment, extraction misses caught by the pool counts, and the
-    budget fallback to the streaming collection."""
+    budget fallback to the streaming collection. Every case runs under
+    BOTH segment-top-2 builders (variadic monoid reduce vs native
+    max/argmax with local ids): their internal tie choices may differ,
+    so the oracle equality here is what pins e2e exactness for each."""
+
+    @pytest.fixture(autouse=True, params=["vred", "nat"])
+    def seg_impl(self, request, monkeypatch):
+        monkeypatch.setenv("VSC2022_TPU_POOL_SEG", request.param)
 
     def test_clustered_hits_in_one_segment(self, monkeypatch):
         # Put nearly the whole top-k into a consecutive corpus run so

@@ -305,8 +305,14 @@ def main(args):
     # Current routing is OPT-IN: "1" selects the v1 Pallas pool writer
     # on TPU, "band" the banded rewrite ("" and "0" both run the XLA
     # carry-scan).
-    for flag, tag in (("0", "xla"), ("1", "krn"), ("band", "bnd")):
+    for flag, seg_flag, tag in (
+        ("0", "vred", "xla"),
+        ("0", "nat", "nat"),  # native max/argmax seg-top2, local ids
+        ("1", "vred", "krn"),
+        ("band", "vred", "bnd"),
+    ):
         os.environ["VSC2022_TPU_POOL_PALLAS"] = flag
+        os.environ["VSC2022_TPU_POOL_SEG"] = seg_flag
 
         @functools.partial(jax.jit, static_argnames=("stage", "tag"))
         def pooled_tagged(q, refs, stage, tag):
@@ -321,6 +327,7 @@ def main(args):
         timeit(f"pool_full[{tag}]",
                lambda f=pooled_tagged: sync(f(q, refs, "", tag)))
     os.environ.pop("VSC2022_TPU_POOL_PALLAS", None)
+    os.environ.pop("VSC2022_TPU_POOL_SEG", None)
 
     # Pool-build variants: scan-carry dynamic_update_slice (library)
     # vs stacked-ys + transpose vs reduction-only (no pool write).

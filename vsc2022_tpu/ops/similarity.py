@@ -534,19 +534,45 @@ def pool_build_xla(
     varying_axes: Tuple[str, ...] = (),
     seg_lanes: int = POOL_SEG_LANES,
     seg_keep: int = POOL_SEG_KEEP,
+    seg_impl: "str | None" = None,  # "nat" | "vred" (None: env/default)
 ) -> Tuple[jax.Array, jax.Array]:
     """The winner-pool build: one streamed pass keeping the best-2
     (value, global id) of every ``seg_lanes``-lane segment in an HBM
     pool [M, P]. Traceable (no jit) so it runs inside shard_map —
     ``base`` offsets ids for corpus shards, ``varying_axes`` marks the
     scan carry device-varying. Query rows stream through row blocks
-    (still one traced graph)."""
+    (still one traced graph).
+
+    Two segment-top-2 formulations (``seg_impl`` /
+    ``VSC2022_TPU_POOL_SEG``): ``vred`` is an 8-ary variadic 4-tuple
+    (value, id) monoid reduce — one pass over the score tile, but the
+    tuple combiner's cross-lane shuffle tree carries four arrays;
+    ``nat`` computes max → argmax → masked re-max with NATIVE
+    single-array lane reduces and derives global ids arithmetically
+    from the local argmax, so no global-id iota tensors ride the
+    reduction at all. Internal TIE choices may differ between the two
+    (reduction order vs first-index); e2e candidate exactness incl.
+    tie-breaks is enforced downstream by the pool count-verify + exact
+    recompute, which the fuzz pins under both."""
     n_pad = refs.shape[0]
     n_blocks = n_pad // col_block
     seg = col_block // seg_lanes
     pool_per_block = seg_keep * seg
     p_total = n_blocks * pool_per_block
     prec = jax.lax.Precision(precision)
+    if seg_impl is None:
+        seg_impl = os.environ.get("VSC2022_TPU_POOL_SEG", "vred")
+
+    def seg_top2_nat(s3):
+        """Best-2 per segment as four native lane reduces with LOCAL
+        index results (global ids derive arithmetically)."""
+        m1 = jnp.max(s3, axis=2)
+        a1 = jnp.argmax(s3, axis=2).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+        s3m = jnp.where(lane == a1[..., None], NEG_INF, s3)
+        m2 = jnp.max(s3m, axis=2)
+        a2 = jnp.argmax(s3m, axis=2).astype(jnp.int32)
+        return m1, a1, m2, a2
 
     def seg_top2(s3, gid3):
         """Best-2 (value, id) per segment in ONE pass: an 8-ary
@@ -601,11 +627,20 @@ def pool_build_xla(
             ) < (n_valid - start)
             s = jnp.where(in_range, s, NEG_INF)
             s3 = s.reshape(mb, seg, seg_lanes)
-            gid3 = base + start + (
-                jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) * seg_lanes
-                + jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-            )
-            m1, a1, m2, a2 = seg_top2(s3, gid3)
+            if seg_impl == "nat":
+                m1, a1l, m2, a2l = seg_top2_nat(s3)
+                seg_base = base + start + seg_lanes * (
+                    jax.lax.broadcasted_iota(jnp.int32, (mb, seg), 1)
+                )
+                a1, a2 = seg_base + a1l, seg_base + a2l
+            else:
+                gid3 = base + start + (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, s3.shape, 1
+                    ) * seg_lanes
+                    + jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+                )
+                m1, a1, m2, a2 = seg_top2(s3, gid3)
             pool_v = jax.lax.dynamic_update_slice(
                 pool_v, jnp.concatenate([m1, m2], axis=1),
                 (0, block_idx * pool_per_block),
