@@ -270,3 +270,66 @@ class TestPoolWriter:
         oqi, ori = np.unravel_index(order, dense.shape)
         np.testing.assert_array_equal(qi, oqi)
         np.testing.assert_array_equal(ri, ori)
+
+
+class TestChamferKernel:
+    """The fused DnS chamfer (chamfer_fine_sims) must reproduce the
+    XLA einsum formulation exactly — pre-rescale values, zero-pad
+    frames included — across bucket shapes and symmetry modes."""
+
+    @staticmethod
+    def _xla_fg(qf, rf, symmetric):
+        b, nq, r, d = qf.shape
+        nr = rf.shape[1]
+        p = np.einsum(
+            "bqad,bncd->bqacn", qf, rf, dtype=np.float32
+        )  # [B, NQ, a, c, NR]
+        fg = p.max(axis=3).mean(axis=2)
+        if symmetric:
+            fg = (fg + p.max(axis=2).mean(axis=2)) / 2.0
+        return fg
+
+    @pytest.mark.parametrize(
+        "nq,nr,symmetric",
+        [(64, 64, True), (32, 128, True), (128, 32, False), (32, 32, True)],
+    )
+    def test_matches_xla_formulation(self, nq, nr, symmetric):
+        from vsc2022_tpu.ops.pallas_kernels import chamfer_fine_sims
+
+        rng = np.random.RandomState(17)
+        b, r, d = 3, 9, 32
+        qf = rng.randn(b, nq, r, d).astype(np.float32)
+        rf = rng.randn(b, nr, r, d).astype(np.float32)
+        # Zero-pad frames, as the table gather produces for rows
+        # beyond a video's length.
+        qf[:, nq - 5:] = 0.0
+        rf[:, nr - 3:] = 0.0
+        got = np.asarray(chamfer_fine_sims(
+            jnp.asarray(qf), jnp.asarray(rf),
+            symmetric=symmetric, precision="highest", interpret=True,
+        ))
+        np.testing.assert_allclose(
+            got, self._xla_fg(qf, rf, symmetric), rtol=1e-5, atol=1e-5
+        )
+
+    def test_routed_fuse_equals_einsum(self, monkeypatch):
+        # The env-routed _chamfer_fuse (kernel) must equal the einsum
+        # path through the full fuse (rescale + coarse + sqrt).
+        import jax
+
+        from vsc2022_tpu.baseline.dns_baseline import _chamfer_fuse
+
+        rng = np.random.RandomState(23)
+        b, nq, nr, r, d, dc = 2, 32, 64, 9, 16, 24
+        qf = jnp.asarray(rng.randn(b, nq, r, d).astype(np.float32))
+        rf = jnp.asarray(rng.randn(b, nr, r, d).astype(np.float32))
+        qc = jnp.asarray(rng.randn(b, nq, dc).astype(np.float32))
+        rc = jnp.asarray(rng.randn(b, nr, dc).astype(np.float32))
+        bias = jnp.float32(0.5)
+        prec = jax.lax.Precision("highest")
+        expect = np.asarray(
+            _chamfer_fuse(qf, rf, qc, rc, bias, True, prec)
+        )
+        monkeypatch.setenv("VSC2022_TPU_CHAMFER_PALLAS", "interpret")
+        got = np.asarray(_chamfer_fuse(qf, rf, qc, rc, bias, True, prec))
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)

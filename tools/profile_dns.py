@@ -219,6 +219,24 @@ def main(args):
         s = timed_scan(matmul_body, qf_g, rf_g)
         report(f"chamfer_matmul[{precision}]", s)
 
+        # Fused Pallas chamfer: the region-pair product never leaves
+        # VMEM (ops/pallas_kernels.chamfer_fine_sims).
+        from vsc2022_tpu.ops.pallas_kernels import chamfer_fine_sims
+
+        def kernel_body(carry, qf, rf):
+            return chamfer_fine_sims(
+                qf.at[0, 0, 0, 0].add(carry), rf,
+                symmetric=True, precision=precision,
+                interpret=args.cpu,
+            )
+
+        try:
+            s = timed_scan(kernel_body, qf_g, rf_g)
+            report(f"chamfer_kernel[{precision}]", s)
+        except Exception as exc:  # noqa: BLE001
+            print(f"  chamfer_kernel[{precision}]    FAILED: "
+                  f"{str(exc)[:160]}")
+
     flops = (
         args.pairs * (nq * R) * (nr * R) * args.d_fine * 2
         + args.pairs * nq * nr * args.d_coarse * 2

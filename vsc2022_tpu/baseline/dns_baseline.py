@@ -109,16 +109,36 @@ def _chamfer_fuse(qf, rf, qc, rc, bias, symmetric, prec):
     HBM round trips at the production bucket)."""
     b, nq, r, d = qf.shape
     nr = rf.shape[1]
-    p = jnp.einsum(
-        "bmd,bnd->bmn",
-        qf.reshape(b, nq * r, d),
-        jnp.moveaxis(rf, 2, 1).reshape(b, r * nr, d),
-        precision=prec, preferred_element_type=jnp.float32,
-    ).reshape(b, nq, r, r, nr)  # [B, NQ, a, c, NR]
-    fg = jnp.mean(jnp.max(p, axis=3), axis=2)  # mean_a max_c
-    if symmetric:
-        # sim(ref, query)ᵀ: mean over ref regions of max over query regions.
-        fg = (fg + jnp.mean(jnp.max(p, axis=2), axis=2)) / 2.0
+    chamfer_flag = os.environ.get("VSC2022_TPU_CHAMFER_PALLAS", "")
+    if chamfer_flag == "interpret" or (
+        chamfer_flag == "1" and jax.default_backend() == "tpu"
+    ):
+        # Fused Pallas chamfer: the [B, NQ, R, R, NR] region-pair
+        # product stays tile-local in VMEM instead of round-tripping
+        # HBM for the reduction passes (ops/pallas_kernels.py
+        # chamfer_fine_sims). Same values as the einsum below.
+        from vsc2022_tpu.ops.pallas_kernels import chamfer_fine_sims
+
+        fg = chamfer_fine_sims(
+            qf, rf, symmetric=symmetric,
+            precision=(
+                "default" if prec == jax.lax.Precision.DEFAULT
+                else "highest"
+            ),
+            interpret=chamfer_flag == "interpret",
+        )
+    else:
+        p = jnp.einsum(
+            "bmd,bnd->bmn",
+            qf.reshape(b, nq * r, d),
+            jnp.moveaxis(rf, 2, 1).reshape(b, r * nr, d),
+            precision=prec, preferred_element_type=jnp.float32,
+        ).reshape(b, nq, r, r, nr)  # [B, NQ, a, c, NR]
+        fg = jnp.mean(jnp.max(p, axis=3), axis=2)  # mean_a max_c
+        if symmetric:
+            # sim(ref, query)ᵀ: mean over ref regions of max over
+            # query regions.
+            fg = (fg + jnp.mean(jnp.max(p, axis=2), axis=2)) / 2.0
     fg = fg / 2.0 + 0.5  # rescale [-1,1] → [0,1]
 
     cg = (

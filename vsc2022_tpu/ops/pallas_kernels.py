@@ -676,3 +676,112 @@ def fused_topk(
     top_s, sel = jax.lax.top_k(out_s[:m], kappa)
     top_i = jnp.take_along_axis(out_i[:m], sel, axis=1)
     return top_s, top_i
+
+
+# ---------------------------------------------------------------------------
+# DnS fused chamfer (round 4)
+# ---------------------------------------------------------------------------
+
+def _chamfer_kernel(qf_ref, rf_ref, out_ref, *, regions, rt, precision,
+                    symmetric):
+    """One (pair, q-tile, r-tile) step of the DnS chamfer: the region-
+    pair product lives only in VMEM.
+
+    qf block [1, QT·R, D] is frame-major/region-minor (rows (q, a));
+    rf block [1, R·RT, D] is region-major WITHIN the tile (rows
+    (c, n) — the XLA-side pre-layout in ``chamfer_fine_sims``), so
+    max-over-c is ``regions`` static lane slices and both chamfer
+    reductions run without strided access. The [B, NQ, R, R, NR]
+    product tensor the XLA formulation materializes to HBM
+    (baseline/dns_baseline.py _chamfer_fuse; 7.8 GB f32 at the
+    512-pair bench bucket) never exists here."""
+    qf = qf_ref[0]
+    rf = rf_ref[0]
+    if qf.dtype == jnp.bfloat16:
+        p = jax.lax.dot_general(
+            qf, rf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        p = jax.lax.dot_general(
+            qf, rf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision(precision),
+        )
+    qt = p.shape[0] // regions
+    # mean_a max_c: max over ref regions (static lane slices), then
+    # mean over query regions (second-minor after the trivial
+    # major-axis split).
+    maxc = p[:, :rt]
+    for c in range(1, regions):
+        maxc = jnp.maximum(maxc, p[:, c * rt:(c + 1) * rt])
+    fg = jnp.mean(maxc.reshape(qt, regions, rt), axis=1)
+    if symmetric:
+        # mean_c max_a: max over query regions, mean over ref regions.
+        ma = jnp.max(p.reshape(qt, regions, regions * rt), axis=1)
+        acc = ma[:, :rt]
+        for c in range(1, regions):
+            acc = acc + ma[:, c * rt:(c + 1) * rt]
+        fg = (fg + acc * (1.0 / regions)) * 0.5
+    out_ref[0] = fg
+
+
+def chamfer_fine_sims(
+    qf: jax.Array,  # [B, NQ, R, D] fine query regions
+    rf: jax.Array,  # [B, NR, R, D] fine ref regions
+    *,
+    symmetric: bool = True,
+    precision: str = "highest",
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused DnS chamfer similarity [B, NQ, NR] (pre-rescale).
+
+    Grid (B, NQ/QT, NR/RT) with 64-frame tiles: per step one MXU
+    contraction [QT·R, D]×[D, R·RT] plus in-VMEM reductions — VMEM
+    stays ~4 MB at ANY bucket size, where the XLA einsum's product
+    tensor grows as B·NQ·NR·R². Zero-pad frames (the gathered pad row)
+    produce fg = 0 exactly like the XLA path, so downstream masking is
+    unchanged. Returns mean_a max_c (symmetrized when ``symmetric``)
+    WITHOUT the [0,1] rescale — the caller fuses rescale + coarse
+    exactly as for the XLA formulation."""
+    b, nq, regions, d = qf.shape
+    nr = rf.shape[1]
+    qt = min(nq, 64)
+    rt = min(nr, 64)
+    if precision == "default":
+        qf = qf.astype(jnp.bfloat16)
+        rf = rf.astype(jnp.bfloat16)
+    # Frame-major query rows (q, a); per-tile region-major ref rows:
+    # [B, NR, R, D] → [B, NR/RT, RT, R, D] → [B, NR/RT, R, RT, D].
+    qf2 = qf.reshape(b, nq * regions, d)
+    rf2 = jnp.swapaxes(
+        rf.reshape(b, nr // rt, rt, regions, d), 2, 3
+    ).reshape(b, (nr // rt) * regions * rt, d)
+    kernel = functools.partial(
+        _chamfer_kernel, regions=regions, rt=rt, precision=precision,
+        symmetric=symmetric,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nq // qt, nr // rt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, qt * regions, d), lambda b_, i, j: (b_, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, regions * rt, d), lambda b_, i, j: (b_, j, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, qt, rt), lambda b_, i, j: (b_, i, j)),
+        out_shape=jax.ShapeDtypeStruct((b, nq, nr), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (nq * regions) * (nr * regions) * d,
+            bytes_accessed=(
+                b * nq * regions * d * qf2.dtype.itemsize * (nr // rt)
+                + b * nr * regions * d * rf2.dtype.itemsize * (nq // qt)
+                + b * nq * nr * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qf2, rf2)
