@@ -243,7 +243,13 @@ class TestShardedPooledCollection:
     psum'd selection counts, all-gather extraction merge) must be
     exact against the single-device searcher, including both repair
     paths — and must never touch the base class's single-device
-    repair kernels (the refs live sharded)."""
+    repair kernels (the refs live sharded). Runs under BOTH
+    segment-top-2 builders (the per-shard pool build shares
+    pool_build_xla with the single-device path)."""
+
+    @pytest.fixture(autouse=True, params=["vred", "nat"])
+    def seg_impl(self, request, monkeypatch):
+        monkeypatch.setenv("VSC2022_TPU_POOL_SEG", request.param)
 
     def _guard_single_device_kernels(self, monkeypatch):
         import vsc2022_tpu.ops.similarity as S
