@@ -450,3 +450,56 @@ class TestConversionDiagnostics:
         # uniformity anyway — nothing may be stripped.
         state = {"backbone.conv1.weight": 1, "project.weight": 2}
         assert normalize_state_keys(dict(state)) == state
+
+
+class TestS2DStem:
+    """The space-to-depth stem (models/fold.py s2d_stem +
+    ``stem_s2d=True``) is an exact reparameterization of the 7×7/2
+    stem: outputs match to f32 reassociation roundoff, at both the
+    production transforms' spatial sizes and a non-multiple-of-4 size,
+    and it composes with BN folding."""
+
+    def _model(self, **kw):
+        from vsc2022_tpu.models import SSCDModel
+
+        return SSCDModel(
+            stage_sizes=(1, 1, 1, 1), stage_features=(8, 8, 16, 16), **kw
+        )
+
+    @pytest.mark.parametrize("hw", [64, 70])
+    def test_equivalence(self, hw):
+        from vsc2022_tpu.models.fold import s2d_stem
+
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(2, hw, hw, 3), jnp.float32
+        )
+        model = self._model()
+        variables = model.init(jax.random.PRNGKey(0), x)
+        expect = np.asarray(model.apply(variables, x))
+
+        s2d_model = self._model(stem_s2d=True)
+        transformed = s2d_stem(variables)
+        got = np.asarray(s2d_model.apply(transformed, x))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+        # Transformed tree matches s2d-init structure exactly.
+        init_s2d = s2d_model.init(jax.random.PRNGKey(0), x)
+        shapes = lambda t: {  # noqa: E731
+            jax.tree_util.keystr(p): np.shape(v)
+            for p, v in jax.tree_util.tree_leaves_with_path(t)
+        }
+        assert shapes(transformed) == shapes(init_s2d)
+
+    def test_composes_with_fold_bn(self):
+        from vsc2022_tpu.models.fold import fold_batchnorm, s2d_stem
+
+        x = jnp.asarray(
+            np.random.RandomState(2).randn(2, 64, 64, 3), jnp.float32
+        )
+        model = self._model()
+        variables = model.init(jax.random.PRNGKey(0), x)
+        expect = np.asarray(model.apply(variables, x))
+        both_model = self._model(fold_bn=True, stem_s2d=True)
+        both = s2d_stem(fold_batchnorm(variables))
+        got = np.asarray(both_model.apply(both, x))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)

@@ -106,6 +106,26 @@ def main(args):
         timeit("forward only bf16", lambda: np.asarray(
             fwd_only(vars_bf16, images_bf16)), batch)
 
+        # Space-to-depth stem (exact reparameterization — the MLPerf
+        # ResNet TPU transform; models/fold.py s2d_stem): the 7×7/2
+        # 3-channel stem conv becomes a VALID 4×4/1 12-channel conv
+        # with 4× the contraction packing.
+        from vsc2022_tpu.models.fold import s2d_stem
+
+        s2d_model = SSCDModel(stem_s2d=True)
+        s2d_vars = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            s2d_stem(variables),
+        )
+
+        @jax.jit
+        def fwd_s2d(vars_, images):
+            return s2d_model.apply(vars_, images).astype(jnp.float32)
+
+        timeit("forward only bf16, s2d stem", lambda: np.asarray(
+            fwd_s2d(s2d_vars, images_bf16)), batch)
+
         # BatchNorm stripped: same convs, GroupNorm-free affine-free
         # trunk (params reused where shapes allow is NOT the point —
         # this measures the op-level cost of the BN affines + stats).

@@ -104,3 +104,49 @@ def _fold_level(params: Mapping, stats: Mapping, eps: float) -> dict:
             f"BatchNorm without a foldable preceding conv: {sorted(leftover)}"
         )
     return {k: v for k, v in out.items() if k not in consumed}
+
+
+def s2d_stem(variables: Mapping) -> dict:
+    """Transform the stem conv kernel for the space-to-depth stem
+    (``stem_s2d=True`` models): the 7×7/2 3-channel kernel becomes the
+    exact VALID 4×4/1 12-channel kernel over the 2×2 space-to-depth
+    input (the MLPerf ResNet TPU transform).
+
+    Derivation: with the input padding shifted 3 → 4 (even grid), the
+    kernel zero-pads 7 → 8 at the leading edge, and
+    ``W2[a, b, (r, s, c), f] = Wpad[2a + r, 2b + s, c, f]`` — the
+    channel order (r, s, c) matching the space-to-depth reshape in the
+    model. Pure relabeling of the same products, so outputs match the
+    standard stem to f32 reassociation roundoff. Composes with
+    ``fold_batchnorm`` in either order (the bias is per-output-channel
+    and untouched here).
+    """
+
+    def walk(level):
+        out = {}
+        for name, sub in level.items():
+            if not isinstance(sub, Mapping):
+                out[name] = sub
+                continue
+            if name == "conv1" and "kernel" in sub and np.asarray(
+                sub["kernel"]
+            ).shape[:2] == (7, 7):
+                w = np.asarray(sub["kernel"])
+                c, f = w.shape[2], w.shape[3]
+                wpad = np.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+                w2 = wpad.reshape(4, 2, 4, 2, c, f)
+                w2 = w2.transpose(0, 2, 1, 3, 4, 5)
+                w2 = np.ascontiguousarray(
+                    w2.reshape(4, 4, 4 * c, f), dtype=w.dtype
+                )
+                out[name] = {
+                    k: (w2 if k == "kernel" else v)
+                    for k, v in sub.items()
+                }
+            else:
+                out[name] = walk(sub)
+        return out
+
+    return {
+        k: (walk(v) if k == "params" else v) for k, v in variables.items()
+    }

@@ -87,6 +87,15 @@ class ResNet50(nn.Module):
     # from the hot loop (~6-8% of the b512 bf16 forward measured on
     # v5e — tools/profile_inference.py).
     fold_bn: bool = False
+    # Inference-only: space-to-depth stem (the MLPerf ResNet TPU
+    # transform). The 7×7/2 conv over 3 channels packs the MXU
+    # contraction at 147 elements over a 3-channel minor axis; the
+    # exact reparameterization — 2×2 space-to-depth, then a VALID
+    # 4×4/1 conv over 12 channels (kernel transformed by
+    # models/fold.py s2d_stem) — contracts 192 elements with 4× the
+    # channel packing. Same math, reassociated f32 sums. Pair with
+    # s2d_stem-transformed params.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,10 +112,32 @@ class ResNet50(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
             )
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=self.fold_bn, name="conv1",
-        )(x)
+        if self.stem_s2d:
+            assert not train, "stem_s2d is an inference-only transform"
+            n, h, w, c = x.shape
+            assert h % 2 == 0 and w % 2 == 0, (
+                "stem_s2d needs even spatial dims (all inference "
+                f"transforms are even); got {(h, w)}"
+            )
+            out_h = (h - 1) // 2 + 1
+            out_w = (w - 1) // 2 + 1
+            # Pad 4 per side (the original pad 3 shifted into the even
+            # grid; the extra leading column multiplies the kernel's
+            # zero row), 2×2 space-to-depth, one VALID 4×4 conv.
+            xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+            hp, wp = h + 8, w + 8
+            y = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+            y = y.transpose(0, 1, 3, 2, 4, 5)
+            y = y.reshape(n, hp // 2, wp // 2, 4 * c)
+            x = nn.Conv(
+                64, (4, 4), padding="VALID", use_bias=self.fold_bn,
+                name="conv1",
+            )(y)[:, :out_h, :out_w]
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                use_bias=self.fold_bn, name="conv1",
+            )(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

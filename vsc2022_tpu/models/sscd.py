@@ -28,6 +28,7 @@ class SSCDModel(nn.Module):
     stage_sizes: tuple = (3, 4, 6, 3)
     stage_features: tuple = (64, 128, 256, 512)
     fold_bn: bool = False  # inference-only; pair with models/fold.py
+    stem_s2d: bool = False  # inference-only; pair with fold.s2d_stem
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,6 +36,7 @@ class SSCDModel(nn.Module):
             stage_sizes=self.stage_sizes,
             stage_features=self.stage_features,
             fold_bn=self.fold_bn,
+            stem_s2d=self.stem_s2d,
             name="backbone",
         )(x, train=train)
         x = gem_pool(x, p=self.gem_p)
