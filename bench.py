@@ -554,6 +554,39 @@ def bench_dns_localization(results):
         best = min(best, time.perf_counter() - t0)
     results["dns_localization_pairs_per_sec"] = round(len(pairs) / best, 1)
 
+    # Fused-Pallas-chamfer A/B on the same workload, recorded every
+    # round so the kernel-vs-XLA comparison cannot go stale. The env
+    # routing is read at trace time, so the cached sims executable
+    # must be dropped around the arm.
+    import jax
+
+    from vsc2022_tpu.baseline import dns_baseline as D
+
+    if jax.default_backend() == "tpu":
+        try:
+            os.environ["VSC2022_TPU_CHAMFER_PALLAS"] = "1"
+            D._gathered_dns_sims.clear_cache()
+            loc_k = DnSLocalization(
+                q_fine, r_fine, q_coarse, r_coarse,
+                model_type="TN", fg_type="att", tn_max_step=5,
+                min_length=4, similarity_bias=0.5,
+            )
+            loc_k.localize_all(pairs[:64])
+            best_k = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                loc_k.localize_all(pairs)
+                best_k = min(best_k, time.perf_counter() - t0)
+            results["dns_localization_pairs_per_sec_kernel"] = round(
+                len(pairs) / best_k, 1
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"dns chamfer-kernel arm skipped: {exc}",
+                  file=sys.stderr)
+        finally:
+            os.environ.pop("VSC2022_TPU_CHAMFER_PALLAS", None)
+            D._gathered_dns_sims.clear_cache()
+
 
 def run_measurement():
     from vsc2022_tpu.utils.jaxcache import enable_compilation_cache
