@@ -1042,3 +1042,39 @@ class TestBf16RefTables:
             TNLocalizationMaxSim(
                 queries, refs, "TN", table_dtype="float16"
             )
+
+
+class TestPackedAlign:
+    def test_packed_equals_unpacked(self):
+        # tn_align_packed is tn_align with one packed D2H buffer; the
+        # unpack must reproduce boxes/valid/scores exactly (box frame
+        # indices are < 2^24, exact in f32).
+        from vsc2022_tpu.ops.tn_align import (
+            TNParams,
+            tn_align,
+            tn_align_packed,
+        )
+
+        rng = np.random.RandomState(31)
+        sims = rng.rand(5, 40, 48).astype(np.float32)
+        sims[1, 10:20, 12:22] += 2.0  # a planted diagonal-ish block
+        q_len = np.array([40, 36, 40, 8, 40], np.int32)
+        r_len = np.array([48, 44, 10, 48, 48], np.int32)
+        for params in (TNParams(), TNParams.vcsl_faithful()):
+            boxes, valid, scores = tn_align(
+                jnp.asarray(sims), jnp.asarray(q_len),
+                jnp.asarray(r_len), params,
+            )
+            packed = np.asarray(tn_align_packed(
+                jnp.asarray(sims), jnp.asarray(q_len),
+                jnp.asarray(r_len), params,
+            ))
+            np.testing.assert_array_equal(
+                packed[..., :4].astype(np.int32), np.asarray(boxes)
+            )
+            np.testing.assert_array_equal(
+                packed[..., 4] > 0.5, np.asarray(valid)
+            )
+            np.testing.assert_array_equal(
+                packed[..., 5], np.asarray(scores)
+            )

@@ -79,10 +79,20 @@ class TestParityPrecomputedFeatures:
         for run in ("sn_faithful", "sn_tuned", "raw"):
             for f in ("candidates.csv", "matches.csv"):
                 assert os.path.exists(os.path.join(out, run, f)), (run, f)
-        for run in ("sn_faithful", "sn_tuned"):
-            assert os.path.exists(
-                os.path.join(out, run, "sn_queries.npz")
-            )
+        # SN artifacts live with the faithful run; the tuned run
+        # REUSES them (and the candidates) rather than re-searching.
+        assert os.path.exists(
+            os.path.join(out, "sn_faithful", "sn_queries.npz")
+        )
+        import pandas as pd
+
+        faith_c = pd.read_csv(
+            os.path.join(out, "sn_faithful", "candidates.csv")
+        )
+        tuned_c = pd.read_csv(
+            os.path.join(out, "sn_tuned", "candidates.csv")
+        )
+        assert faith_c.equals(tuned_c)
         assert os.path.exists(os.path.join(out, "parity_summary.json"))
         assert os.path.exists(
             os.path.join(out, "descriptor_candidates.csv")

@@ -937,6 +937,78 @@ class TestPooledCollection:
     @pytest.fixture(autouse=True, params=["vred", "nat"])
     def seg_impl(self, request, monkeypatch):
         monkeypatch.setenv("VSC2022_TPU_POOL_SEG", request.param)
+        # The env is read at TRACE time inside module-level-jitted
+        # search graphs; without this, the second param would reuse
+        # the first's cached executable and never exercise its builder.
+        import jax
+
+        jax.clear_caches()
+
+    def test_seg_builders_match_reference_pools(self):
+        # Direct (jit-cache-unambiguous) pin of BOTH segment-top-2
+        # builders against a numpy per-segment top-2 oracle, on tied
+        # integer data: pool VALUES must match the oracle exactly for
+        # each impl, and every pool id must point at an entry of that
+        # value inside its own segment (tie WINNERS may differ between
+        # impls; values cannot).
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from vsc2022_tpu.ops.similarity import (
+            POOL_SEG_KEEP,
+            POOL_SEG_LANES,
+            pool_build_xla,
+        )
+
+        rng = np.random.RandomState(3)
+        m, n, d, cb = 9, 1024, 16, 256
+        n_valid = 1000  # masked tail crosses a segment boundary
+        q = rng.randint(-2, 3, size=(m, d)).astype(np.float32)
+        r = rng.randint(-2, 3, size=(n, d)).astype(np.float32)
+        scores = q @ r.T
+        scores[:, n_valid:] = -np.inf
+        seg = scores.reshape(m, n // POOL_SEG_LANES, POOL_SEG_LANES)
+        top2 = -np.sort(-seg, axis=2)[:, :, :POOL_SEG_KEEP]
+
+        segs_per_block = cb // POOL_SEG_LANES
+        expect = np.concatenate(
+            [
+                np.concatenate(
+                    [top2[:, b * segs_per_block:(b + 1) * segs_per_block, s]
+                     for s in range(POOL_SEG_KEEP)],
+                    axis=1,
+                )
+                for b in range(n // cb)
+            ],
+            axis=1,
+        )
+        for impl in ("vred", "nat"):
+            pv, pi = jax.jit(functools.partial(
+                pool_build_xla, col_block=cb, metric="IP",
+                precision="highest", seg_impl=impl,
+            ))(
+                jnp.asarray(q), jnp.asarray(r),
+                jnp.asarray(n_valid, jnp.int32),
+                jnp.zeros((n,), jnp.float32),
+            )
+            pv, pi = np.asarray(pv), np.asarray(pi)
+            np.testing.assert_array_equal(pv, expect, err_msg=impl)
+            # Ids: in-segment and consistent with the stored value.
+            finite = np.isfinite(pv)
+            rows, cols = np.nonzero(finite)
+            np.testing.assert_array_equal(
+                scores[rows, pi[rows, cols]], pv[rows, cols],
+                err_msg=impl,
+            )
+            blk = pi[rows, cols] // cb
+            seg_in_blk = (pi[rows, cols] % cb) // POOL_SEG_LANES
+            pool_per_block = POOL_SEG_KEEP * segs_per_block
+            exp_blk = cols // pool_per_block
+            exp_seg = (cols % pool_per_block) % segs_per_block
+            np.testing.assert_array_equal(blk, exp_blk, err_msg=impl)
+            np.testing.assert_array_equal(seg_in_blk, exp_seg, err_msg=impl)
 
     def test_clustered_hits_in_one_segment(self, monkeypatch):
         # Put nearly the whole top-k into a consecutive corpus run so

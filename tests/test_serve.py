@@ -608,6 +608,80 @@ class TestDnSAddFailureConsistency:
         ])
         assert any(m.ref_id == "R000099" for m in matches)
 
+    def test_coarse_table_grow_failure_drops_fine_table(
+        self, monkeypatch
+    ):
+        # A COARSE grow failure must drop the staged fine table too:
+        # its offsets miss the new videos (the fine grow never ran),
+        # so serving it would KeyError on every later alignment
+        # involving the added ids.
+        from vsc2022_tpu.baseline.dns_baseline import DnSLocalization
+        from vsc2022_tpu.metrics import CandidatePair
+        from vsc2022_tpu.models.dns import NUM_REGIONS
+
+        rng = np.random.RandomState(89)
+        d = 16
+
+        def pair_of(vid, frames):
+            base = frames[:, None, :].repeat(NUM_REGIONS, axis=1)
+            reg = base + 0.05 * rng.randn(*base.shape).astype(np.float32)
+            reg /= np.linalg.norm(reg, axis=-1, keepdims=True)
+            fine = VideoFeature(
+                video_id=vid,
+                timestamps=np.arange(frames.shape[0], dtype=np.float64),
+                feature=reg.reshape(frames.shape[0], -1),
+            )
+            coarse = VideoFeature(
+                video_id=vid, timestamps=fine.timestamps,
+                feature=l2n(frames),
+            )
+            return coarse, fine
+
+        q_frames = l2n(rng.randn(20, d)).astype(np.float32)
+        qc, qf = pair_of("Q000000", q_frames)
+        refs = [
+            pair_of(f"R{i:06d}", l2n(rng.randn(18, d)).astype(np.float32))
+            for i in range(3)
+        ]
+        new_frames = np.concatenate(
+            [q_frames[4:16], l2n(rng.randn(4, d)).astype(np.float32)]
+        )
+        nc, nf = pair_of("R000099", new_frames)
+        loc = DnSLocalization(
+            {qf.video_id: qf},
+            {f.video_id: f for _, f in refs},
+            [qc], [c for c, _ in refs],
+            model_type="TN", fg_type="att", similarity_bias=0.5,
+        )
+        loc.localize_all([
+            CandidatePair(
+                query_id="Q000000", ref_id="R000000", score=1.0
+            )
+        ])
+        assert loc._fine_r_tab is not None and loc._r_table is not None
+
+        real_grow = loc._grow_table
+
+        def boom(table, offsets, vids, row_fn=None):
+            if row_fn is None:  # the COARSE grow (fine passes row_fn)
+                raise RuntimeError("simulated relay failure")
+            return real_grow(table, offsets, vids, row_fn=row_fn)
+
+        monkeypatch.setattr(loc, "_grow_table", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            loc.add_refs([nc], refs_fine={nf.video_id: nf})
+        # BOTH staged tables dropped; host dicts grown on both sides.
+        assert loc._r_table is None and loc._fine_r_tab is None
+        assert nc.video_id in loc.refs and nf.video_id in loc.refs_fine
+        monkeypatch.undo()
+        loc.set_queries([qc], queries_fine={qf.video_id: qf})
+        matches = loc.localize_all([
+            CandidatePair(
+                query_id="Q000000", ref_id="R000099", score=1.0
+            )
+        ])
+        assert any(m.ref_id == "R000099" for m in matches)
+
 
 class TestSaveFailureConsistency:
     """A failed `save` must mutate nothing: the server keeps serving

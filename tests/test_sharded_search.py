@@ -250,6 +250,10 @@ class TestShardedPooledCollection:
     @pytest.fixture(autouse=True, params=["vred", "nat"])
     def seg_impl(self, request, monkeypatch):
         monkeypatch.setenv("VSC2022_TPU_POOL_SEG", request.param)
+        # The env is read at TRACE time inside the jitted mesh
+        # dispatch; clear so the second param re-traces with its own
+        # builder instead of hitting the first's cached executable.
+        jax.clear_caches()
 
     def _guard_single_device_kernels(self, monkeypatch):
         import vsc2022_tpu.ops.similarity as S

@@ -94,10 +94,18 @@ def main(args):
 
         # Forward from preheld bf16 images (no preprocess in the timed
         # graph): exposes whether preprocess serializes with the convs.
-        images_bf16 = jax.jit(lambda f: preprocess(
-            f, InferenceTransforms.RESIZE_320_CENTER
-        ).astype(jnp.bfloat16))(frames)
-        np.asarray(images_bf16.ravel()[:1].astype(jnp.float32))
+        # Separately-staged image buffers can exceed HBM at large
+        # batches where the fused u8 path still fits (observed at
+        # b1024/320²) — skip the decomposition arms there rather than
+        # abort the sweep.
+        try:
+            images_bf16 = jax.jit(lambda f: preprocess(
+                f, InferenceTransforms.RESIZE_320_CENTER
+            ).astype(jnp.bfloat16))(frames)
+            np.asarray(images_bf16.ravel()[:1].astype(jnp.float32))
+        except Exception as exc:  # noqa: BLE001
+            print(f"  (forward-only arms skipped: {str(exc)[:120]})")
+            continue
 
         @jax.jit
         def fwd_only(vars_, images):

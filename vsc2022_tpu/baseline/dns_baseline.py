@@ -95,7 +95,8 @@ parser.add_argument(
 )
 
 
-def _chamfer_fuse(qf, rf, qc, rc, bias, symmetric, prec):
+def _chamfer_fuse(qf, rf, qc, rc, bias, symmetric, prec,
+                  default_kernel_ok=False):
     """Batched chamfer similarity, symmetrized, rescaled, geo-fused.
 
     All R·R region pair products come from ONE batched matmul: query
@@ -110,9 +111,24 @@ def _chamfer_fuse(qf, rf, qc, rc, bias, symmetric, prec):
     b, nq, r, d = qf.shape
     nr = rf.shape[1]
     chamfer_flag = os.environ.get("VSC2022_TPU_CHAMFER_PALLAS", "")
-    if chamfer_flag == "interpret" or (
-        chamfer_flag == "1" and jax.default_backend() == "tpu"
-    ):
+    if chamfer_flag == "interpret":
+        use_kernel = True
+    elif chamfer_flag == "1":
+        use_kernel = jax.default_backend() == "tpu"
+    elif chamfer_flag == "0":
+        use_kernel = False
+    else:
+        # DEFAULT-ON for the unsharded TPU path (round-4 A/B,
+        # in-dispatch differenced at the 512-pair bench bucket:
+        # kernel 12.1 vs XLA 14.9 ms at highest precision, 8.5 vs
+        # 10.4 at default — tools/profile_dns.py; bench.py records
+        # the standing e2e A/B every round). The sharded shard_map
+        # body stays opt-in ("1") until Pallas-in-shard_map is
+        # validated on real multi-chip hardware.
+        use_kernel = (
+            default_kernel_ok and jax.default_backend() == "tpu"
+        )
+    if use_kernel:
         # Fused Pallas chamfer: the [B, NQ, R, R, NR] region-pair
         # product stays tile-local in VMEM instead of round-tripping
         # HBM for the reduction passes (ops/pallas_kernels.py
@@ -194,7 +210,8 @@ def _gathered_dns_sims(
     qf = qf.reshape(*qf.shape[:2], regions, -1)
     rf = rf.reshape(*rf.shape[:2], regions, -1)
     return _chamfer_fuse(
-        qf, rf, qc, rc, bias, symmetric, jax.lax.Precision(precision)
+        qf, rf, qc, rc, bias, symmetric, jax.lax.Precision(precision),
+        default_kernel_ok=True,
     )
 
 
@@ -311,7 +328,16 @@ class DnSLocalization(TNLocalizationMaxSim):
         # dicts still hold the new videos — the next alignment rebuilds
         # both tables rather than KeyError-ing on a half-added id.
         self.refs_fine.update(refs_fine)
-        super().add_refs(refs_coarse)
+        try:
+            super().add_refs(refs_coarse)
+        except Exception:
+            # The staged FINE table's offsets now miss the new videos
+            # too (its grow never ran): drop it alongside the coarse
+            # table so the next alignment rebuilds both from the grown
+            # dicts instead of KeyError-ing on the added ids.
+            self._fine_r_tab, self._fine_r_offs = None, None
+            self._fine_r_rows = None
+            raise
         if getattr(self, "_fine_r_tab", None) is not None:
             # Overwrites repoint their offsets at the appended rows
             # (the old rows become dead weight, same as the base

@@ -77,6 +77,19 @@ parser.add_argument(
     "at bf16 resolution).",
 )
 parser.add_argument(
+    "--score_normalized_inputs", action="store_true",
+    help="The query/ref npz are ALREADY score-normalized (e.g. the "
+    "sn_queries/sn_refs a previous run wrote): use the "
+    "score-normalization alignment mode without re-normalizing. "
+    "Mutually exclusive with --score_norm_features.",
+)
+parser.add_argument(
+    "--reuse_candidates", type=str, default=None,
+    help="Skip retrieval and localize the candidate pairs from this "
+    "CSV (a previous run's candidates.csv over the SAME features) — "
+    "re-run localization/TN variants without re-paying the search.",
+)
+parser.add_argument(
     "--vcsl_faithful_tn", action="store_true",
     help="Align with the published VCSL TN configuration (absolute "
     "min_sim gate, top-K=5, path-cell masking, max_iou dedup) instead "
@@ -146,8 +159,13 @@ def match(
     score_normalization: bool = False,
     vcsl_faithful: bool = False,
     dtype: str = "float32",
+    reuse_candidates: str = None,
 ) -> Tuple[str, str]:
-    candidates = search(queries, refs, dtype=dtype)
+    if reuse_candidates:
+        logger.info("Reusing candidate pairs from %s", reuse_candidates)
+        candidates = CandidatePair.read_csv(reuse_candidates)
+    else:
+        candidates = search(queries, refs, dtype=dtype)
     candidate_file, _ = pipeline.write_stage_artifacts(output_path, candidates)
     matches = localize_and_verify(
         queries, refs, candidates, score_normalization=score_normalization,
@@ -170,8 +188,18 @@ def main(args):
     queries = load_features(args.query_features, Dataset.QUERIES)
     refs = load_features(args.ref_features, Dataset.REFS)
 
-    score_normalization = bool(args.score_norm_features)
-    if score_normalization:
+    if args.score_norm_features and getattr(
+        args, "score_normalized_inputs", False
+    ):
+        raise Exception(
+            "--score_normalized_inputs means the inputs already carry "
+            "the CSLS bias dimension; --score_norm_features would "
+            "normalize them twice."
+        )
+    score_normalization = bool(args.score_norm_features) or getattr(
+        args, "score_normalized_inputs", False
+    )
+    if args.score_norm_features:
         noise = load_features(args.score_norm_features, Dataset.REFS)
         queries, refs = score_normalize(
             queries, refs, noise, beta=1.2,
@@ -187,6 +215,7 @@ def main(args):
             score_normalization=score_normalization,
             vcsl_faithful=getattr(args, "vcsl_faithful_tn", False),
             dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+            reuse_candidates=getattr(args, "reuse_candidates", None),
         )
 
     if args.ground_truth:

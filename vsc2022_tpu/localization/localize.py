@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vsc2022_tpu.metrics import CandidatePair, Match
-from vsc2022_tpu.ops.tn_align import TNParams, tn_align
+from vsc2022_tpu.ops.tn_align import TNParams, tn_align_packed
 from vsc2022_tpu.types import VideoFeature
 
 logger = logging.getLogger(__name__)
@@ -603,10 +603,16 @@ class TNLocalization(LocalizationWithMetadata):
             sims = jax.device_put(sims, self._align_sharding)
             q_len = jax.device_put(q_len, self._align_sharding)
             r_len = jax.device_put(r_len, self._align_sharding)
-        boxes, valid, box_scores = tn_align(sims, q_len, r_len, self.params)
-        boxes = _fetch(boxes)[: len(chunk)]
-        valid = _fetch(valid)[: len(chunk)]
-        box_scores = _fetch(box_scores)[: len(chunk)]
+        # One packed D2H pull for the whole alignment batch: three
+        # separate pulls cost three dispatch round trips on a relayed
+        # host link (~60% of the 512-pair DnS wall measured round 4 —
+        # tools/profile_dns.py).
+        packed = _fetch(
+            tn_align_packed(sims, q_len, r_len, self.params)
+        )[: len(chunk)]
+        boxes = packed[..., :4].astype(np.int32)
+        valid = packed[..., 4] > 0.5
+        box_scores = packed[..., 5]
 
         matches = []
         for bi, candidate in enumerate(chunk):

@@ -748,6 +748,13 @@ def chamfer_fine_sims(
     nr = rf.shape[1]
     qt = min(nq, 64)
     rt = min(nr, 64)
+    # Grid floor-division would silently leave trailing output rows
+    # uninitialized for non-tile-multiple frame counts; the alignment
+    # buckets are powers of two ≥ 32, so demand it loudly here.
+    assert nq % qt == 0 and nr % rt == 0, (
+        f"chamfer_fine_sims needs tile-multiple frame counts "
+        f"(64, or the full extent below 64); got NQ={nq}, NR={nr}"
+    )
     if precision == "default":
         qf = qf.astype(jnp.bfloat16)
         rf = rf.astype(jnp.bfloat16)

@@ -373,6 +373,33 @@ def _box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
+def tn_align_packed(
+    sims: jnp.ndarray,
+    q_len: jnp.ndarray,
+    r_len: jnp.ndarray,
+    params: "TNParams" = None,
+):
+    """``tn_align`` with its three outputs packed into ONE f32 buffer
+    [B, P, 6] = (x1, y1, x2, y2, valid, score): a single D2H pull per
+    alignment batch instead of three. On this rig's relay each pull
+    costs a full dispatch round trip (~27 ms floor — bench
+    rpc_floor_ms), which measured ~60% of the 512-pair DnS
+    localization wall (tools/profile_dns.py); the box coordinates are
+    frame indices (< 2^24), exact in f32."""
+    boxes, valid, scores = _tn_align_impl(
+        sims, q_len, r_len, params or TNParams()
+    )
+    return jnp.concatenate(
+        [
+            boxes.astype(jnp.float32),
+            valid[:, :, None].astype(jnp.float32),
+            scores[:, :, None],
+        ],
+        axis=2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
 def tn_align(
     sims: jnp.ndarray,  # [B, NQ, NR] f32 (bias already applied)
     q_len: jnp.ndarray,  # [B] int32 valid query frames
@@ -380,6 +407,9 @@ def tn_align(
     params: TNParams = TNParams(),
 ):
     """Extract up to ``max_paths`` aligned segments per pair.
+
+    (Hot-path callers that pull results to host should prefer
+    ``tn_align_packed`` — one D2H transfer instead of three.)
 
     Returns:
       boxes  [B, P, 4] int32 — (x1, y1, x2, y2) inclusive frame indices
@@ -390,6 +420,10 @@ def tn_align(
              correction; callers subtract their similarity_bias,
              reference: vsc/baseline/localization.py:88-91).
     """
+    return _tn_align_impl(sims, q_len, r_len, params)
+
+
+def _tn_align_impl(sims, q_len, r_len, params):
     b, nq, nr = sims.shape
     p = params.max_paths
     nodes0 = node_mask(

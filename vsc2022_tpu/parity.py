@@ -221,13 +221,33 @@ def stage_inference(args, out, ckpt) -> dict:
 
 def stage_matching(args, out, npz) -> dict:
     """The three matching runs: score-normalized × {faithful TN,
-    tuned TN} + raw (no score norm). Returns run name → directory."""
+    tuned TN} + raw (no score norm). The two SN runs share the same
+    normalization AND the same candidate search (only the TN config
+    differs), so the tuned run reuses the faithful run's
+    sn_queries/sn_refs npz and candidates.csv — at real-data scale the
+    candidate search is the dominant stage cost and must not be paid
+    twice for bit-identical intermediates. Returns run name →
+    directory."""
+    faithful_dir = os.path.join(out, "sn_faithful")
     runs = {}
-    for name, extra in (
-        ("sn_faithful", ["--score_norm_features", npz["noise"],
-                         "--vcsl_faithful_tn"]),
-        ("sn_tuned", ["--score_norm_features", npz["noise"]]),
-        ("raw", []),
+    for name, feats, extra in (
+        (
+            "sn_faithful", (npz["queries"], npz["refs"]),
+            ["--score_norm_features", npz["noise"], "--vcsl_faithful_tn"],
+        ),
+        (
+            "sn_tuned",
+            (
+                os.path.join(faithful_dir, "sn_queries.npz"),
+                os.path.join(faithful_dir, "sn_refs.npz"),
+            ),
+            [
+                "--score_normalized_inputs",
+                "--reuse_candidates",
+                os.path.join(faithful_dir, "candidates.csv"),
+            ],
+        ),
+        ("raw", (npz["queries"], npz["refs"]), []),
     ):
         run_dir = os.path.join(out, name)
         runs[name] = run_dir
@@ -235,8 +255,8 @@ def stage_matching(args, out, npz) -> dict:
             continue
         cmd = [
             sys.executable, "-m", "vsc2022_tpu.baseline.sscd_baseline",
-            "--query_features", npz["queries"],
-            "--ref_features", npz["refs"],
+            "--query_features", feats[0],
+            "--ref_features", feats[1],
             "--output_path", run_dir, "--overwrite",
         ] + extra
         if args.ground_truth:
