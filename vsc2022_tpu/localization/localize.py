@@ -577,19 +577,43 @@ class TNLocalization(LocalizationWithMetadata):
             qf, rf = self._features_for(c)
             buckets[(_bucket(qf.shape[0]), _bucket(rf.shape[0]))].append(idx)
 
+        # Lag-1 pipelining over chunks (the inference extractor's
+        # dispatch pattern, inference/pipeline.py): chunk n+1's sims +
+        # TN DP are dispatched BEFORE chunk n's packed result is
+        # pulled, so the per-chunk D2H round trip overlaps device
+        # compute instead of serializing with it. Multi-process pods
+        # stay in lockstep: every rank runs the same chunk order, and
+        # the fetch's collective (if sharded) happens at the same
+        # program point on all ranks.
         matches: List[Match] = []
+        pending = None  # (chunk, packed device array)
         for (nq, nr), idxs in sorted(buckets.items()):
             max_b = max(1, self.sim_element_budget // (nq * nr))
             for chunk_start in range(0, len(idxs), max_b):
                 chunk = [
                     candidates[i] for i in idxs[chunk_start : chunk_start + max_b]
                 ]
-                matches.extend(self._localize_bucket(chunk, nq, nr))
+                packed_dev = self._dispatch_bucket(chunk, nq, nr)
+                if pending is not None:
+                    matches.extend(self._finish_bucket(*pending))
+                pending = (chunk, packed_dev)
+        if pending is not None:
+            matches.extend(self._finish_bucket(*pending))
         return matches
 
     def _localize_bucket(
         self, chunk: Sequence[CandidatePair], nq: int, nr: int
     ) -> List[Match]:
+        return self._finish_bucket(
+            chunk, self._dispatch_bucket(chunk, nq, nr)
+        )
+
+    def _dispatch_bucket(
+        self, chunk: Sequence[CandidatePair], nq: int, nr: int
+    ):
+        """Dispatch one chunk's whole device program — gathered sims +
+        TN DP + output packing — returning the (unfetched) packed
+        device array so the caller can overlap the pull."""
         sims, q_len, r_len = self._batch_sims(chunk, nq, nr)
         if self._align_sharding is not None:
             # Pad the pair batch to the mesh axis and place it
@@ -603,13 +627,16 @@ class TNLocalization(LocalizationWithMetadata):
             sims = jax.device_put(sims, self._align_sharding)
             q_len = jax.device_put(q_len, self._align_sharding)
             r_len = jax.device_put(r_len, self._align_sharding)
+        return tn_align_packed(sims, q_len, r_len, self.params)
+
+    def _finish_bucket(
+        self, chunk: Sequence[CandidatePair], packed_dev
+    ) -> List[Match]:
         # One packed D2H pull for the whole alignment batch: three
         # separate pulls cost three dispatch round trips on a relayed
         # host link (~60% of the 512-pair DnS wall measured round 4 —
         # tools/profile_dns.py).
-        packed = _fetch(
-            tn_align_packed(sims, q_len, r_len, self.params)
-        )[: len(chunk)]
+        packed = _fetch(packed_dev)[: len(chunk)]
         boxes = packed[..., :4].astype(np.int32)
         valid = packed[..., 4] > 0.5
         box_scores = packed[..., 5]
