@@ -279,7 +279,8 @@ class DnSLocalization(TNLocalizationMaxSim):
     # is 81× that unit ([B, 9·NQ, 9·NR]), so 4M units ≈ a 1.3 GB
     # transient per alignment dispatch plus the running-max
     # intermediates — sized to leave HBM headroom for the resident
-    # fine+coarse feature tables.
+    # fine+coarse feature tables AND the extra in-flight chunk that
+    # localize_all's lag-1 pipelining keeps enqueued.
     sim_element_budget = 4 * 1024 * 1024
 
     def __init__(

@@ -57,11 +57,22 @@ def retrieve_candidates(
 def align_candidates(
     alignment: Localization,
     candidates: List[CandidatePair],
-    batch_size: int = ALIGN_BATCH_SIZE,
+    batch_size: "int | None" = None,
 ) -> List[Match]:
-    """Run temporal alignment over candidate batches with progress."""
-    matches: List[Match] = []
+    """Run temporal alignment with progress.
+
+    By default the WHOLE candidate list goes to ``localize_all`` in
+    one call: the localizer buckets by padded shape, chunks to its HBM
+    element budget, logs per-chunk progress, and lag-1-pipelines the
+    chunks (each chunk's packed D2H pull overlaps the next chunk's
+    device compute) — host-side slicing here would cap every call at
+    one chunk and defeat the overlap. ``batch_size`` slices host-side
+    anyway (legacy behavior, e.g. to bound host memory for the Match
+    lists of enormous runs)."""
     logger.info("Temporal alignment over %d candidate pairs", len(candidates))
+    if batch_size is None:
+        return alignment.localize_all(candidates)
+    matches: List[Match] = []
     done = 0
     while done < len(candidates):
         batch = candidates[done : done + batch_size]

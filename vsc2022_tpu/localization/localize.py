@@ -31,7 +31,15 @@ from vsc2022_tpu.types import VideoFeature
 
 logger = logging.getLogger(__name__)
 
+# Per-chunk progress lines only matter on runs big enough to have
+# waited for: single small calls (tests, per-pair probes) stay quiet.
+_PROGRESS_MIN = 256
+
 # Max elements per batched similarity tensor (B·NQ·NR); bounds HBM use.
+# NOTE: lag-1 chunk pipelining keeps up to TWO chunks' buffers
+# enqueued at once (chunk n+1's sims output is allocated at dispatch
+# while chunk n's is still pinned by its pending TN execution), so the
+# peak is ~2 budgets' worth of sims, not one — 512 MB f32 here.
 SIM_ELEMENT_BUDGET = 64 * 1024 * 1024
 
 
@@ -587,6 +595,18 @@ class TNLocalization(LocalizationWithMetadata):
         # program point on all ranks.
         matches: List[Match] = []
         pending = None  # (chunk, packed device array)
+        done = 0
+
+        def finish(chunk, packed_dev):
+            nonlocal done
+            matches.extend(self._finish_bucket(chunk, packed_dev))
+            done += len(chunk)
+            if done < len(candidates) or done > _PROGRESS_MIN:
+                logger.info(
+                    "%d/%d pairs aligned (%d predictions)",
+                    done, len(candidates), len(matches),
+                )
+
         for (nq, nr), idxs in sorted(buckets.items()):
             max_b = max(1, self.sim_element_budget // (nq * nr))
             for chunk_start in range(0, len(idxs), max_b):
@@ -595,10 +615,10 @@ class TNLocalization(LocalizationWithMetadata):
                 ]
                 packed_dev = self._dispatch_bucket(chunk, nq, nr)
                 if pending is not None:
-                    matches.extend(self._finish_bucket(*pending))
+                    finish(*pending)
                 pending = (chunk, packed_dev)
         if pending is not None:
-            matches.extend(self._finish_bucket(*pending))
+            finish(*pending)
         return matches
 
     def _localize_bucket(
