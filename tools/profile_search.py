@@ -300,6 +300,36 @@ def main(args):
     timeit("pooled:pool", lambda: sync(pooled_stage(q, refs, "pool")))
     timeit("pooled:tau", lambda: sync(pooled_stage(q, refs, "tau")))
 
+    # Selection-contract sweep: coarser pool segments halve/quarter the
+    # pool (cheaper k-th search + extraction; the per-element build
+    # reduce is invariant) at the cost of more ambiguous rows (BOTH
+    # slots >= tau in a segment -> a corpus count dispatch at repair).
+    # Reports the full pooled phase time AND the repair pressure.
+    for lanes in (128, 256, 512):
+
+        @functools.partial(jax.jit, static_argnames=("stage", "lanes"))
+        def pooled_lanes(q, refs, stage, lanes):
+            return S.pooled_candidates(
+                q, refs, n_valid, ref_sq,
+                jnp.asarray(m, jnp.int32), jnp.asarray(k_eff, jnp.int32),
+                kappa=kappa, col_block=cb, metric="IP",
+                precision=args.precision, row_block=m,
+                seg_lanes=lanes, debug_stage=stage)
+
+        timeit(f"pooled_s{lanes}:pool",
+               lambda f=pooled_lanes, L=lanes: sync(f(q, refs, "pool", L)))
+        out = pooled_lanes(q, refs, "", lanes)
+        timeit(f"pooled_s{lanes}:full",
+               lambda f=pooled_lanes, L=lanes: sync(f(q, refs, "", L)))
+        top_s, top_i, counts, tau_v, amb = (
+            np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2]),
+            float(out[3]), np.asarray(out[4]),
+        )
+        kept = ((top_s >= tau_v) & np.isfinite(top_s)).sum(axis=1)
+        print(f"    s{lanes}: amb_rows={(amb > 0).sum()} "
+              f"deficit_rows={(kept != counts).sum()} "
+              f"pool_per_row={2 * (n_pad // lanes)}")
+
     # Same-process kernel-vs-XLA pool build (routing reads the env at
     # trace time; a distinct static tag forces a fresh trace).
     # Current routing is OPT-IN: "1" selects the v1 Pallas pool writer
