@@ -149,39 +149,47 @@ def _dp_scan(sims, nodes, params: TNParams, collect: bool = False):
     needed for path traceback."""
     b, nq, nr = sims.shape
     w = params.max_step
+    # The path START provenance packs into ONE i32 (start = si·NR + sj):
+    # the scan carry drops from four [B, w, NR] window buffers to three
+    # (25% less HBM carry traffic — the scan is memory-bound on its
+    # rolled carry) and every windowed reduce runs one select cheaper.
+    # Bit-identical to the unpacked form: packing is a bijection and
+    # all comparisons stay on (length, simsum).
+    assert nq * nr < 2**31, (nq, nr)
 
     def row_step(carry, inputs):
         # Window buffers over the last `w` rows: [B, w, NR] each.
-        win_ln, win_sum, win_si, win_sj, best = carry
+        # (A ring-buffer variant — one aliased dynamic_update_slice row
+        # store per step instead of the full roll — was measured 2×
+        # SLOWER on TPU: the traced-slot dynamic slices defeat the
+        # scan's carry aliasing. The roll is the fast form.)
+        win_ln, win_sum, win_st, best = carry
         sim_row, node_row, i = inputs  # [B, NR], [B, NR], scalar
 
         # Best predecessor over the w×w window, tracking provenance.
         # Stage 1: reduce over the w buffered rows (column-wise).
         col_ln = jnp.full((b, nr), 0, dtype=jnp.int32)
         col_sum = jnp.full((b, nr), NEG_INF, dtype=jnp.float32)
-        col_si = jnp.zeros((b, nr), dtype=jnp.int32)
-        col_sj = jnp.zeros((b, nr), dtype=jnp.int32)
+        col_st = jnp.zeros((b, nr), dtype=jnp.int32)
         for d in range(w):
-            cand = (win_ln[:, d], win_sum[:, d], win_si[:, d], win_sj[:, d])
+            cand = (win_ln[:, d], win_sum[:, d], win_st[:, d])
             take = _better(cand[0], cand[1], col_ln, col_sum)
-            col_ln, col_sum, col_si, col_sj = _select(
-                take, cand, (col_ln, col_sum, col_si, col_sj)
+            col_ln, col_sum, col_st = _select(
+                take, cand, (col_ln, col_sum, col_st)
             )
         # Stage 2: reduce over column offsets 1..w.
         prev_ln = jnp.full((b, nr), 0, dtype=jnp.int32)
         prev_sum = jnp.full((b, nr), NEG_INF, dtype=jnp.float32)
-        prev_si = jnp.zeros((b, nr), dtype=jnp.int32)
-        prev_sj = jnp.zeros((b, nr), dtype=jnp.int32)
+        prev_st = jnp.zeros((b, nr), dtype=jnp.int32)
         for delta in range(1, w + 1):
             cand = (
                 _shift_down(col_ln, delta, 0),
                 _shift_down(col_sum, delta, NEG_INF),
-                _shift_down(col_si, delta, 0),
-                _shift_down(col_sj, delta, 0),
+                _shift_down(col_st, delta, 0),
             )
             take = _better(cand[0], cand[1], prev_ln, prev_sum)
-            prev_ln, prev_sum, prev_si, prev_sj = _select(
-                take, cand, (prev_ln, prev_sum, prev_si, prev_sj)
+            prev_ln, prev_sum, prev_st = _select(
+                take, cand, (prev_ln, prev_sum, prev_st)
             )
 
         # Extend a predecessor path, or start a new one at this node.
@@ -189,8 +197,7 @@ def _dp_scan(sims, nodes, params: TNParams, collect: bool = False):
         has_prev = prev_ln > 0
         new_ln = jnp.where(has_prev, prev_ln + 1, 1)
         new_sum = jnp.where(has_prev, prev_sum + sim_row, sim_row)
-        new_si = jnp.where(has_prev, prev_si, i)
-        new_sj = jnp.where(has_prev, prev_sj, col_iota)
+        new_st = jnp.where(has_prev, prev_st, i * nr + col_iota)
         # Non-node cells hold no path.
         new_ln = jnp.where(node_row, new_ln, 0)
         new_sum = jnp.where(node_row, new_sum, NEG_INF)
@@ -199,7 +206,7 @@ def _dp_scan(sims, nodes, params: TNParams, collect: bool = False):
         eligible = new_ln >= params.min_length
         elig_ln = jnp.where(eligible, new_ln, 0)
         elig_sum = jnp.where(eligible, new_sum, NEG_INF)
-        b_ln, b_sum, b_i, b_j, b_si, b_sj = best
+        b_ln, b_sum, b_i, b_j, b_st = best
         # Row-wise lexicographic argmax in two exact stages: first the
         # max length, then the best simsum among max-length cells.
         max_ln = jnp.max(elig_ln, axis=1, keepdims=True)
@@ -211,40 +218,35 @@ def _dp_scan(sims, nodes, params: TNParams, collect: bool = False):
         # with layout penalties; see ops/similarity.py): the winning
         # length IS max_ln (j_star maximizes among max-length cells, or
         # everything is 0/−inf), the winning sum IS the row max of
-        # tie_sum, and the start coordinates come from a one-hot masked
-        # max (indices are non-negative; exactly one lane matches).
+        # tie_sum, and the packed start comes from a one-hot masked
+        # max (starts are non-negative; exactly one lane matches).
         at_star = col_iota == j_star[:, None]
         r_ln = max_ln[:, 0]
         r_sum = jnp.max(tie_sum, axis=1)
-        r_si = jnp.max(jnp.where(at_star, new_si, -1), axis=1)
-        r_sj = jnp.max(jnp.where(at_star, new_sj, -1), axis=1)
+        r_st = jnp.max(jnp.where(at_star, new_st, -1), axis=1)
         take = _better(r_ln, r_sum, b_ln, b_sum)
         best = (
             jnp.where(take, r_ln, b_ln),
             jnp.where(take, r_sum, b_sum),
             jnp.where(take, i, b_i),
             jnp.where(take, j_star.astype(jnp.int32), b_j),
-            jnp.where(take, r_si, b_si),
-            jnp.where(take, r_sj, b_sj),
+            jnp.where(take, r_st, b_st),
         )
 
         # Roll the window: drop row i-w, append row i.
         win_ln = jnp.concatenate([win_ln[:, 1:], new_ln[:, None]], axis=1)
         win_sum = jnp.concatenate([win_sum[:, 1:], new_sum[:, None]], axis=1)
-        win_si = jnp.concatenate([win_si[:, 1:], new_si[:, None]], axis=1)
-        win_sj = jnp.concatenate([win_sj[:, 1:], new_sj[:, None]], axis=1)
+        win_st = jnp.concatenate([win_st[:, 1:], new_st[:, None]], axis=1)
         ys = (new_ln, new_sum) if collect else None
-        return (win_ln, win_sum, win_si, win_sj, best), ys
+        return (win_ln, win_sum, win_st, best), ys
 
     init = (
         jnp.zeros((b, w, nr), dtype=jnp.int32),
         jnp.full((b, w, nr), NEG_INF, dtype=jnp.float32),
         jnp.zeros((b, w, nr), dtype=jnp.int32),
-        jnp.zeros((b, w, nr), dtype=jnp.int32),
         (
             jnp.zeros((b,), dtype=jnp.int32),
             jnp.full((b,), NEG_INF, dtype=jnp.float32),
-            jnp.zeros((b,), dtype=jnp.int32),
             jnp.zeros((b,), dtype=jnp.int32),
             jnp.zeros((b,), dtype=jnp.int32),
             jnp.zeros((b,), dtype=jnp.int32),
@@ -258,8 +260,9 @@ def _dp_scan(sims, nodes, params: TNParams, collect: bool = False):
         jnp.moveaxis(nodes, 1, 0),
         jnp.arange(nq, dtype=jnp.int32),
     )
-    (_, _, _, _, best), ys = jax.lax.scan(row_step, init, xs)
-    b_ln, b_sum, b_i, b_j, b_si, b_sj = best
+    (_, _, _, best), ys = jax.lax.scan(row_step, init, xs)
+    b_ln, b_sum, b_i, b_j, b_st = best
+    b_si, b_sj = b_st // nr, b_st % nr
     found = b_ln >= params.min_length
     result = (found, b_i, b_j, b_si, b_sj, b_ln)
     if not collect:
