@@ -306,6 +306,8 @@ def main(args):
     # slots >= tau in a segment -> a corpus count dispatch at repair).
     # Reports the full pooled phase time AND the repair pressure.
     for lanes in (128, 256, 512):
+        if f"pooled_s{lanes}:full" in skip:
+            continue  # the raw dispatch below is real device work
 
         @functools.partial(jax.jit, static_argnames=("stage", "lanes"))
         def pooled_lanes(q, refs, stage, lanes):
@@ -497,6 +499,14 @@ def main(args):
 
         s_rep, _, _, repaired = repair()  # warm both dispatch shapes
         timeit("repair_pairs", repair)
+        # Serial-pull arm: same dispatches with the async host copies
+        # disabled — isolates the overlapped-drain win in-process.
+        real_start = S._start_host_copy
+        S._start_host_copy = lambda buf: None
+        try:
+            timeit("repair_pairs_serial_pull", repair)
+        finally:
+            S._start_host_copy = real_start
         print(f"  repair entries={s_rep.size} "
               f"truly_deficient={repaired.size}", flush=True)
 

@@ -136,6 +136,16 @@ def _pad_axis0(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
+def _start_host_copy(dev_buf) -> None:
+    """Kick off a D2H transfer without blocking (no-op for host
+    arrays). Issuing every pending pull before the first blocking
+    np.asarray lets the relay round trips overlap instead of paying
+    the link latency once per buffer."""
+    start = getattr(dev_buf, "copy_to_host_async", None)
+    if start is not None:
+        start()
+
+
 def streaming_topk(
     q: jax.Array,  # [M, D] f32 (padded rows allowed; caller discards)
     refs: jax.Array,  # [N_pad, D] f32, padded with zero rows
@@ -1554,6 +1564,8 @@ class SimilaritySearcher:
                 metric=self.metric, precision=self.precision,
             )))
         totals = np.empty(rows.size, np.int64)
+        for pend in pending:
+            _start_host_copy(pend[-1])
         for start, n, n_fix, dev in pending:
             cb = np.asarray(dev).reshape(n_fix, n_blocks)[:n]
             totals[start : start + n] = cb.sum(axis=1)
@@ -1597,7 +1609,15 @@ class SimilaritySearcher:
 
     @staticmethod
     def _drain_extractions(pending, tau, parts_s, parts_q, parts_r):
-        """Pull bucketed (vals, ids) packed buffers; keep entries ≥ τ."""
+        """Pull bucketed (vals, ids) packed buffers; keep entries ≥ τ.
+
+        All transfers are issued async before the first blocking pull:
+        through the relay each D2H round trip costs ~tens of ms of
+        link latency, and a serial drain pays it once per bucket —
+        measured ~60% of the 61k-search repair wall before the
+        overlap."""
+        for pend in pending:
+            _start_host_copy(pend[-1])
         for rows, n_fix, kb, dev_buf in pending:
             buf = np.asarray(dev_buf)
             v = buf[: n_fix * kb].view(np.float32)

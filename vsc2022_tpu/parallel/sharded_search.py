@@ -37,6 +37,7 @@ from vsc2022_tpu.ops.similarity import (
     _pad_axis0,
     _pool_select,
     _scan_row_blocks,
+    _start_host_copy,
     pool_build_xla,
     streaming_count_above,
     streaming_topk,
@@ -528,6 +529,8 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
                 (start, part.size, self._count_kernel(block, tau))
             )
         totals = np.empty(rows.size, np.int64)
+        for pend in pending:
+            _start_host_copy(pend[-1])
         for start, n, dev in pending:
             totals[start : start + n] = np.asarray(dev)[:n]
         return totals
