@@ -119,6 +119,11 @@ def main(args):
         loc.localize_all(pairs)
         best = min(best, time.perf_counter() - t0)
     report("wall_localize_all", best)
+    # (An early copy_to_host_async at dispatch time was A/B'd here
+    # round 4: 114 vs 104 ms — no win. With async dispatch the host
+    # reaches the blocking pull immediately, so a single pending
+    # buffer has nothing to overlap; the overlapped drain only pays
+    # off when MANY buffers pend, as in the search repair pass.)
 
     # ---- variance-cancelled dispatch decompositions ----------------------
     nq = nr = -(-args.frames // 64) * 64  # the bucket pad localize uses

@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vsc2022_tpu.utils.transfer import start_host_copy
+
 NEG_INF = float("-inf")
 
 
@@ -136,14 +138,9 @@ def _pad_axis0(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
-def _start_host_copy(dev_buf) -> None:
-    """Kick off a D2H transfer without blocking (no-op for host
-    arrays). Issuing every pending pull before the first blocking
-    np.asarray lets the relay round trips overlap instead of paying
-    the link latency once per buffer."""
-    start = getattr(dev_buf, "copy_to_host_async", None)
-    if start is not None:
-        start()
+# Re-exported here so the drain call sites (and the profiler's
+# serial-pull A/B monkeypatch) resolve through this module's namespace.
+_start_host_copy = start_host_copy
 
 
 def streaming_topk(
