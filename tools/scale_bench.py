@@ -32,7 +32,7 @@ parser.add_argument("--query_videos", type=int, default=150)
 parser.add_argument("--noise", type=int, default=30_000)
 parser.add_argument("--dim", type=int, default=512)
 parser.add_argument("--k_per_query", type=int, default=1200)
-parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+parser.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
                     default="float32")
 parser.add_argument("--repeats", type=int, default=3)
 parser.add_argument(

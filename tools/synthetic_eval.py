@@ -99,7 +99,7 @@ parser.add_argument(
     "markdown table.",
 )
 parser.add_argument(
-    "--dtype", choices=["float32", "bfloat16"], default="float32",
+    "--dtype", choices=["float32", "bfloat16", "int8"], default="float32",
     help="Retrieval staging dtype: bfloat16 stages corpus, queries and "
     "SN noise in bf16 through the real search pipeline (localization "
     "stays f32, as in the serving index).",
@@ -120,6 +120,11 @@ parser.add_argument(
 parser.add_argument(
     "--bf16_sweep_seeds", type=int, default=3,
     help="Seeds per arm in --bf16_sweep.",
+)
+parser.add_argument(
+    "--sweep_dtype", choices=["bfloat16", "int8"], default="bfloat16",
+    help="The reduced staging dtype --bf16_sweep compares against "
+    "float32 (int8 reruns the same decision grid for the SQ8 tier).",
 )
 
 
@@ -338,13 +343,17 @@ def main(args):
 
 
 def run_bf16_sweep(args):
-    """The bf16 staging quality decision grid (see CLAUDE.md roadmap):
-    does staging corpus/queries/SN-noise in bf16 move candidate µAP or
-    segment AP outside seed noise? Runs the real pipeline end to end
-    per arm; collection design is forced both ways so the decision
-    covers streaming AND pooled candidate collection."""
+    """The staging-dtype quality decision grid (see CLAUDE.md roadmap):
+    does staging corpus/queries/SN-noise in the reduced dtype move
+    candidate µAP or segment AP outside seed noise? Runs the real
+    pipeline end to end per arm; collection design is forced both ways
+    so the decision covers streaming AND pooled candidate collection.
+    ``--sweep_dtype`` picks the arm (bfloat16 default — the round-4
+    decision grid; int8 reruns the same grid for the SQ8 tier)."""
     import copy
 
+    sd = args.sweep_dtype
+    tag = {"bfloat16": "bf16", "int8": "int8"}[sd]
     regimes = [
         ("default", dict(hard=False, calibrated=False)),
         ("hard", dict(hard=True, calibrated=False)),
@@ -360,7 +369,7 @@ def run_bf16_sweep(args):
                 a.seed = seed
                 queries, refs, noise, gt = build_benchmark(a, **kw)
                 per_dtype = {}
-                for dtype in ("float32", "bfloat16"):
+                for dtype in ("float32", sd):
                     uap, seg, _, _ = run_pipeline(
                         queries, refs, noise, gt,
                         vcsl=(args.tn_mode == "vcsl"),
@@ -372,10 +381,10 @@ def run_bf16_sweep(args):
                         len(gt), round(uap, 4), round(seg, 4),
                     ))
                 deltas["uap"].append(
-                    per_dtype["bfloat16"][0] - per_dtype["float32"][0]
+                    per_dtype[sd][0] - per_dtype["float32"][0]
                 )
                 deltas["seg"].append(
-                    per_dtype["bfloat16"][1] - per_dtype["float32"][1]
+                    per_dtype[sd][1] - per_dtype["float32"][1]
                 )
     print("| corruptions | collection | seed | staging dtype | gt "
           "| candidate µAP | segment AP |")
@@ -399,21 +408,25 @@ def run_bf16_sweep(args):
         for vals in f32_by_cell.values()
     ]
     summary = {
-        "bf16_minus_f32_uap_mean": round(float(np.mean(deltas["uap"])), 4),
-        "bf16_minus_f32_uap_max_abs": round(
+        f"{tag}_minus_f32_uap_mean": round(
+            float(np.mean(deltas["uap"])), 4
+        ),
+        f"{tag}_minus_f32_uap_max_abs": round(
             float(np.max(np.abs(deltas["uap"]))), 4
         ),
-        "bf16_minus_f32_seg_mean": round(float(np.mean(deltas["seg"])), 4),
-        "bf16_minus_f32_seg_max_abs": round(
+        f"{tag}_minus_f32_seg_mean": round(
+            float(np.mean(deltas["seg"])), 4
+        ),
+        f"{tag}_minus_f32_seg_max_abs": round(
             float(np.max(np.abs(deltas["seg"]))), 4
         ),
         "f32_seed_spread_uap_mean": round(float(np.mean(spreads_uap)), 4),
         "f32_seed_spread_seg_mean": round(float(np.mean(spreads_seg)), 4),
     }
-    summary["bf16_within_seed_noise"] = bool(
-        summary["bf16_minus_f32_uap_max_abs"]
+    summary[f"{tag}_within_seed_noise"] = bool(
+        summary[f"{tag}_minus_f32_uap_max_abs"]
         <= max(summary["f32_seed_spread_uap_mean"], 0.01)
-        and summary["bf16_minus_f32_seg_max_abs"]
+        and summary[f"{tag}_minus_f32_seg_max_abs"]
         <= max(summary["f32_seed_spread_seg_mean"], 0.01)
     )
     print(json.dumps(summary))

@@ -143,6 +143,38 @@ def _pad_axis0(a: np.ndarray, n: int) -> np.ndarray:
 _start_host_copy = start_host_copy
 
 
+def _compute_dtype(refs):
+    """The dtype QUERIES compute in against this corpus: the corpus
+    dtype for float storage, f32 for int8 storage (queries are never
+    quantized — only the refs operand upcasts inside each dot)."""
+    return jnp.float32 if refs.dtype == jnp.int8 else refs.dtype
+
+
+def quantize_rows_int8(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization: scale = max|row| / 127.
+
+    The int8 storage tier (``dtype="int8"``, the TPU-native analog of
+    FAISS's SQ8 scalar quantizer — reference: vsc/index.py:82's
+    ``codec_str`` reaches faiss.index_factory, where "SQ8" is the
+    standard 8-bit codec). Scores are defined over the DEQUANTIZED
+    corpus: s[i, j] = (q[i] · int8[j]) * scale[j], computed exactly
+    that way on device (f32 accumulation, one scale multiply on the
+    output column), so the brute-force oracle over the dequantized
+    rows reproduces them bit-for-bit. Per-row scales keep ``append``
+    quantizer-free: new rows bring their own scale, nothing is
+    clipped against a frozen training-time range."""
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    amax = (
+        np.abs(rows).max(axis=1)
+        if rows.shape[1] and rows.shape[0]
+        else np.zeros((rows.shape[0],), np.float32)
+    )
+    scale = (amax / 127.0).astype(np.float32)
+    inv = np.where(scale > 0, 1.0 / scale, 0.0).astype(np.float32)
+    q = np.clip(np.rint(rows * inv[:, None]), -127, 127).astype(np.int8)
+    return q, scale
+
+
 def streaming_topk(
     q: jax.Array,  # [M, D] f32 (padded rows allowed; caller discards)
     refs: jax.Array,  # [N_pad, D] f32, padded with zero rows
@@ -209,11 +241,18 @@ def streaming_topk(
         the cost of everything else in the collection combined."""
         start = block_idx * col_block
         r_blk = jax.lax.dynamic_slice_in_dim(refs, start, col_block, axis=0)
+        if metric == "IP8":  # int8 storage: upcast fuses into the dot
+            r_blk = r_blk.astype(jnp.float32)
         s = jnp.dot(q, r_blk.T, precision=prec, preferred_element_type=jnp.float32)
         if metric == "L2":
             rs = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
             # goodness = -||q - r||² = 2 q·r − ||r||² − ||q||²
             s = 2.0 * s - rs[None, :] - q_sq[:, None]
+        elif metric == "IP8":
+            # ref_sq carries the per-row dequantization scales; one
+            # output-column multiply restores real similarity values.
+            sc = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
+            s = s * sc[None, :]
         in_range = jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1) < (
             n_valid - start
         )
@@ -377,10 +416,15 @@ def streaming_count_above(
     def body(counts, block_idx):
         start = block_idx * col_block
         r_blk = jax.lax.dynamic_slice_in_dim(refs, start, col_block, axis=0)
+        if metric == "IP8":
+            r_blk = r_blk.astype(jnp.float32)
         s = jnp.dot(q, r_blk.T, precision=prec, preferred_element_type=jnp.float32)
         if metric == "L2":
             rs = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
             s = 2.0 * s - rs[None, :] - q_sq[:, None]
+        elif metric == "IP8":
+            sc = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
+            s = s * sc[None, :]
         in_range = jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1) < (
             n_valid - start
         )
@@ -622,6 +666,8 @@ def pool_build_xla(
             r_blk = jax.lax.dynamic_slice_in_dim(
                 refs, start, col_block, axis=0
             )
+            if metric == "IP8":
+                r_blk = r_blk.astype(jnp.float32)
             s = jnp.dot(qb, r_blk.T, precision=prec,
                         preferred_element_type=jnp.float32)
             if metric == "L2":
@@ -629,6 +675,11 @@ def pool_build_xla(
                     ref_sq, start, col_block, axis=0
                 )
                 s = 2.0 * s - rs[None, :] - q_sq_b[:, None]
+            elif metric == "IP8":
+                sc = jax.lax.dynamic_slice_in_dim(
+                    ref_sq, start, col_block, axis=0
+                )
+                s = s * sc[None, :]
             in_range = jax.lax.broadcasted_iota(
                 jnp.int32, (mb, col_block), 1
             ) < (n_valid - start)
@@ -1022,7 +1073,7 @@ def _repair_block_counts_packed(
     ONLY the tiles that contain hits (a handful per row) instead of
     running per-block top-k sorts over the whole corpus width. Returns
     [S, n_blocks] int32 flattened."""
-    block = jnp.take(q_dev, rows, axis=0).astype(refs.dtype)
+    block = jnp.take(q_dev, rows, axis=0).astype(_compute_dtype(refs))
     m = block.shape[0]
     n_blocks = refs.shape[0] // col_block
     prec = jax.lax.Precision(precision)
@@ -1033,11 +1084,16 @@ def _repair_block_counts_packed(
     def body(carry, block_idx):
         start = block_idx * col_block
         r_blk = jax.lax.dynamic_slice_in_dim(refs, start, col_block, axis=0)
+        if metric == "IP8":
+            r_blk = r_blk.astype(jnp.float32)
         s = jnp.dot(block, r_blk.T, precision=prec,
                     preferred_element_type=jnp.float32)
         if metric == "L2":
             rs = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
             s = 2.0 * s - rs[None, :] - q_sq[:, None]
+        elif metric == "IP8":
+            sc = jax.lax.dynamic_slice_in_dim(ref_sq, start, col_block, axis=0)
+            s = s * sc[None, :]
         in_range = jax.lax.broadcasted_iota(jnp.int32, (m, col_block), 1) < (
             n_valid - start
         )
@@ -1061,7 +1117,7 @@ def _repair_rows_topk_packed(
     """Exact per-row top-k for a gathered set of flagged rows, packed
     for one pull (the repair extraction). The gather stays on device —
     flagged rows never cross the host link."""
-    block = jnp.take(q_dev, rows, axis=0).astype(refs.dtype)
+    block = jnp.take(q_dev, rows, axis=0).astype(_compute_dtype(refs))
     top_s, top_i = streaming_topk(
         block, refs, n_valid, ref_sq, kappa=k, col_block=col_block,
         metric=metric, precision=precision,
@@ -1096,7 +1152,7 @@ def _pool_rows_topk_packed(
 @functools.partial(
     jax.jit,
     static_argnames=("beta", "kappa", "noise_col_block", "col_block",
-                     "precision", "approx", "row_block"),
+                     "precision", "approx", "row_block", "metric"),
 )
 def _fused_sn_candidates_packed(
     q,  # [M_pad, D] (padding rows beyond nq allowed)
@@ -1105,6 +1161,7 @@ def _fused_sn_candidates_packed(
     n_rows, k_eff,  # traced scalars: valid query rows, effective k
     beta, kappa, noise_col_block, col_block, precision, approx,
     row_block=DEFAULT_ROW_BLOCK,
+    metric="IP",  # "IP8" when both corpora are int8-staged
 ):
     """The ENTIRE score-normalized query pipeline in one dispatch:
     noise-NN bias (k=1 row max), CSLS bias-dimension append, global
@@ -1116,7 +1173,7 @@ def _fused_sn_candidates_packed(
     def bias_append(qb):
         bias, _ = streaming_topk(
             qb, noise_refs, noise_n_valid, noise_sq, kappa=1,
-            col_block=noise_col_block, metric="IP", precision=precision,
+            col_block=noise_col_block, metric=metric, precision=precision,
         )
         return jnp.concatenate(
             [qb, (-beta * bias[:, :1]).astype(qb.dtype)], axis=1
@@ -1124,7 +1181,7 @@ def _fused_sn_candidates_packed(
 
     q_sn = _scan_row_blocks(bias_append, q, row_block)
     top_s, top_i, counts, tau, pool = _candidates_core(
-        q_sn, refs, n_rows, n_valid, ref_sq, kappa, col_block, "IP",
+        q_sn, refs, n_rows, n_valid, ref_sq, kappa, col_block, metric,
         precision, approx, k_eff, row_block=row_block,
     )
     if pool is not None:
@@ -1156,24 +1213,58 @@ class SimilaritySearcher:
         bf16 (f32 accumulation): half the HBM footprint and transfer
         volume, MXU-native matmul throughput. Scores coarsen to bf16
         resolution — ranking stays deterministic but differs slightly
-        from f32; use for throughput/scale, f32 for strict parity."""
+        from f32; use for throughput/scale, f32 for strict parity.
+
+        ``dtype="int8"`` stores the corpus as symmetric per-row int8
+        (the FAISS SQ8 analog; see quantize_rows_int8): quarter the
+        HBM footprint and transfer volume. Queries stay f32; scores
+        are exact over the DEQUANTIZED corpus (f32 accumulation + one
+        per-column scale multiply), so exactness incl. tie-breaks
+        holds against the dequantized brute-force oracle. IP only —
+        the per-row scales ride the ref_sq slot."""
         assert metric in ("IP", "L2"), metric
-        assert dtype in ("float32", "bfloat16"), dtype
+        assert dtype in ("float32", "bfloat16", "int8"), dtype
+        assert dtype != "int8" or metric == "IP", (
+            "int8 storage supports metric='IP' only"
+        )
         self.metric = metric
         self.precision = precision
-        self.dtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
+        self.dtype = {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[dtype]
         self.n_refs = refs.shape[0]
         self.dim = refs.shape[1]
         self.row_block = row_block
         self._col_block_req = col_block
         self.col_block = min(col_block, _ceil_to(max(self.n_refs, 1), 128))
         n_pad = _ceil_to(max(self.n_refs, 1), self.col_block)
-        refs_host = np.ascontiguousarray(refs, dtype=self._np_dtype())
-        self._refs = jnp.asarray(_pad_axis0(refs_host, n_pad))
-        self._set_ref_sq()
+        if self.dtype == jnp.int8:
+            refs_host, scale = quantize_rows_int8(refs)
+            self._refs = jnp.asarray(_pad_axis0(refs_host, n_pad))
+            self._ref_sq = jnp.asarray(_pad_axis0(scale, n_pad))
+        else:
+            refs_host = np.ascontiguousarray(refs, dtype=self._np_dtype())
+            self._refs = jnp.asarray(_pad_axis0(refs_host, n_pad))
+            self._set_ref_sq()
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
+    @property
+    def _kernel_metric(self) -> str:
+        """The metric string the score kernels see: "IP8" routes the
+        int8 dequantization branch (scales in the ref_sq slot); the
+        public ``metric`` stays "IP" so pipeline-level checks (e.g.
+        SN fusability) are storage-agnostic."""
+        return "IP8" if self.dtype == jnp.int8 else self.metric
+
+    @property
+    def _q_dtype(self):
+        """Query staging/compute dtype (queries are never quantized)."""
+        return jnp.float32 if self.dtype == jnp.int8 else self.dtype
+
     def _set_ref_sq(self) -> None:
+        assert self.dtype != jnp.int8  # int8 manages scales explicitly
         if self.metric == "L2":
             r32 = self._refs.astype(jnp.float32)
             self._ref_sq = jnp.sum(r32 * r32, axis=1)
@@ -1187,7 +1278,10 @@ class SimilaritySearcher:
         without this). n_valid is a traced scalar, so searches only
         recompile when the padded corpus shape crosses a col_block
         boundary (or the tiny-corpus block clamp grows)."""
-        new_rows = np.ascontiguousarray(new_rows, dtype=self._np_dtype())
+        if self.dtype == jnp.int8:
+            new_rows, new_scale = quantize_rows_int8(new_rows)
+        else:
+            new_rows = np.ascontiguousarray(new_rows, dtype=self._np_dtype())
         assert new_rows.shape[1] == self.dim, (new_rows.shape, self.dim)
         new_total = self.n_refs + new_rows.shape[0]
         new_col_block = min(
@@ -1205,9 +1299,19 @@ class SimilaritySearcher:
             jnp.asarray(new_rows).astype(self.dtype),
             (jnp.asarray(self.n_refs, jnp.int32), jnp.asarray(0, jnp.int32)),
         )
+        if self.dtype == jnp.int8:
+            # Per-row dequant scales ride along with their rows.
+            sq = self._ref_sq
+            if n_pad > sq.shape[0]:
+                sq = jnp.pad(sq, (0, n_pad - sq.shape[0]))
+            self._ref_sq = jax.lax.dynamic_update_slice(
+                sq, jnp.asarray(new_scale),
+                (jnp.asarray(self.n_refs, jnp.int32),),
+            )
         self.n_refs = new_total
         self.col_block = new_col_block
-        self._set_ref_sq()
+        if self.dtype != jnp.int8:
+            self._set_ref_sq()
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
     def keep_rows(self, keep_idx: np.ndarray) -> None:
@@ -1229,14 +1333,20 @@ class SimilaritySearcher:
             self._col_block_req, _ceil_to(max(new_total, 1), 128)
         )
         n_pad = _ceil_to(max(new_total, 1), new_col_block)
-        self._refs = jax.jit(
+        gather = jax.jit(
             functools.partial(
                 _compact_gather, n_pad=n_pad, new_total=new_total
             )
-        )(self._refs, jnp.asarray(_pad_keep_idx(keep_idx, n_pad)))
+        )
+        idx_dev = jnp.asarray(_pad_keep_idx(keep_idx, n_pad))
+        self._refs = gather(self._refs, idx_dev)
+        if self.dtype == jnp.int8:
+            # Compact the per-row dequant scales with the same gather.
+            self._ref_sq = gather(self._ref_sq[:, None], idx_dev)[:, 0]
         self.n_refs = new_total
         self.col_block = new_col_block
-        self._set_ref_sq()
+        if self.dtype != jnp.int8:
+            self._set_ref_sq()
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
     def _np_dtype(self):
@@ -1253,7 +1363,7 @@ class SimilaritySearcher:
         through (pad on device) — zero transfers for fused pipelines."""
         n_pad = _ceil_to(max(queries.shape[0], 1), block_rows)
         if isinstance(queries, jax.Array):
-            queries = queries.astype(self.dtype)
+            queries = queries.astype(self._q_dtype)
             if queries.shape[0] == n_pad:
                 return queries
             return jnp.pad(queries, ((0, n_pad - queries.shape[0]), (0, 0)))
@@ -1264,13 +1374,13 @@ class SimilaritySearcher:
 
     def _topk_kernel(self, block: np.ndarray, kappa: int, approx: bool = False):
         return _block_topk(
-            jnp.asarray(block).astype(self._refs.dtype),
+            jnp.asarray(block).astype(self._q_dtype),
             self._refs,
             self._n_valid,
             self._ref_sq,
             kappa=kappa,
             col_block=self.col_block,
-            metric=self.metric,
+            metric=self._kernel_metric,
             precision=self.precision,
             approx=approx,
         )
@@ -1325,7 +1435,7 @@ class SimilaritySearcher:
             rb = m // n_rb
         mode = self._collection_mode(m, kappa, approx)
         packed, pv, pi = _fused_candidates_packed(
-            q_dev.astype(self._refs.dtype),
+            q_dev.astype(self._q_dtype),
             self._refs,
             self._n_valid,
             self._ref_sq,
@@ -1333,7 +1443,7 @@ class SimilaritySearcher:
             jnp.asarray(k_eff, jnp.int32),
             kappa=kappa,
             col_block=self.col_block,
-            metric=self.metric,
+            metric=self._kernel_metric,
             precision=self.precision,
             approx=mode,
             row_block=rb,
@@ -1358,9 +1468,9 @@ class SimilaritySearcher:
         if type(self) is SimilaritySearcher and nq > 0 and k > 0:
             # One dispatch + one packed pull for any size.
             buf = np.asarray(_row_topk_packed(
-                q_dev.astype(self._refs.dtype), self._refs, self._n_valid,
+                q_dev.astype(self._q_dtype), self._refs, self._n_valid,
                 self._ref_sq, k=k, col_block=self.col_block,
-                metric=self.metric, precision=self.precision,
+                metric=self._kernel_metric, precision=self.precision,
                 row_block=block_rows,
             ))
             m = q_dev.shape[0]
@@ -1395,7 +1505,7 @@ class SimilaritySearcher:
 
         if (
             os.environ.get("VSC2022_TPU_USE_PALLAS") == "1"
-            and self.metric == "IP"
+            and self._kernel_metric == "IP"  # excludes int8 storage
             and jax.default_backend() == "tpu"
             and type(self) is SimilaritySearcher
         ):
@@ -1558,7 +1668,7 @@ class SimilaritySearcher:
                 q_dev, jnp.asarray(idx), self._refs, self._n_valid,
                 self._ref_sq, jnp.float32(tau),
                 col_block=self.col_block,
-                metric=self.metric, precision=self.precision,
+                metric=self._kernel_metric, precision=self.precision,
             )))
         totals = np.empty(rows.size, np.int64)
         for pend in pending:
@@ -1601,7 +1711,7 @@ class SimilaritySearcher:
         return _repair_rows_topk_packed(
             q_dev, jnp.asarray(idx), self._refs, self._n_valid,
             self._ref_sq, k=kb, col_block=self.col_block,
-            metric=self.metric, precision=self.precision,
+            metric=self._kernel_metric, precision=self.precision,
         )
 
     @staticmethod

@@ -38,6 +38,7 @@ from vsc2022_tpu.ops.similarity import (
     _pool_select,
     _scan_row_blocks,
     _start_host_copy,
+    quantize_rows_int8,
     pool_build_xla,
     streaming_count_above,
     streaming_topk,
@@ -70,14 +71,21 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         dtype: str = "float32",
     ):
         assert metric in ("IP", "L2"), metric
-        assert dtype in ("float32", "bfloat16"), dtype
+        assert dtype in ("float32", "bfloat16", "int8"), dtype
+        assert dtype != "int8" or metric == "IP", (
+            "int8 storage supports metric='IP' only"
+        )
         assert len(mesh.axis_names) == 1, "corpus mesh must be 1-D"
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_dev = mesh.devices.size
         self.metric = metric
         self.precision = precision
-        self.dtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
+        self.dtype = {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[dtype]
         self.n_refs = refs.shape[0]
         self.dim = refs.shape[1]
         self.row_block = row_block
@@ -89,17 +97,27 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         self.shard_rows = _ceil_to(per_dev, self.col_block)
         n_pad = self.shard_rows * self.n_dev
 
-        refs_host = _pad_axis0(
-            np.ascontiguousarray(refs, dtype=self._np_dtype()), n_pad
-        )
         sharding = NamedSharding(self.mesh, P(self.axis, None))
-        self._refs = jax.device_put(jnp.asarray(refs_host), sharding)
-        if metric == "L2":
-            r32 = self._refs.astype(jnp.float32)
-            ref_sq = jnp.sum(r32 * r32, axis=1)
+        vec_sharding = NamedSharding(self.mesh, P(self.axis))
+        if self.dtype == jnp.int8:
+            refs_host, scale = quantize_rows_int8(refs)
+            self._refs = jax.device_put(
+                jnp.asarray(_pad_axis0(refs_host, n_pad)), sharding
+            )
+            self._ref_sq = jax.device_put(
+                jnp.asarray(_pad_axis0(scale, n_pad)), vec_sharding
+            )
         else:
-            ref_sq = jnp.zeros((n_pad,), dtype=jnp.float32)
-        self._ref_sq = jax.device_put(ref_sq, NamedSharding(self.mesh, P(self.axis)))
+            refs_host = _pad_axis0(
+                np.ascontiguousarray(refs, dtype=self._np_dtype()), n_pad
+            )
+            self._refs = jax.device_put(jnp.asarray(refs_host), sharding)
+            if metric == "L2":
+                r32 = self._refs.astype(jnp.float32)
+                ref_sq = jnp.sum(r32 * r32, axis=1)
+            else:
+                ref_sq = jnp.zeros((n_pad,), dtype=jnp.float32)
+            self._ref_sq = jax.device_put(ref_sq, vec_sharding)
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
         self._topk_fns = {}
         self._full_fns = {}
@@ -115,7 +133,10 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         one jit) — the corpus never revisits the host. A geometry
         change (shard_rows/col_block) invalidates the compiled
         per-shard kernels, which close over both."""
-        new_rows = np.ascontiguousarray(new_rows, dtype=self._np_dtype())
+        if self.dtype == jnp.int8:
+            new_rows, new_scale = quantize_rows_int8(new_rows)
+        else:
+            new_rows = np.ascontiguousarray(new_rows, dtype=self._np_dtype())
         assert new_rows.shape[1] == self.dim, (new_rows.shape, self.dim)
         new_total = self.n_refs + new_rows.shape[0]
         per_dev = _ceil_to(max(new_total, 1), self.n_dev) // self.n_dev
@@ -138,12 +159,29 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             jnp.asarray(new_rows),
             jnp.asarray(self.n_refs, jnp.int32),
         )
+        if self.dtype == jnp.int8:
+            # Per-row dequant scales redistribute in lockstep with
+            # their rows (same grow + fresh-stage offset, over ICI).
+            def _append_sq(sq, scale, offset):
+                if grow:
+                    sq = jnp.pad(sq, (0, grow))
+                return jax.lax.dynamic_update_slice(sq, scale, (offset,))
+
+            self._ref_sq = jax.jit(
+                _append_sq,
+                out_shardings=NamedSharding(self.mesh, P(self.axis)),
+            )(
+                self._ref_sq,
+                jnp.asarray(new_scale),
+                jnp.asarray(self.n_refs, jnp.int32),
+            )
         if (new_sr, new_cb) != (self.shard_rows, self.col_block):
             self._topk_fns = {}
             self._full_fns = {}
         self.shard_rows, self.col_block = new_sr, new_cb
         self.n_refs = new_total
-        self._rebuild_ref_sq(n_pad)
+        if self.dtype != jnp.int8:
+            self._rebuild_ref_sq(n_pad)
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
     def _rebuild_ref_sq(self, n_pad: int) -> None:
@@ -186,25 +224,36 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         sharding = NamedSharding(self.mesh, P(self.axis, None))
         import functools
 
+        idx_dev = jnp.asarray(_pad_keep_idx(keep_idx, n_pad))
         self._refs = jax.jit(
             functools.partial(
                 _compact_gather, n_pad=n_pad, new_total=new_total
             ),
             out_shardings=sharding,
-        )(self._refs, jnp.asarray(_pad_keep_idx(keep_idx, n_pad)))
+        )(self._refs, idx_dev)
+        if self.dtype == jnp.int8:
+            # Compact the scales with the same gather (as a column).
+            self._ref_sq = jax.jit(
+                lambda sq, idx: _compact_gather(
+                    sq[:, None], idx, n_pad=n_pad, new_total=new_total
+                )[:, 0],
+                out_shardings=NamedSharding(self.mesh, P(self.axis)),
+            )(self._ref_sq, idx_dev)
         if (new_sr, new_cb) != (self.shard_rows, self.col_block):
             self._topk_fns = {}
             self._full_fns = {}
         self.shard_rows, self.col_block = new_sr, new_cb
         self.n_refs = new_total
-        self._rebuild_ref_sq(n_pad)
+        if self.dtype != jnp.int8:
+            self._rebuild_ref_sq(n_pad)
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
 
     # -- kernels ---------------------------------------------------------
 
     def _build_topk(self, kappa: int, approx: bool):
         axis, shard_rows = self.axis, self.shard_rows
-        col_block, metric, precision = self.col_block, self.metric, self.precision
+        col_block, precision = self.col_block, self.precision
+        metric = self._kernel_metric
         local_kappa = min(kappa, shard_rows)
 
         def local_fn(q, refs_local, ref_sq_local, n_valid):
@@ -238,7 +287,8 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
 
     def _build_count(self):
         axis, shard_rows = self.axis, self.shard_rows
-        col_block, metric, precision = self.col_block, self.metric, self.precision
+        col_block, precision = self.col_block, self.precision
+        metric = self._kernel_metric
 
         def local_fn(q, refs_local, ref_sq_local, n_valid, tau):
             base = jax.lax.axis_index(axis) * shard_rows
@@ -272,7 +322,7 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
         scalars (recompiles only per padded shape)."""
         axis, shard_rows = self.axis, self.shard_rows
         col_block, metric, precision = (
-            self.col_block, self.metric, self.precision,
+            self.col_block, self._kernel_metric, self.precision,
         )
         base = jax.lax.axis_index(axis) * shard_rows
         local_valid = jnp.clip(n_valid - base, 0, shard_rows)
@@ -371,6 +421,7 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             noise_searcher.shard_rows, noise_searcher.col_block,
             noise_searcher.precision,
         )
+        ns_metric = noise_searcher._kernel_metric
 
         def local_fn(q, nrefs, nsq, n_nvalid, refs_local, ref_sq_local,
                      n_valid, nq, k_eff):
@@ -380,7 +431,8 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             def bias_append(qb):
                 b, _ = streaming_topk(
                     qb, nrefs, n_lv, nsq, kappa=1, col_block=ns_cb,
-                    metric="IP", precision=ns_prec, varying_axes=(axis,),
+                    metric=ns_metric, precision=ns_prec,
+                    varying_axes=(axis,),
                 )
                 b = jax.lax.pmax(b[:, 0], axis)
                 return jnp.concatenate(
@@ -584,7 +636,7 @@ class ShardedSimilaritySearcher(SimilaritySearcher):
             rb = m // n_rb
         mode = self._collection_mode(m, kappa, approx)
         args = (
-            q_dev.astype(self._refs.dtype), self._refs, self._ref_sq,
+            q_dev.astype(self._q_dtype), self._refs, self._ref_sq,
             self._n_valid, jnp.asarray(nq, jnp.int32),
             jnp.asarray(k_eff, jnp.int32),
         )

@@ -42,15 +42,23 @@ class VideoIndex:
         dtype: str = "float32",
     ):
         """``codec_str`` mirrors the reference's FAISS factory argument
-        (reference: vsc/index.py:78); only exact ("Flat") search exists
-        here. ``mesh``: an optional 1-D jax.sharding.Mesh to shard the
-        reference corpus across devices (parallel/sharded_search.py).
-        ``dtype="bfloat16"`` stores/search the corpus in bf16 (half the
-        HBM and transfer, MXU-native; scores at bf16 resolution)."""
-        if codec_str != "Flat":
+        (reference: vsc/index.py:78): "Flat" is the exact search over
+        the staged dtype; "SQ8" is FAISS's 8-bit scalar quantizer —
+        here symmetric per-row int8 storage (quarter the HBM/transfer
+        of f32; search is exact over the dequantized corpus, incl.
+        tie-breaks). Other factory strings are rejected. ``mesh``: an
+        optional 1-D jax.sharding.Mesh to shard the reference corpus
+        across devices (parallel/sharded_search.py).
+        ``dtype="bfloat16"`` stores/searches the corpus in bf16 (half
+        the HBM and transfer, MXU-native; scores at bf16 resolution);
+        ``dtype="int8"`` is the SQ8 tier under its jax-style name."""
+        if codec_str == "SQ8":
+            dtype = "int8"
+        elif codec_str != "Flat":
             raise ValueError(
                 f"Unsupported codec '{codec_str}': the TPU searcher is "
-                "exact brute-force (the reference's 'Flat' index)"
+                "exact brute-force over Flat (f32/bf16) or SQ8 (int8) "
+                "storage"
             )
         self.dim = dim
         self.metric = metric

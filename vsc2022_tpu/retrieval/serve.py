@@ -199,6 +199,13 @@ _dtype_group.add_argument(
     "strict bit-parity with the batch pipelines' default dtype, at "
     "half the corpus capacity per chip.",
 )
+_dtype_group.add_argument(
+    "--int8", action="store_true",
+    help="Stage the SEARCH corpus in symmetric per-row int8 (the "
+    "FAISS SQ8 analog: 4x f32 / 2x bf16 corpus capacity per chip; "
+    "search is exact over the dequantized corpus). Localizer ref "
+    "tables stay bfloat16 — localization reads raw similarities.",
+)
 parser.add_argument(
     "--no_warmup", action="store_true",
     help="Skip the staging/compile warm-up search before 'ready'",
@@ -296,14 +303,25 @@ extract_parser.add_argument("--ffmpeg_path", default="ffmpeg")
 extract_parser.add_argument("--video_extensions", default="mp4")
 
 
+def table_dtype(args) -> str:
+    """Resident localizer ref-table dtype: as staging_dtype, except
+    int8 staging keeps bf16 tables (alignment reads raw similarity
+    tiles; the searcher's per-row scales don't apply there)."""
+    dt = staging_dtype(args)
+    return "bfloat16" if dt == "int8" else dt
+
+
 def staging_dtype(args) -> str:
     """The serving staging dtype: bfloat16 by DEFAULT (2x corpus and
     ref-table capacity per chip, faster staging; candidate µAP and
     segment AP hold within seed noise across corruption regimes and
     both collection designs — docs/synthetic_results.md). ``--f32``
     opts out for strict bit-parity with the batch pipelines' default;
-    the reference has no capacity story at all (FAISS Flat is
-    f32-only, vsc/index.py:82)."""
+    ``--int8`` stages the search corpus as SQ8-style per-row int8 (4x
+    f32 capacity); the reference has no capacity story at all (FAISS
+    Flat is f32-only, vsc/index.py:82)."""
+    if getattr(args, "int8", False):
+        return "int8"
     return "float32" if getattr(args, "f32", False) else "bfloat16"
 
 
@@ -368,7 +386,7 @@ def build_localizer(index, refs, args):
             fg_type=args.fg_type, tn_max_step=5, min_length=4,
             similarity_bias=0.5, vcsl_faithful=args.vcsl_faithful_tn,
             mesh=index.mesh, shard_ref_table=index.mesh is not None,
-            table_dtype=staging_dtype(args),
+            table_dtype=table_dtype(args),
         )
     if args.score_norm_features:
         return TNLocalizationMaxSim(
@@ -376,7 +394,7 @@ def build_localizer(index, refs, args):
             tn_max_step=5, min_length=4, similarity_bias=0.5,
             vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
             shard_ref_table=index.mesh is not None,
-            table_dtype=staging_dtype(args),
+            table_dtype=table_dtype(args),
         )
     refs_loc = [
         dataclasses.replace(vf, feature=l2_normalize_rows(vf.feature))
@@ -386,7 +404,7 @@ def build_localizer(index, refs, args):
         [], refs_loc, model_type="TN", tn_max_step=5, min_length=4,
         vcsl_faithful=args.vcsl_faithful_tn, mesh=index.mesh,
         shard_ref_table=index.mesh is not None,
-        table_dtype=staging_dtype(args),
+        table_dtype=table_dtype(args),
     )
 
 

@@ -146,6 +146,7 @@ class ScoreNormalizedSearcher:
                 precision=s.precision,
                 approx=mode,
                 row_block=rb,
+                metric=s._kernel_metric,
             )
             all_s, all_i, counts, tau, amb = _unpack_candidates(
                 np.asarray(packed), nq, kappa_eff, with_counts=True,
