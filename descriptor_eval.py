@@ -37,23 +37,31 @@ parser.add_argument(
     "--sharded", action="store_true",
     help="Shard the reference corpus across all local devices.",
 )
-parser.add_argument(
+_dtype_group = parser.add_mutually_exclusive_group()
+_dtype_group.add_argument(
     "--bf16", action="store_true",
     help="Search in bfloat16 (half the HBM/transfer, MXU-native "
     "matmuls; scores at bf16 resolution — benchmarked ~2x retrieval "
     "throughput, result-set agreement 1.0 on the bench workload).",
 )
+_dtype_group.add_argument(
+    "--int8", action="store_true",
+    help="Stage the reference corpus as SQ8-style per-row int8 "
+    "(quarter the HBM/transfer of f32; search exact over the "
+    "dequantized corpus, incl. tie-breaks).",
+)
 
 
 def main(args):
     protocol = None
-    if args.sharded or args.bf16:
+    if args.sharded or args.bf16 or args.int8:
         from vsc2022_tpu.descriptor_eval_lib import DescriptorEvalProtocol
         from vsc2022_tpu.parallel import corpus_mesh
 
         protocol = DescriptorEvalProtocol(
             mesh=corpus_mesh() if args.sharded else None,
-            dtype="bfloat16" if args.bf16 else "float32",
+            dtype="bfloat16" if args.bf16
+            else "int8" if args.int8 else "float32",
         )
     ap, candidates = evaluate_descriptor_track(
         args.query_features, args.ref_features, args.ground_truth,

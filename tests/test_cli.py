@@ -80,6 +80,34 @@ class TestDescriptorEvalCLI:
         assert list(df.columns) == ["query_id", "ref_id", "score"]
         assert df.iloc[0].score == pytest.approx(1.0, abs=1e-4)
 
+    def test_int8_staging(self, data_dir):
+        # --int8 stages the corpus as SQ8-style per-row int8; planted
+        # copies must still rank first (µAP 1.0) with near-1 scores.
+        out_csv = os.path.join(data_dir, "candidates_int8.csv")
+        result = run_cli(
+            "descriptor_eval.py",
+            "--query_features", os.path.join(data_dir, "q.npz"),
+            "--ref_features", os.path.join(data_dir, "r.npz"),
+            "--ground_truth", os.path.join(data_dir, "gt.csv"),
+            "--candidates_output", out_csv, "--int8",
+        )
+        assert result.returncode == 0, result.stderr
+        assert "micro-AP (uAP): 1.0000" in result.stderr + result.stdout
+        import pandas as pd
+
+        df = pd.read_csv(out_csv)
+        assert df.iloc[0].score == pytest.approx(1.0, abs=0.05)
+
+    def test_int8_bf16_mutually_exclusive(self, data_dir):
+        result = run_cli(
+            "descriptor_eval.py",
+            "--query_features", os.path.join(data_dir, "q.npz"),
+            "--ref_features", os.path.join(data_dir, "r.npz"),
+            "--bf16", "--int8",
+        )
+        assert result.returncode != 0
+        assert "not allowed with" in result.stderr
+
     def test_missing_required_flag(self, data_dir):
         result = run_cli(
             "descriptor_eval.py",

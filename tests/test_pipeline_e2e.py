@@ -127,6 +127,25 @@ class TestEndToEnd:
         best = max(matches, key=lambda m: m.score)
         assert best.pair_id() in {g.pair_id() for g in gt}
 
+    def test_score_norm_pipeline_int8(self, corpus):
+        # The SQ8 staging tier through the real SN pipeline (noise
+        # bias AND retrieval corpus int8-staged): planted copies must
+        # still dominate the ranking and localize.
+        queries, refs, noise, gt, tmp = corpus
+        sn_q, sn_r = score_normalize(
+            queries, refs, noise, beta=1.2, dtype="int8"
+        )
+        candidates = search(sn_q, sn_r, dtype="int8")
+        gt_pairs = CandidatePair.from_matches(gt)
+        uap = average_precision(gt_pairs, candidates)
+        assert uap.ap > 0.9
+
+        matches = localize_and_verify(
+            sn_q, sn_r, candidates, score_normalization=True
+        )
+        seg_ap = match_metric(gt, matches).ap
+        assert seg_ap > 0.5
+
     def test_match_writes_artifacts(self, corpus):
         queries, refs, noise, gt, tmp = corpus
         out = os.path.join(tmp, "out")

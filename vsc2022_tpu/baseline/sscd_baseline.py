@@ -71,10 +71,17 @@ parser.add_argument(
     "--profile_dir", help="Write a JAX profiler trace of the matching run.",
     type=str, default=None,
 )
-parser.add_argument(
+_dtype_group = parser.add_mutually_exclusive_group()
+_dtype_group.add_argument(
     "--bf16", action="store_true",
     help="Retrieval in bfloat16 (half HBM/transfer, MXU-native; scores "
     "at bf16 resolution).",
+)
+_dtype_group.add_argument(
+    "--int8", action="store_true",
+    help="Stage the retrieval corpora (refs + SN noise) as SQ8-style "
+    "per-row int8 — quarter the HBM/transfer of f32; search exact "
+    "over the dequantized corpus. Localization stays f32.",
 )
 parser.add_argument(
     "--score_normalized_inputs", action="store_true",
@@ -199,11 +206,14 @@ def main(args):
     score_normalization = bool(args.score_norm_features) or getattr(
         args, "score_normalized_inputs", False
     )
+    dtype = (
+        "bfloat16" if getattr(args, "bf16", False)
+        else "int8" if getattr(args, "int8", False) else "float32"
+    )
     if args.score_norm_features:
         noise = load_features(args.score_norm_features, Dataset.REFS)
         queries, refs = score_normalize(
-            queries, refs, noise, beta=1.2,
-            dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+            queries, refs, noise, beta=1.2, dtype=dtype,
         )
         os.makedirs(args.output_path, exist_ok=True)
         store_features(os.path.join(args.output_path, "sn_queries.npz"), queries)
@@ -214,7 +224,7 @@ def main(args):
             queries, refs, args.output_path,
             score_normalization=score_normalization,
             vcsl_faithful=getattr(args, "vcsl_faithful_tn", False),
-            dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+            dtype=dtype,
             reuse_candidates=getattr(args, "reuse_candidates", None),
         )
 
