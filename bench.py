@@ -247,6 +247,34 @@ def bench_retrieval(results):
         bf16_searcher.global_topk(q_dev, GLOBAL_K)
         bf16_dev = min(bf16_dev, time.perf_counter() - t0)
 
+    # int8 (SQ8) capacity tier: symmetric per-row int8 corpus (4x f32
+    # rows per chip), search exact over the dequantized rows incl.
+    # tie-breaks. At this 61k workload the device rate mostly tracks
+    # dispatch — the tier's wins (capacity, 6x staging, 1M-scale e2e)
+    # live in docs/performance.md — but recording the device arm here
+    # keeps the tier on the round-over-round scoreboard. Device arm
+    # only (queries pre-staged): the e2e number would just re-measure
+    # the relay.
+    int8_searcher = ScoreNormalizedSearcher(
+        r, noise, beta=1.2, precision="default", dtype="int8"
+    )
+    int8_searcher.global_topk(q_dev, GLOBAL_K)  # warmup/compile
+    int8_dev = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        iqi, iri, _ = int8_searcher.global_topk(q_dev, GLOBAL_K)
+        int8_dev = min(int8_dev, time.perf_counter() - t0)
+    # Sanity threshold is looser than bf16's: 8-bit rows reorder the
+    # near-threshold bulk tail of the top-k (~0.93 top-1000 agreement
+    # on this planted-structure workload, measured on CPU) without
+    # moving µAP/segment AP (docs/synthetic_results.md); 0.85 still
+    # catches a broken dequantize/search path.
+    int8_agree = len(
+        set(zip(qi[:1000].tolist(), ri[:1000].tolist()))
+        & set(zip(iqi[:1000].tolist(), iri[:1000].tolist()))
+    ) / 1000.0
+    assert int8_agree > 0.85, f"int8/f32 search disagree: {int8_agree:.3f}"
+
     cpu_time = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -277,6 +305,7 @@ def bench_retrieval(results):
     results["retrieval_qps_device"] = round(N_QUERY_VIDEOS / compute_s, 2)
     results["retrieval_qps_bf16"] = round(N_QUERY_VIDEOS / bf16_e2e, 2)
     results["retrieval_qps_device_bf16"] = round(N_QUERY_VIDEOS / bf16_dev, 2)
+    results["retrieval_qps_device_int8"] = round(N_QUERY_VIDEOS / int8_dev, 2)
     results["retrieval_tflops"] = round(tflops, 3)
     results["link_s"] = round(link_s, 3)
     results["compute_s"] = round(compute_s, 3)

@@ -1,7 +1,19 @@
 #!/usr/bin/env python3
-"""Matching-track evaluation CLI (same flags and output line as the
-reference matching_eval.py)."""
+"""Matching-track evaluation CLI.
 
+Scores a predicted-matches CSV against a ground-truth CSV with the
+matching-track metric (segment AP over the rank-induced sequence of
+matched-segment unions) and emits exactly one result line on stdout::
+
+    Matching track segment AP: <ap>
+
+The flag surface and that printed line are frozen to the reference CLI
+(/root/reference/matching_eval.py) so downstream tooling can switch
+frameworks without edits. The metric core lives in
+vsc2022_tpu.metrics.evaluate_matching_track and is fuzz-pinned
+1e-12-identical to the reference oracle, PR curves included
+(tests/test_reference_parity.py).
+"""
 import argparse
 import logging
 
@@ -19,20 +31,30 @@ logging.basicConfig(
 logger = logging.getLogger("matching_eval.py")
 logger.setLevel(logging.INFO)
 
-parser = argparse.ArgumentParser()
-parser.add_argument(
-    "--predictions", help="Path to predictions CSV file.", type=str, required=True
-)
-parser.add_argument(
-    "--ground_truth", help="Path to ground truth CSV file.", type=str, required=True
-)
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Matching-track evaluation")
+    p.add_argument(
+        "--predictions",
+        type=str,
+        required=True,
+        help="predicted matches CSV (PairMatches row schema)",
+    )
+    p.add_argument(
+        "--ground_truth",
+        type=str,
+        required=True,
+        help="ground-truth matches CSV",
+    )
+    return p
 
 
-def main(args):
-    metrics = evaluate_matching_track(args.ground_truth, args.predictions)
-    logger.info(f"Matching track segment AP: {metrics.segment_ap.ap:.4f}")
-    print(f"Matching track segment AP: {metrics.segment_ap.ap:.4f}")
+def main(args: argparse.Namespace) -> None:
+    track = evaluate_matching_track(args.ground_truth, args.predictions)
+    line = f"Matching track segment AP: {track.segment_ap.ap:.4f}"
+    logger.info(line)
+    print(line)
 
 
 if __name__ == "__main__":
-    main(parser.parse_args())
+    main(build_parser().parse_args())
