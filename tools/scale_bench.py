@@ -83,9 +83,16 @@ def main(args):
     flops = 2.0 * args.queries * (
         args.noise * args.dim + args.corpus * (args.dim + 1)
     )
+    # Which candidate-collection regime actually ran: the pooled path
+    # needs its [M, P] winner pool under POOL_BYTES_BUDGET, and the
+    # fallback to streaming is a measured ~6x regime cliff at 8M rows
+    # — a scale table must never silently mix the two.
+    kappa_eff, _ = searcher.searcher._plan(args.queries, k, None)
+    mode = searcher.searcher._collection_mode(q_dev.shape[0], kappa_eff, True)
     out = {
         "corpus_frames": args.corpus,
         "dtype": args.dtype,
+        "collection": "pooled" if mode == "pooled" else "stream",
         "stage_s": round(stage_s, 1),
         "warmup_s": round(warmup_s, 1),
         "search_s": round(best, 3),

@@ -36,6 +36,7 @@ always better (negated squared distance for L2).
 from __future__ import annotations
 
 import functools
+import logging
 import math
 import os
 from typing import Optional, Tuple
@@ -1414,6 +1415,18 @@ class SimilaritySearcher:
             return "pooled" if pool_ok else True
         if pool_ok and n_pad >= POOL_MIN_CORPUS:
             return "pooled"
+        if n_pad >= POOL_MIN_CORPUS and pool_bytes > POOL_BYTES_BUDGET:
+            # The pool would win at this corpus size but doesn't fit:
+            # say so, with the query-block size that would. Silent
+            # fallback cost a 6x regime cliff at [4608 x 8M] before
+            # this log existed (docs/performance.md, int8 table).
+            logging.getLogger(__name__).warning(
+                "pooled collection falls back to streaming: pool needs "
+                "%.2f GiB for %d query rows (budget %.2f GiB); "
+                "<=%d query rows per search would stay pooled",
+                pool_bytes / 2**30, m, POOL_BYTES_BUDGET / 2**30,
+                POOL_BYTES_BUDGET // (8 * p_total) if p_total else 0,
+            )
         return True
 
     def _fused_kernel(self, q_dev, nq: int, kappa: int, approx: bool,
