@@ -1100,6 +1100,46 @@ class TestPooledCollection:
         np.testing.assert_array_equal(qi, oqi)
         np.testing.assert_array_equal(ri, ori)
 
+    def test_dynamic_pool_budget(self, monkeypatch):
+        # The pool budget is measured from device memory_stats when
+        # available (real TPU): limit - resident - transient reserve,
+        # floored at the static f32-calibrated default. CPU devices
+        # report no stats, so tests always see the static budget.
+        import vsc2022_tpu.ops.similarity as S
+
+        rng = np.random.RandomState(3)
+        r = rng.randn(700, 24).astype(np.float32)
+        searcher = SimilaritySearcher(r)
+        assert searcher._pool_budget_bytes() == S.POOL_BYTES_BUDGET
+
+        class FakeDev:
+            def __init__(self, limit, used):
+                self._stats = {"bytes_limit": limit, "bytes_in_use": used}
+
+            def memory_stats(self):
+                return self._stats
+
+        class FakeArr:
+            def __init__(self, dev):
+                self._dev = dev
+
+            def devices(self):
+                return {self._dev}
+
+        # A compact corpus leaves measurable headroom: budget grows.
+        monkeypatch.setattr(
+            searcher, "_refs", FakeArr(FakeDev(16 << 30, 4 << 30)),
+            raising=False,
+        )
+        want = (16 << 30) - (4 << 30) - S.POOL_HBM_RESERVE
+        assert searcher._pool_budget_bytes() == want
+        # A nearly-full chip never shrinks below the static floor.
+        monkeypatch.setattr(
+            searcher, "_refs", FakeArr(FakeDev(16 << 30, 12 << 30)),
+            raising=False,
+        )
+        assert searcher._pool_budget_bytes() == S.POOL_BYTES_BUDGET
+
     def test_pooled_l2_multi_block(self, monkeypatch):
         # L2 goodness scale through the pooled path, with several
         # column blocks so pool levels interleave block-major slices.

@@ -84,8 +84,18 @@ DEFAULT_COL_BLOCK = 8192
 POOL_SEG_LANES = 128
 POOL_SEG_KEEP = 2
 # Pool HBM budget (values + ids, bytes). Above it the searcher falls
-# back to the chunked-merge streaming collection.
+# back to the chunked-merge streaming collection. This static value is
+# calibrated for f32 corpora near the single-chip ceiling (v5e 16 GB:
+# 4M x 513 f32 rows = 8.2 GB leaves ~3 GiB after transients); when the
+# runtime exposes memory_stats (real TPU), _pool_budget_bytes measures
+# the actual headroom instead — a bf16/int8 corpus frees HBM the pool
+# can use, keeping large query blocks in the pooled regime.
 POOL_BYTES_BUDGET = 3 << 30
+# HBM reserved for the fused dispatch's transients when the budget is
+# measured: two streamed [row_block, col_block] f32 score tiles
+# (2 x 512 MB), packed extraction buffers, staged query rows, and
+# compiler scratch.
+POOL_HBM_RESERVE = 4 << 30
 # Corpus floor for the pooled collection. Below it the chunked-merge
 # streaming collection wins: the pool's serial selection machinery
 # (k-th binary search, count passes, windowed extraction) has a fixed
@@ -1386,6 +1396,25 @@ class SimilaritySearcher:
             approx=approx,
         )
 
+    def _pool_budget_bytes(self) -> int:
+        """Winner-pool HBM budget. When the staged corpus's device
+        exposes memory_stats (the real TPU runtime), measure the
+        actual headroom — bytes_limit minus what is already resident
+        (corpus, noise, SN tables) minus a transient reserve — so a
+        compact corpus dtype (bf16, int8/SQ8) converts its HBM saving
+        into pool capacity. Otherwise (CPU tests, runtimes without
+        stats) fall back to the static f32-calibrated budget."""
+        try:
+            (dev,) = self._refs.devices()
+            stats = dev.memory_stats()
+            limit = int(stats["bytes_limit"])
+            used = int(stats["bytes_in_use"])
+        except Exception:
+            return POOL_BYTES_BUDGET
+        if limit <= POOL_HBM_RESERVE:
+            return POOL_BYTES_BUDGET
+        return max(POOL_BYTES_BUDGET, limit - used - POOL_HBM_RESERVE)
+
     def _collection_mode(self, m: int, kappa: int, approx: bool):
         """Pick the approx collection implementation for an m-row query
         block: "pooled" (HBM winner pool, sort-free selection, exact
@@ -1400,11 +1429,12 @@ class SimilaritySearcher:
         n_pad = self._refs.shape[0]
         p_total = POOL_SEG_KEEP * (n_pad // POOL_SEG_LANES)
         pool_bytes = 8 * m * p_total
+        pool_budget = self._pool_budget_bytes()
         # κ approaching the pool width means extraction cannot hold the
         # per-row candidates anyway (mass repair): stream instead.
         pool_ok = (
             self.col_block % POOL_SEG_LANES == 0
-            and pool_bytes <= POOL_BYTES_BUDGET
+            and pool_bytes <= pool_budget
             and 4 * kappa <= p_total
             and not (self.metric == "IP" and _use_pallas_kernels())
         )
@@ -1415,7 +1445,7 @@ class SimilaritySearcher:
             return "pooled" if pool_ok else True
         if pool_ok and n_pad >= POOL_MIN_CORPUS:
             return "pooled"
-        if n_pad >= POOL_MIN_CORPUS and pool_bytes > POOL_BYTES_BUDGET:
+        if n_pad >= POOL_MIN_CORPUS and pool_bytes > pool_budget:
             # The pool would win at this corpus size but doesn't fit:
             # say so, with the query-block size that would. Silent
             # fallback cost a 6x regime cliff at [4608 x 8M] before
@@ -1424,8 +1454,8 @@ class SimilaritySearcher:
                 "pooled collection falls back to streaming: pool needs "
                 "%.2f GiB for %d query rows (budget %.2f GiB); "
                 "<=%d query rows per search would stay pooled",
-                pool_bytes / 2**30, m, POOL_BYTES_BUDGET / 2**30,
-                POOL_BYTES_BUDGET // (8 * p_total) if p_total else 0,
+                pool_bytes / 2**30, m, pool_budget / 2**30,
+                pool_budget // (8 * p_total) if p_total else 0,
             )
         return True
 
