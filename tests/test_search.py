@@ -1127,13 +1127,18 @@ class TestPooledCollection:
                 return {self._dev}
 
         # A compact corpus leaves measurable headroom: budget grows.
+        # (The budget caches per corpus state — the stats call is a
+        # device RPC — so invalidate the way mutations do.)
+        searcher._pool_budget_cache = None
         monkeypatch.setattr(
             searcher, "_refs", FakeArr(FakeDev(16 << 30, 4 << 30)),
             raising=False,
         )
         want = (16 << 30) - (4 << 30) - S.POOL_HBM_RESERVE
         assert searcher._pool_budget_bytes() == want
+        assert searcher._pool_budget_bytes() == want  # cached re-read
         # A nearly-full chip never shrinks below the static floor.
+        searcher._pool_budget_cache = None
         monkeypatch.setattr(
             searcher, "_refs", FakeArr(FakeDev(16 << 30, 12 << 30)),
             raising=False,

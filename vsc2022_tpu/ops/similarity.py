@@ -1289,6 +1289,7 @@ class SimilaritySearcher:
         without this). n_valid is a traced scalar, so searches only
         recompile when the padded corpus shape crosses a col_block
         boundary (or the tiny-corpus block clamp grows)."""
+        self._pool_budget_cache = None  # resident bytes change
         if self.dtype == jnp.int8:
             new_rows, new_scale = quantize_rows_int8(new_rows)
         else:
@@ -1359,6 +1360,7 @@ class SimilaritySearcher:
         if self.dtype != jnp.int8:
             self._set_ref_sq()
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
+        self._pool_budget_cache = None  # resident bytes change
 
     def _np_dtype(self):
         if self.dtype == jnp.bfloat16:
@@ -1403,17 +1405,28 @@ class SimilaritySearcher:
         (corpus, noise, SN tables) minus a transient reserve — so a
         compact corpus dtype (bf16, int8/SQ8) converts its HBM saving
         into pool capacity. Otherwise (CPU tests, runtimes without
-        stats) fall back to the static f32-calibrated budget."""
+        stats) fall back to the static f32-calibrated budget.
+
+        Cached per corpus state: memory_stats is a device RPC (~25-60
+        ms through this rig's relay), too expensive per search call;
+        append_rows/keep_rows invalidate."""
+        cached = getattr(self, "_pool_budget_cache", None)
+        if cached is not None:
+            return cached
         try:
             (dev,) = self._refs.devices()
             stats = dev.memory_stats()
             limit = int(stats["bytes_limit"])
             used = int(stats["bytes_in_use"])
         except Exception:
+            self._pool_budget_cache = POOL_BYTES_BUDGET
             return POOL_BYTES_BUDGET
         if limit <= POOL_HBM_RESERVE:
-            return POOL_BYTES_BUDGET
-        return max(POOL_BYTES_BUDGET, limit - used - POOL_HBM_RESERVE)
+            budget = POOL_BYTES_BUDGET
+        else:
+            budget = max(POOL_BYTES_BUDGET, limit - used - POOL_HBM_RESERVE)
+        self._pool_budget_cache = budget
+        return budget
 
     def _collection_mode(self, m: int, kappa: int, approx: bool):
         """Pick the approx collection implementation for an m-row query
