@@ -1110,14 +1110,17 @@ class TestPooledCollection:
         rng = np.random.RandomState(3)
         r = rng.randn(700, 24).astype(np.float32)
         searcher = SimilaritySearcher(r)
-        assert searcher._pool_budget_bytes() == S.POOL_BYTES_BUDGET
+        over = S.POOL_BYTES_BUDGET + 1  # measured headroom would decide
+        assert searcher._pool_budget_bytes(over) == S.POOL_BYTES_BUDGET
 
         class FakeDev:
             def __init__(self, limit, used):
                 self._stats = {"bytes_limit": limit, "bytes_in_use": used}
+                self.calls = 0
 
             def memory_stats(self):
-                return self._stats
+                self.calls += 1
+                return dict(self._stats)
 
         class FakeArr:
             def __init__(self, dev):
@@ -1126,24 +1129,44 @@ class TestPooledCollection:
             def devices(self):
                 return {self._dev}
 
+        # A pool inside the static budget never pays the stats RPC.
+        dev = FakeDev(16 << 30, 4 << 30)
+        monkeypatch.setattr(
+            searcher, "_refs", FakeArr(dev), raising=False,
+        )
+        assert (
+            searcher._pool_budget_bytes(S.POOL_BYTES_BUDGET)
+            == S.POOL_BYTES_BUDGET
+        )
+        assert dev.calls == 0
         # A compact corpus leaves measurable headroom: budget grows.
-        # (The budget caches per corpus state — the stats call is a
-        # device RPC — so invalidate the way mutations do.)
-        searcher._pool_budget_cache = None
-        monkeypatch.setattr(
-            searcher, "_refs", FakeArr(FakeDev(16 << 30, 4 << 30)),
-            raising=False,
-        )
         want = (16 << 30) - (4 << 30) - S.POOL_HBM_RESERVE
-        assert searcher._pool_budget_bytes() == want
-        assert searcher._pool_budget_bytes() == want  # cached re-read
-        # A nearly-full chip never shrinks below the static floor.
-        searcher._pool_budget_cache = None
+        assert searcher._pool_budget_bytes(over) == want
+        assert dev.calls == 1
+        # NO caching when the measure decides: another consumer (the
+        # localizer's ref tables, a second index) may have claimed HBM
+        # since — each deciding search re-measures (ADVICE round 4).
+        dev._stats["bytes_in_use"] = 12 << 30
+        assert searcher._pool_budget_bytes(over) == S.POOL_BYTES_BUDGET
+        assert dev.calls == 2
+
+        # A transient stats failure (relay stall) falls back to the
+        # static budget WITHOUT poisoning later searches: once stats
+        # return, the measured budget is live again.
+        flaky = FakeDev(16 << 30, 4 << 30)
+
+        def _raise_once():
+            flaky.calls += 1
+            if flaky.calls == 1:
+                raise RuntimeError("relay stall")
+            return dict(flaky._stats)
+
+        flaky.memory_stats = _raise_once
         monkeypatch.setattr(
-            searcher, "_refs", FakeArr(FakeDev(16 << 30, 12 << 30)),
-            raising=False,
+            searcher, "_refs", FakeArr(flaky), raising=False,
         )
-        assert searcher._pool_budget_bytes() == S.POOL_BYTES_BUDGET
+        assert searcher._pool_budget_bytes(over) == S.POOL_BYTES_BUDGET
+        assert searcher._pool_budget_bytes(over) == want
 
     def test_pooled_l2_multi_block(self, monkeypatch):
         # L2 goodness scale through the pooled path, with several

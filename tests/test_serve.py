@@ -1883,6 +1883,39 @@ class TestServeClient:
                 c.ref_id for c in res4.candidates()
             }
 
+    def test_probe_reports_compute_figures(self, served):
+        # `probe` returns the relay-jitter-free device-compute pair
+        # (search_s, tn_s) for a warm request's shapes: finite,
+        # non-negative, and tn covers the geometry of the MOST RECENT
+        # request (so it needs a search first to have TN batches).
+        tmp, queries, refs, noise = served
+        with self._client(tmp, matches=True) as client:
+            client.search(os.path.join(tmp, "q.npz"))
+            search_s, tn_s = client.probe(os.path.join(tmp, "q.npz"))
+            assert np.isfinite(search_s) and search_s >= 0.0
+            assert np.isfinite(tn_s) and tn_s >= 0.0
+            # Probing again without a new search replays the same
+            # geometry trail (deterministic reply shape).
+            s2, t2 = client.probe(os.path.join(tmp, "q.npz"))
+            assert np.isfinite(s2) and np.isfinite(t2)
+
+    def test_probe_needs_score_normalization(self, served):
+        # Typed protocol error on a plain (non-SN) index; the session
+        # keeps serving afterwards.
+        from vsc2022_tpu.retrieval import ServeClient, ServeError
+
+        tmp, queries, refs, noise = served
+        plain = ServeClient.spawn(
+            os.path.join(tmp, "r.npz"),
+            env=dict(os.environ, VSC2022_TPU_FORCE_CPU="1"),
+            cwd=REPO, stderr=subprocess.DEVNULL,
+        )
+        with plain as client:
+            with pytest.raises(ServeError, match="score-normalized"):
+                client.probe(os.path.join(tmp, "q.npz"))
+            res = client.search(os.path.join(tmp, "q.npz"))
+            assert res.n_candidates > 0
+
     def test_save_snapshot_restarts_bit_identical(self, served, tmp_path):
         # `save` after add/remove mutations must snapshot the live
         # corpus so a fresh server on the snapshot answers

@@ -580,6 +580,11 @@ class TNLocalization(LocalizationWithMetadata):
     sim_element_budget = SIM_ELEMENT_BUDGET
 
     def localize_all(self, candidates: List[CandidatePair]) -> List[Match]:
+        # Geometry trail of this call's alignment dispatches
+        # [(batch, nq_bucket, nr_bucket), ...]: the serving `probe`
+        # command replays the shapes (the TN DP is shape-bound) to
+        # report a relay-jitter-free per-request compute figure.
+        self.last_align_geoms = []
         buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
         for idx, c in enumerate(candidates):
             qf, rf = self._features_for(c)
@@ -634,6 +639,9 @@ class TNLocalization(LocalizationWithMetadata):
         """Dispatch one chunk's whole device program — gathered sims +
         TN DP + output packing — returning the (unfetched) packed
         device array so the caller can overlap the pull."""
+        if not hasattr(self, "last_align_geoms"):
+            self.last_align_geoms = []
+        self.last_align_geoms.append((len(chunk), nq, nr))
         sims, q_len, r_len = self._batch_sims(chunk, nq, nr)
         if self._align_sharding is not None:
             # Pad the pair batch to the mesh axis and place it

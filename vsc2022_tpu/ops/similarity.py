@@ -88,8 +88,10 @@ POOL_SEG_KEEP = 2
 # calibrated for f32 corpora near the single-chip ceiling (v5e 16 GB:
 # 4M x 513 f32 rows = 8.2 GB leaves ~3 GiB after transients); when the
 # runtime exposes memory_stats (real TPU), _pool_budget_bytes measures
-# the actual headroom instead — a bf16/int8 corpus frees HBM the pool
-# can use, keeping large query blocks in the pooled regime.
+# the actual headroom instead (fresh per deciding search — resident
+# tables staged since the last measure must count) — a bf16/int8
+# corpus frees HBM the pool can use, keeping large query blocks in
+# the pooled regime.
 POOL_BYTES_BUDGET = 3 << 30
 # HBM reserved for the fused dispatch's transients when the budget is
 # measured: two streamed [row_block, col_block] f32 score tiles
@@ -1289,7 +1291,6 @@ class SimilaritySearcher:
         without this). n_valid is a traced scalar, so searches only
         recompile when the padded corpus shape crosses a col_block
         boundary (or the tiny-corpus block clamp grows)."""
-        self._pool_budget_cache = None  # resident bytes change
         if self.dtype == jnp.int8:
             new_rows, new_scale = quantize_rows_int8(new_rows)
         else:
@@ -1360,7 +1361,6 @@ class SimilaritySearcher:
         if self.dtype != jnp.int8:
             self._set_ref_sq()
         self._n_valid = jnp.asarray(self.n_refs, dtype=jnp.int32)
-        self._pool_budget_cache = None  # resident bytes change
 
     def _np_dtype(self):
         if self.dtype == jnp.bfloat16:
@@ -1398,35 +1398,35 @@ class SimilaritySearcher:
             approx=approx,
         )
 
-    def _pool_budget_bytes(self) -> int:
-        """Winner-pool HBM budget. When the staged corpus's device
-        exposes memory_stats (the real TPU runtime), measure the
-        actual headroom — bytes_limit minus what is already resident
-        (corpus, noise, SN tables) minus a transient reserve — so a
-        compact corpus dtype (bf16, int8/SQ8) converts its HBM saving
-        into pool capacity. Otherwise (CPU tests, runtimes without
-        stats) fall back to the static f32-calibrated budget.
+    def _pool_budget_bytes(self, pool_bytes: int = 0) -> int:
+        """Winner-pool HBM budget for a pool that needs ``pool_bytes``.
 
-        Cached per corpus state: memory_stats is a device RPC (~25-60
-        ms through this rig's relay), too expensive per search call;
-        append_rows/keep_rows invalidate."""
-        cached = getattr(self, "_pool_budget_cache", None)
-        if cached is not None:
-            return cached
+        Fast path (no device RPC): a pool inside the static
+        f32-calibrated budget is always admissible. Only when the
+        MEASURED headroom would be the deciding factor — the pool
+        exceeds the static budget but a compact corpus dtype (bf16,
+        int8/SQ8) may have freed the HBM it needs — query the device's
+        memory_stats FRESH: bytes_limit minus what is already resident
+        (corpus, noise, SN tables, and anything staged since the last
+        search, e.g. the localizer's coarse+fine ref tables under
+        `serve --matches`) minus a transient reserve. A cached measure
+        here risked sizing a pool into HBM another consumer had since
+        claimed (device OOM mid-serving); the fresh stats RPC (~25-60
+        ms on this rig's relay) is only paid by searches whose pool
+        actually outgrows the static budget. A transient stats failure
+        falls back to the static budget for THIS search only."""
+        if pool_bytes <= POOL_BYTES_BUDGET:
+            return POOL_BYTES_BUDGET
         try:
             (dev,) = self._refs.devices()
             stats = dev.memory_stats()
             limit = int(stats["bytes_limit"])
             used = int(stats["bytes_in_use"])
         except Exception:
-            self._pool_budget_cache = POOL_BYTES_BUDGET
             return POOL_BYTES_BUDGET
         if limit <= POOL_HBM_RESERVE:
-            budget = POOL_BYTES_BUDGET
-        else:
-            budget = max(POOL_BYTES_BUDGET, limit - used - POOL_HBM_RESERVE)
-        self._pool_budget_cache = budget
-        return budget
+            return POOL_BYTES_BUDGET
+        return max(POOL_BYTES_BUDGET, limit - used - POOL_HBM_RESERVE)
 
     def _collection_mode(self, m: int, kappa: int, approx: bool):
         """Pick the approx collection implementation for an m-row query
@@ -1442,7 +1442,7 @@ class SimilaritySearcher:
         n_pad = self._refs.shape[0]
         p_total = POOL_SEG_KEEP * (n_pad // POOL_SEG_LANES)
         pool_bytes = 8 * m * p_total
-        pool_budget = self._pool_budget_bytes()
+        pool_budget = self._pool_budget_bytes(pool_bytes)
         # κ approaching the pool width means extraction cannot hold the
         # per-row candidates anyway (mass repair): stream instead.
         pool_ok = (

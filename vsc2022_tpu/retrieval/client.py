@@ -432,6 +432,17 @@ class ServeClient:
             )
         return refs, fine
 
+    def probe(self, query_features: str) -> Tuple[float, float]:
+        """Relay-jitter-free device-compute figure for a warm request
+        at this query file's shapes: (search_s, tn_s) — the fused SN
+        search dispatch and the TN alignment batches of the most
+        recent request, each repetition-differenced inside one
+        executable on the server (serve.py `probe`)."""
+        parts = self._rpc(f"probe\t{os.path.abspath(query_features)}")
+        if parts[0] != "probe":
+            raise ServeError(f"unexpected probe reply: {parts!r}")
+        return float(parts[1]), float(parts[2])
+
     def stats(self) -> ServeStats:
         parts = self._rpc("stats")
         if parts[0] != "stats":

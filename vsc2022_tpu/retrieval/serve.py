@@ -863,6 +863,41 @@ def _search_videos(
     )
 
 
+def _probe_compute(index, localizer, parts, args):
+    """`probe\\t<query_npz>`: relay-jitter-free device-compute figure
+    for a warm request at this query file's shapes — the fused SN
+    search dispatch plus (in --matches mode) the TN alignment batches
+    of the most recent request, each repetition-differenced inside one
+    executable (utils/compute_probe.py). The wall-clock request
+    metrics on this rig fold in a ~25-60 ms per-dispatch relay RPC
+    that swings ~2x across processes; this figure cannot swing on it.
+    Response: ok\\tprobe\\t<search_s>\\t<tn_s>."""
+    from vsc2022_tpu.retrieval.sn_search import ScoreNormalizedSearcher
+    from vsc2022_tpu.utils.compute_probe import (
+        sn_search_compute_probe,
+        tn_align_compute_probe,
+    )
+
+    if len(parts) < 2 or not parts[1]:
+        raise ValueError("probe needs a query npz: probe\\t<query_npz>")
+    queries = load_features(parts[1], Dataset.QUERIES)
+    sn = index._get_searcher()
+    if not isinstance(sn, ScoreNormalizedSearcher):
+        raise ValueError(
+            "probe needs a score-normalized index (--score_norm_features)"
+        )
+    qmat = index._prep_query_features(
+        np.concatenate([q.feature for q in queries])
+    )
+    k = args.retrieval_per_query * len(queries)
+    search_s = sn_search_compute_probe(sn, qmat, qmat.shape[0], k)
+    tn_s = 0.0
+    if localizer is not None:
+        for b, nq, nr in getattr(localizer, "last_align_geoms", []):
+            tn_s += tn_align_compute_probe(b, nq, nr, localizer.params)
+    return f"ok\tprobe\t{search_s:.6f}\t{tn_s:.6f}"
+
+
 def serve_request(index, aggregation, localizer, line: str, args,
                   payloads=None, extractor=None, leader=True):
     parts = line.split("\t")
@@ -885,6 +920,8 @@ def serve_request(index, aggregation, localizer, line: str, args,
             index, aggregation, localizer, extractor, parts, args,
             leader=leader,
         )
+    if parts[0] == "probe":
+        return _probe_compute(index, localizer, parts, args)
     if parts[0] == "stats":
         return (
             "ok\tstats"
