@@ -1358,7 +1358,7 @@ class TestInt8Mode:
         )
         assert best.ref_id == "R000002"
         with pytest.raises(ValueError):
-            VideoIndex(16, codec_str="IVF16,Flat")
+            VideoIndex(16, codec_str="PQ16")
 
 
 class TestInt8ScoreNorm:

@@ -200,6 +200,7 @@ def streaming_topk(
     base: int | jax.Array = 0,  # global index offset (corpus sharding)
     varying_axes: Tuple[str, ...] = (),  # mesh axes this shard varies over
     approx: bool = False,  # use approx_max_k for block candidates
+    block_ids: Optional[jax.Array] = None,  # [B] int32: scan ONLY these
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-row top-κ of q·refsᵀ (goodness scale), streaming over ref blocks.
 
@@ -207,16 +208,27 @@ def streaming_topk(
     returned indices for corpus shards, and ``varying_axes`` marks the
     scan carry as device-varying for shard_map's vma type check. Returns
     (scores [M, κ] desc, global indices [M, κ]).
+
+    ``block_ids`` (traced, shape-static) restricts the scan to a block
+    subset — the IVF pruned tier's collection primitive. Sentinel
+    entries equal to n_blocks (one past the last block) are safe: their
+    scores mask to −inf exactly like the ragged-chunk padding, so the
+    caller can pad the subset to a fixed shape without recompiling per
+    subset size. Candidate slots that never saw a finite score may
+    carry arbitrary indices — the same contract every approx path here
+    already has.
     """
     m = q.shape[0]
     n_pad = refs.shape[0]
     n_blocks = n_pad // col_block
+    n_scan = n_blocks if block_ids is None else block_ids.shape[0]
     prec = jax.lax.Precision(precision)
 
     if (
         approx
         and metric == "IP"
         and not varying_axes
+        and block_ids is None
         and _use_pallas_kernels()
     ):
         # Fused Pallas path: matmul + top-κ collection in VMEM, the
@@ -272,7 +284,7 @@ def streaming_topk(
         s = jnp.where(in_range, s, NEG_INF)
         return s, start
 
-    seg_pool = 2 * n_blocks * (col_block // min(128, col_block))
+    seg_pool = 2 * n_scan * (col_block // min(128, col_block))
     if (
         approx
         and kappa > 1
@@ -292,13 +304,21 @@ def streaming_topk(
         # pass restores exactness either way.
         seg_lanes = min(128, col_block)
         seg = col_block // seg_lanes
-        chunk_blocks = max(1, min(n_blocks, 4096 // (2 * seg)))
-        n_chunks = -(-n_blocks // chunk_blocks)
+        chunk_blocks = max(1, min(n_scan, 4096 // (2 * seg)))
+        n_chunks = -(-n_scan // chunk_blocks)
         # Out-of-range block ids in the ragged last chunk are safe:
         # their col_ids exceed n_valid, so every score masks to −inf.
-        block_ids = jnp.arange(n_chunks * chunk_blocks).reshape(
-            n_chunks, chunk_blocks
-        )
+        if block_ids is None:
+            scan_grid = jnp.arange(n_chunks * chunk_blocks)
+        else:
+            scan_grid = jnp.concatenate([
+                block_ids.astype(jnp.int32),
+                jnp.full(
+                    (n_chunks * chunk_blocks - n_scan,), n_blocks,
+                    jnp.int32,
+                ),
+            ])
+        scan_grid = scan_grid.reshape(n_chunks, chunk_blocks)
 
         def seg_best2(block_idx):
             # Gather-free: values via max, ids via argmax + segment-base
@@ -338,7 +358,7 @@ def streaming_topk(
 
         if n_chunks == 1:
             # Whole corpus fits one pool: single top_k, no merge loop.
-            pool_s, pool_i = collect_pool(block_ids[0])
+            pool_s, pool_i = collect_pool(scan_grid[0])
             top_s, sel = jax.lax.top_k(pool_s, kappa)
             return top_s, jnp.take_along_axis(pool_i, sel, axis=1)
 
@@ -359,7 +379,7 @@ def streaming_topk(
             init = tuple(
                 jax.lax.pcast(x, varying_axes, to="varying") for x in init
             )
-        (top_s, top_i), _ = jax.lax.scan(chunk_step, init, block_ids)
+        (top_s, top_i), _ = jax.lax.scan(chunk_step, init, scan_grid)
         return top_s, top_i
 
     def body(carry, block_idx):
@@ -390,7 +410,11 @@ def streaming_topk(
         init = tuple(
             jax.lax.pcast(x, varying_axes, to="varying") for x in init
         )
-    (top_s, top_i), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    (top_s, top_i), _ = jax.lax.scan(
+        body, init,
+        jnp.arange(n_blocks) if block_ids is None
+        else block_ids.astype(jnp.int32),
+    )
     return top_s, top_i
 
 
@@ -410,13 +434,19 @@ def streaming_count_above(
     metric: str,
     precision: str,
     varying_axes: Tuple[str, ...] = (),
+    block_ids: Optional[jax.Array] = None,  # [B] int32: count ONLY these
 ) -> jax.Array:
     """Exact per-row count of entries with goodness ≥ τ (streaming).
 
     The exactness oracle for approximate candidate collection: a row
     whose count exceeds its kept-candidates-above-τ count was truncated
     (or the approx pass missed entries) and must be recomputed. One
-    matmul pass, no sorts."""
+    matmul pass, no sorts.
+
+    ``block_ids`` restricts the count to a block subset. The caller
+    owns the proof that skipped blocks contribute zero (the IVF tier's
+    per-block score upper bound < τ); sentinel entries == n_blocks pad
+    the subset shape and count nothing."""
     m = q.shape[0]
     n_blocks = refs.shape[0] // col_block
     prec = jax.lax.Precision(precision)
@@ -447,7 +477,11 @@ def streaming_count_above(
     init = jnp.zeros((m,), dtype=jnp.int32)
     if varying_axes:
         init = jax.lax.pcast(init, varying_axes, to="varying")
-    counts, _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    counts, _ = jax.lax.scan(
+        body, init,
+        jnp.arange(n_blocks) if block_ids is None
+        else block_ids.astype(jnp.int32),
+    )
     return counts
 
 
@@ -915,6 +949,7 @@ def _candidates_core(
     approx: bool,
     k_eff: jax.Array,  # scalar int32
     row_block: int = DEFAULT_ROW_BLOCK,
+    block_ids: Optional[jax.Array] = None,  # restrict BOTH passes (IVF)
 ):
     """Whole candidate phase as one traceable graph: per-row top-κ and
     the global k-th threshold τ over valid rows — host↔device
@@ -938,6 +973,7 @@ def _candidates_core(
     paid for pool counts, and at pool-scale corpora a full corpus
     count pass costs a second 1M-tile matmul.)"""
     if approx == "pooled":
+        assert block_ids is None, "pooled collection takes no block subset"
         top_s, top_i, counts, tau, amb, pv, pi = pooled_candidates(
             q, refs, n_valid, ref_sq, n_rows, k_eff, kappa=kappa,
             col_block=col_block, metric=metric, precision=precision,
@@ -948,6 +984,7 @@ def _candidates_core(
         lambda qb: streaming_topk(
             qb, refs, n_valid, ref_sq, kappa=kappa, col_block=col_block,
             metric=metric, precision=precision, approx=bool(approx),
+            block_ids=block_ids,
         ),
         q, row_block,
     )
@@ -965,7 +1002,7 @@ def _candidates_core(
     counts = _scan_row_blocks(
         lambda qb: streaming_count_above(
             qb, refs, n_valid, ref_sq, tau, col_block=col_block,
-            metric=metric, precision=precision,
+            metric=metric, precision=precision, block_ids=block_ids,
         ),
         q, row_block,
     )
@@ -1035,14 +1072,15 @@ def _unpack_candidates(buf: np.ndarray, nq: int, kappa: int,
 )
 def _fused_candidates_packed(
     q, refs, n_valid, ref_sq, n_rows, k_eff, kappa, col_block, metric,
-    precision, approx, row_block=DEFAULT_ROW_BLOCK,
+    precision, approx, row_block=DEFAULT_ROW_BLOCK, block_ids=None,
 ):
     """Candidate phase in ONE dispatch, packed for ONE D2H pull. The
     pooled mode additionally returns the device-resident winner pool
-    (value, id) pair for the host repair; None otherwise."""
+    (value, id) pair for the host repair; None otherwise. ``block_ids``
+    restricts both passes to a block subset (the IVF pruned tier)."""
     top_s, top_i, counts, tau, pool = _candidates_core(
         q, refs, n_rows, n_valid, ref_sq, kappa, col_block, metric,
-        precision, approx, k_eff, row_block=row_block,
+        precision, approx, k_eff, row_block=row_block, block_ids=block_ids,
     )
     if pool is not None:
         amb, pv, pi = pool
@@ -1664,6 +1702,12 @@ class SimilaritySearcher:
             k_eff, mode, block_rows, amb=amb, pool=pool,
         )
 
+    def _map_ref_ids(self, flat_r: np.ndarray) -> np.ndarray:
+        """Identity for the plain searcher; the IVF tier overrides to
+        translate its cluster-contiguous staged row ids back to the
+        caller's original ids before the final (q, r) tie sort."""
+        return flat_r
+
     def _plan(self, nq: int, k: int, kappa: Optional[int] = None):
         """Per-row candidate budget κ and the effective k."""
         if kappa is None:
@@ -2034,6 +2078,12 @@ class SimilaritySearcher:
                     flat_s = np.concatenate([flat_s[keep_mask], rep_s])
                     flat_q = np.concatenate([flat_q[keep_mask], rep_q])
                     flat_r = np.concatenate([flat_r[keep_mask], rep_r])
+
+        # Searchers that reorder their staged corpus (the IVF tier's
+        # cluster-contiguous permutation) map device row ids back to
+        # the caller's ids HERE — before the final sort — so the
+        # (q, r) tie order below is on the ids the caller sees.
+        flat_r = self._map_ref_ids(flat_r)
 
         # Final exact sort: score desc, then (q, r) asc for determinism.
         # Pre-filter to entries ≥ the k-th score so we only lexsort

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import collections
 import logging
+import re
 from typing import Iterable, List, Tuple
 
 import numpy as np
@@ -51,14 +52,33 @@ class VideoIndex:
         across devices (parallel/sharded_search.py).
         ``dtype="bfloat16"`` stores/searches the corpus in bf16 (half
         the HBM and transfer, MXU-native; scores at bf16 resolution);
-        ``dtype="int8"`` is the SQ8 tier under its jax-style name."""
-        if codec_str == "SQ8":
+        ``dtype="int8"`` is the SQ8 tier under its jax-style name.
+
+        "IVF{nlist}[,Flat|SQ8]" (the FAISS factory's IVF family,
+        e.g. "IVF1024,Flat") selects the pruned tier (ops/ivf.py): a
+        k-means cluster-contiguous corpus layout whose per-block score
+        bounds let the candidate phase scan a block subset. Unlike
+        FAISS IVF, search stays EXACT — the count-verify pass plus the
+        bound certificate restore the brute-force result including
+        tie-breaks; nprobe tunes speed, never correctness."""
+        self._ivf_nlist = None
+        m = re.fullmatch(r"IVF(\d+)(?:,(Flat|SQ8))?", codec_str)
+        if m:
+            self._ivf_nlist = int(m.group(1))
+            if m.group(2) == "SQ8":
+                dtype = "int8"
+        elif codec_str == "SQ8":
             dtype = "int8"
         elif codec_str != "Flat":
             raise ValueError(
                 f"Unsupported codec '{codec_str}': the TPU searcher is "
-                "exact brute-force over Flat (f32/bf16) or SQ8 (int8) "
-                "storage"
+                "exact brute-force over Flat (f32/bf16), SQ8 (int8), or "
+                "IVF{nlist}[,Flat|SQ8] (exact pruned tier) storage"
+            )
+        if self._ivf_nlist is not None and mesh is not None:
+            raise ValueError(
+                "IVF codecs are single-chip for now: shard the corpus "
+                "(mesh) OR prune it (IVF), not both"
             )
         self.dim = dim
         self.metric = metric
@@ -199,6 +219,13 @@ class VideoIndex:
 
                 self._searcher = ShardedSimilaritySearcher(
                     corpus, self.mesh, metric=self.metric,
+                    precision=self.precision, dtype=self.dtype,
+                )
+            elif self._ivf_nlist is not None:
+                from vsc2022_tpu.ops.ivf import IVFSimilaritySearcher
+
+                self._searcher = IVFSimilaritySearcher(
+                    corpus, nlist=self._ivf_nlist, metric=self.metric,
                     precision=self.precision, dtype=self.dtype,
                 )
             else:
