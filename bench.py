@@ -74,6 +74,11 @@ INF_BATCHES = 4
 # grace on top of CHILD_BUDGET; the child stops starting new work at
 # ~90% of its budget so completed arms flush before the kill.
 PREFLIGHT_BUDGET = int(os.environ.get("VSC2022_TPU_BENCH_PREFLIGHT", "90"))
+# Wait between the two preflight attempts: the relay holds the chip
+# lease briefly after a SIGKILLed client, and the next init hangs.
+PREFLIGHT_BACKOFF = int(
+    os.environ.get("VSC2022_TPU_BENCH_PREFLIGHT_BACKOFF", "45")
+)
 CHILD_BUDGET = int(os.environ.get("VSC2022_TPU_BENCH_BUDGET", "600"))
 SERVE_BUDGET = int(os.environ.get("VSC2022_TPU_BENCH_SERVE_BUDGET", "210"))
 KILL_GRACE = int(os.environ.get("VSC2022_TPU_BENCH_GRACE", "60"))
@@ -999,24 +1004,37 @@ def main():
         return
 
     me = os.path.abspath(__file__)
-    # 1. Preflight: an outage prints the explicit outage JSON in ~2
-    # minutes, not after the whole measurement budget.
-    try:
-        probe = subprocess.run(
-            [sys.executable, me, "--_probe"],
-            capture_output=True, text=True, timeout=PREFLIGHT_BUDGET,
-        )
-    except subprocess.TimeoutExpired:
-        print(_outage_json(
-            "relay preflight timed out "
-            f"(TPU unreachable; {PREFLIGHT_BUDGET}s)"
-        ))
-        return
-    if probe.returncode != 0 or "preflight-ok" not in probe.stdout:
-        print(probe.stderr[-1000:], file=sys.stderr)
-        print(_outage_json(
-            "relay preflight failed (TPU backend init error)"
-        ))
+    # 1. Preflight: an outage prints the explicit outage JSON in ~5
+    # minutes, not after the whole measurement budget. TWO attempts
+    # with a backoff between them: the relay holds the chip lease for
+    # a short while after a client is SIGKILLed (e.g. a prior bench's
+    # budget-killed child — or the builder's own last TPU process just
+    # before the driver runs this), and the next backend init hangs
+    # until it lapses. A single 90 s probe misreads that as a real
+    # outage; only both attempts failing does.
+    for attempt in (1, 2):
+        err = None
+        try:
+            probe = subprocess.run(
+                [sys.executable, me, "--_probe"],
+                capture_output=True, text=True, timeout=PREFLIGHT_BUDGET,
+            )
+            if probe.returncode != 0 or "preflight-ok" not in probe.stdout:
+                print(probe.stderr[-1000:], file=sys.stderr)
+                err = "relay preflight failed (TPU backend init error)"
+        except subprocess.TimeoutExpired:
+            err = (
+                "relay preflight timed out "
+                f"(TPU unreachable; {PREFLIGHT_BUDGET}s x{attempt})"
+            )
+        if err is None:
+            break
+        if attempt == 1:
+            print(f"preflight attempt 1: {err}; retrying after lease "
+                  "backoff", file=sys.stderr)
+            time.sleep(PREFLIGHT_BACKOFF)
+    if err is not None:
+        print(_outage_json(err))
         return
 
     # 2. One measurement child, incremental scratch flush, single

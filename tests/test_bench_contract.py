@@ -67,11 +67,18 @@ class TestOutagePreflight:
             timeout=120,
             VSC2022_TPU_BENCH_STALL="preflight",
             VSC2022_TPU_BENCH_PREFLIGHT=5,
+            VSC2022_TPU_BENCH_PREFLIGHT_BACKOFF=1,
         )
         parsed = parse_line(result)
         assert parsed["value"] == 0.0
         assert parsed["vs_baseline"] == 0.0
         assert "preflight" in parsed["error"]
+        # Both attempts ran (a SIGKILLed prior client parks the chip
+        # lease for a bit; one probe timing out must not be read as a
+        # real outage) and the total still cost ~2 budgets, not the
+        # measurement budget.
+        assert "attempt 1" in result.stderr
+        assert "x2" in parsed["error"]
         assert wall < 60, f"outage JSON took {wall:.0f}s (budget was 5s)"
 
 
