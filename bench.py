@@ -49,6 +49,7 @@ vs_baseline = TPU qps / numpy-CPU qps.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -981,6 +982,40 @@ def _recover_partial(scratch_path):
     return results
 
 
+def _run_child(args, timeout):
+    """subprocess.run with a PROCESS-GROUP kill on timeout.
+
+    The serving child spawns a server grandchild; plain subprocess.run
+    SIGKILLs only the direct child on timeout, after which it blocks
+    reading the stdout/stderr pipes until EOF — pipes the surviving
+    server still holds open, so the bench parent HANGS FOREVER (and
+    the orphan server keeps the TPU chip lease, poisoning the NEXT
+    run's preflight — both observed live). Each child starts as its
+    own session leader and the whole group dies together; PDEATHSIG
+    covers the reverse direction (the DRIVER killing this parent at
+    its own deadline — round 4's failure mode — must not leave a
+    chip-holding orphan behind)."""
+    from vsc2022_tpu.utils.procs import die_with_parent
+
+    proc = subprocess.Popen(
+        args, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, start_new_session=True, preexec_fn=die_with_parent,
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout)
+        return subprocess.CompletedProcess(args, proc.returncode, out, err)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        try:
+            proc.communicate(timeout=10)
+        except Exception:  # noqa: BLE001
+            pass
+        raise
+
+
 def main():
     """Parent orchestration: preflight probe -> one measurement child
     (incremental scratch flush) -> serving child. Each stage runs in
@@ -1015,9 +1050,8 @@ def main():
     for attempt in (1, 2):
         err = None
         try:
-            probe = subprocess.run(
-                [sys.executable, me, "--_probe"],
-                capture_output=True, text=True, timeout=PREFLIGHT_BUDGET,
+            probe = _run_child(
+                [sys.executable, me, "--_probe"], timeout=PREFLIGHT_BUDGET
             )
             if probe.returncode != 0 or "preflight-ok" not in probe.stdout:
                 print(probe.stderr[-1000:], file=sys.stderr)
@@ -1046,9 +1080,8 @@ def main():
     results = None
     try:
         try:
-            child = subprocess.run(
+            child = _run_child(
                 [sys.executable, me, "--_child", scratch],
-                capture_output=True, text=True,
                 timeout=CHILD_BUDGET + KILL_GRACE,
             )
         except subprocess.TimeoutExpired:
@@ -1078,12 +1111,14 @@ def main():
         return
 
     # 3. Serving workload in its own child (the measurement child held
-    # the chip until exit); failure costs only the serving metrics.
+    # the chip until exit); failure costs only the serving metrics —
+    # but it must COST VISIBLY: a timed-out/failed serving child lands
+    # in the JSON's incomplete list, not just on stderr.
     if os.environ.get("VSC2022_TPU_BENCH_NO_SERVE") != "1":
+        serve_ok = False
         try:
-            serve = subprocess.run(
-                [sys.executable, me, "--_serve_child"],
-                capture_output=True, text=True, timeout=SERVE_BUDGET,
+            serve = _run_child(
+                [sys.executable, me, "--_serve_child"], timeout=SERVE_BUDGET
             )
             serve_lines = [
                 ln for ln in serve.stdout.strip().splitlines()
@@ -1091,10 +1126,15 @@ def main():
             ]
             if serve.returncode == 0 and serve_lines:
                 results.update(json.loads(serve_lines[-1]))
+                serve_ok = True
             else:
                 print(serve.stderr[-1000:], file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             print(f"serving bench skipped: {exc}", file=sys.stderr)
+        if not serve_ok:
+            results["incomplete"] = results.get("incomplete", []) + [
+                "serving"
+            ]
     print(json.dumps(results))
 
 

@@ -16,5 +16,44 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the test loop: the suite's wall time is
+# a large fraction XLA CPU compiles of the SAME executables every run.
+# Separate dir from the TPU cache (utils/jaxcache.py) purely for
+# hygiene; platform keys would keep them apart anyway.
+_cache = os.environ.get(
+    "VSC2022_TPU_TEST_JAX_CACHE",
+    os.path.expanduser("~/.cache/vsc2022_tpu/jax-test"),
+)
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (multihost pods, serving e2e, "
+        "conversion numerics, e2e pipelines) — the full pre-commit / "
+        "round gate; the default lane is the fast iteration loop",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (subprocess pods, e2e CLIs, torch "
+        "numerics); skipped unless --runslow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow lane: pass --runslow (full gate)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -82,6 +82,7 @@ class TestOutagePreflight:
         assert wall < 60, f"outage JSON took {wall:.0f}s (budget was 5s)"
 
 
+@pytest.mark.slow
 class TestPartialFlush:
     def test_stalled_child_keeps_completed_workloads(self):
         # Retrieval completes and flushes; the child then stalls at
@@ -105,6 +106,28 @@ class TestPartialFlush:
             "inference", "localization", "dns_localization"
         ]
         assert "partial results" in parsed["note"]
+
+    def test_timed_out_serving_child_lands_in_incomplete(self):
+        # The serving child runs after the measurement child; its
+        # failure must cost only the serving metrics AND be visible in
+        # the JSON (round 4's silent stderr-only skip is what let a
+        # missing arm read as "covered").
+        # Measurement child capped like the stall tests (a FULL tiny
+        # measurement outlasts the test's patience); retrieval lands,
+        # then the 1 s serving budget kills the serving child + its
+        # server grandchild (process-group kill — a surviving orphan
+        # would hold the chip AND the stdout pipe, hanging the parent).
+        result, _ = run_bench(
+            timeout=300,
+            VSC2022_TPU_BENCH_STALL="inference",
+            VSC2022_TPU_BENCH_BUDGET=10,
+            VSC2022_TPU_BENCH_GRACE=50,
+            VSC2022_TPU_BENCH_SERVE_BUDGET=1,
+        )
+        parsed = parse_line(result)
+        assert parsed["retrieval_qps"] > 0  # measurement arms survived
+        assert "serving" in parsed["incomplete"]
+        assert "serving_warm_compute_s" not in parsed
 
     def test_stall_before_any_metric_is_an_outage(self):
         # A stall before the first workload leaves an empty scratch:

@@ -8,6 +8,8 @@ running stats, qkv fusion, attention scaling, GELU flavor, LN eps."""
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # torch replica builds + TorchScript round-trips (~1.5 min)
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 

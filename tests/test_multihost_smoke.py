@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # real 2-process jax.distributed pods (~2 min)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 W, H, FRAMES_PER_VIDEO = 32, 24, 3
 

@@ -15,6 +15,8 @@ import sys
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # e2e resumable parity CLI runs (~2 min)
 from vsc2022_tpu.metrics import Dataset, Match
 from vsc2022_tpu.storage import store_features
 

@@ -744,6 +744,7 @@ class TestSaveFailureConsistency:
         assert os.path.exists(fine_out)
 
 
+@pytest.mark.slow
 class TestServeCLI:
     @pytest.fixture(scope="class")
     def served(self):
@@ -1780,6 +1781,7 @@ class TestConcurrentTCPClients:
         assert final_ids == base_ids | keepers
 
 
+@pytest.mark.slow
 class TestServeClient:
     """The Python client wrapper must round-trip the full protocol —
     spawn + TCP attach, search/add/stats, typed errors — against a
@@ -2020,6 +2022,7 @@ class TestServeClient:
             proc.kill()
 
 
+@pytest.mark.slow
 class TestDnSShardedServe:
     """--sharded + --ref_fine_features: both DnS reference tables
     (coarse retrieval corpus and the localizer's coarse+fine tables)
@@ -2332,6 +2335,7 @@ class TestInbandProtocol:
 W_E2E, H_E2E, FRAMES_E2E = 48, 32, 8
 
 
+@pytest.mark.slow
 class TestEndToEndServe:
     """extract / searchv on a resident SSCD model: end-to-end serving
     from raw videos must equal the one-shot flow (inference CLI →

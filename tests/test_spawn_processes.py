@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # spawned inference worker subprocesses (~2.5 min)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 W, H, FRAMES_PER_VIDEO = 32, 24, 3
 

@@ -82,3 +82,49 @@ class TestScaleBench:
         out = json.loads(line)
         assert out["corpus_frames"] == 600
         assert out["query_videos_per_sec"] > 0
+
+
+class TestDieWithParent:
+    def test_grandchild_dies_when_spawner_is_sigkilled(self):
+        """PDEATHSIG lifetime chain (utils/procs.py): a process spawned
+        with die_with_parent must be kernel-killed when its spawner is
+        SIGKILLed — the rig's chip lease makes orphaned chip-holders
+        (e.g. a bench serving child's server) poison every later run."""
+        import os
+        import signal
+        import time
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        wrapper_code = (
+            "import subprocess, sys, time\n"
+            "from vsc2022_tpu.utils.procs import die_with_parent\n"
+            "p = subprocess.Popen([sys.executable, '-c',"
+            " 'import time; time.sleep(120)'], preexec_fn=die_with_parent)\n"
+            "print(p.pid, flush=True)\n"
+            "time.sleep(120)\n"
+        )
+        wrapper = subprocess.Popen(
+            [sys.executable, "-c", wrapper_code],
+            stdout=subprocess.PIPE, text=True,
+            env={**os.environ, "PYTHONPATH": repo},
+        )
+        try:
+            sleeper_pid = int(wrapper.stdout.readline())
+            os.kill(wrapper.pid, signal.SIGKILL)
+            wrapper.wait()
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline:
+                try:
+                    os.kill(sleeper_pid, 0)  # existence probe only
+                except ProcessLookupError:
+                    return  # kernel reaped it with the parent
+                time.sleep(0.05)
+            os.kill(sleeper_pid, signal.SIGKILL)  # clean up the leak
+            raise AssertionError(
+                "grandchild survived its spawner's SIGKILL"
+            )
+        finally:
+            wrapper.stdout.close()
+            if wrapper.poll() is None:
+                wrapper.kill()
+                wrapper.wait()

@@ -217,6 +217,11 @@ def build_model(args):
 
 
 def worker_process(args, rank, world_size, output_filename):
+    # Workers are CPU-decode fan-out, but lifetime hygiene still
+    # applies: a SIGKILLed spawner must not leave orphans churning.
+    from vsc2022_tpu.utils.procs import die_with_parent
+
+    die_with_parent()
     import tqdm
 
     from vsc2022_tpu.inference.pipeline import (

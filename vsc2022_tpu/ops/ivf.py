@@ -405,6 +405,7 @@ class IVFSimilaritySearcher(SimilaritySearcher):
             or k <= 0
             or self.n_refs == 0
         ):
+            self.last_search_stats = None  # probe phase never ran
             return super().global_topk(queries, k, kappa, approx_candidates)
         kappa, k_eff = self._plan(nq, k, kappa)
         block_rows = self._plan_row_block(nq)
@@ -434,6 +435,10 @@ class IVFSimilaritySearcher(SimilaritySearcher):
         if m % n_rb and m > self.row_block:
             # Unexpected staging (not a whole number of near-even row
             # blocks): the base loop path handles it exactly.
+            self.last_search_stats = {
+                "n_blocks": n_blocks, "probed": int(probe_ids.size),
+                "certified_extra": 0, "pruned": False,
+            }
             return super().global_topk(queries, k, kappa, approx_candidates)
         rb = m if m % n_rb else m // n_rb
         packed, _, _ = _fused_candidates_packed(

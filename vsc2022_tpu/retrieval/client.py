@@ -141,10 +141,15 @@ class ServeClient:
         cmd += list(extra_args)
         # Binary pipes: the in-band commands (search_features /
         # add_features / snapshot) move npz and CSV payload bytes over
-        # the same stream as the text commands.
+        # the same stream as the text commands. PDEATHSIG: if the
+        # spawning process is SIGKILLed (no `quit`, no __exit__), the
+        # server must die too — an orphaned server keeps the TPU chip
+        # lease and poisons every later backend init on this rig.
+        from vsc2022_tpu.utils.procs import die_with_parent
+
         proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=stderr, env=env, cwd=cwd,
+            stderr=stderr, env=env, cwd=cwd, preexec_fn=die_with_parent,
         )
         try:
             return cls(proc.stdout, proc.stdin, proc=proc)
