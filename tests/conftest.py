@@ -20,13 +20,17 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache for the test loop: the suite's wall time is
-# a large fraction XLA CPU compiles of the SAME executables every run.
-# Separate dir from the TPU cache (utils/jaxcache.py) purely for
-# hygiene; platform keys would keep them apart anyway.
+# Persistent compile cache for the test loop: a fraction of the
+# suite's wall is XLA CPU compiles of the SAME executables every run.
+# Same dir as utils/jaxcache.py (several tests call
+# enable_compilation_cache in-process anyway, and subprocess CLIs
+# always do) — platform keys keep CPU and TPU entries apart.
 _cache = os.environ.get(
     "VSC2022_TPU_TEST_JAX_CACHE",
-    os.path.expanduser("~/.cache/vsc2022_tpu/jax-test"),
+    os.environ.get(
+        "VSC2022_TPU_JAX_CACHE",
+        os.path.expanduser("~/.cache/vsc2022_tpu/jax"),
+    ),
 )
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)

@@ -278,3 +278,144 @@ class TestIVFVideoIndex:
 
         with pytest.raises(ValueError, match="single-chip"):
             VideoIndex(8, codec_str="IVF16", mesh=corpus_mesh(8))
+
+
+class TestIVFScoreNormalized:
+    """IVF under the production SN pipeline: ScoreNormalizedVideoIndex
+    with an IVF codec must equal the Flat index bit-for-bit (the IVF
+    searcher takes the two-dispatch path — bias, then the pruned
+    candidate phase — instead of the one-dispatch fusion; both are
+    exact, so results including tie-breaks must be identical)."""
+
+    def test_sn_ivf_matches_flat_and_prunes(self):
+        from vsc2022_tpu.retrieval.index import ScoreNormalizedVideoIndex
+
+        rng = np.random.RandomState(12)
+        n, d, fpv = 33000, 24, 825  # >= 4 streaming blocks at default
+        r, assign = clustered_ints(rng, n, d, n_clusters=8)
+        refs = [
+            _vf(i, r[i * fpv : (i + 1) * fpv].astype(np.float32))
+            for i in range(n // fpv)
+        ]
+        noise = [
+            _vf(
+                1000 + i,
+                rng.randint(-4, 5, size=(50, d)).astype(np.float32),
+            )
+            for i in range(3)
+        ]
+        # One FOCUSED query video near cluster 0: the probe union must
+        # stay small enough to prune.
+        q = [_vf(0, (r[assign == 0][:40]).astype(np.float32))]
+
+        flat = ScoreNormalizedVideoIndex(d, noise, beta=1.2)
+        flat.add(refs)
+        ivf = ScoreNormalizedVideoIndex(d, noise, beta=1.2,
+                                        codec_str="IVF8")
+        ivf.add(refs)
+
+        key = lambda pm: (pm.query_id, pm.ref_id)  # noqa: E731
+        exp = {key(pm): pm.matches for pm in flat.search(q, global_k=500)}
+        got = {key(pm): pm.matches for pm in ivf.search(q, global_k=500)}
+        assert set(got) == set(exp)
+        for kk in exp:
+            assert [
+                (m.query_timestamps, m.ref_timestamps, m.score)
+                for m in got[kk]
+            ] == [
+                (m.query_timestamps, m.ref_timestamps, m.score)
+                for m in exp[kk]
+            ]
+        stats = ivf._searcher.searcher.last_search_stats
+        assert stats is not None and stats["pruned"] is True
+        assert stats["probed"] < stats["n_blocks"]
+
+    def test_sn_ivf_mutations_stay_exact(self):
+        from vsc2022_tpu.retrieval.index import ScoreNormalizedVideoIndex
+
+        rng = np.random.RandomState(13)
+        d = 16
+        base = [
+            _vf(i, rng.randint(-4, 5, (30, d)).astype(np.float32))
+            for i in range(6)
+        ]
+        more = [
+            _vf(10 + i, rng.randint(-4, 5, (25, d)).astype(np.float32))
+            for i in range(2)
+        ]
+        noise = [
+            _vf(100, rng.randint(-4, 5, (40, d)).astype(np.float32))
+        ]
+        q = [_vf(0, base[2].feature[:12].copy())]
+
+        ivf = ScoreNormalizedVideoIndex(d, noise, codec_str="IVF4")
+        ivf.add(base)
+        ivf.search(q, global_k=10)  # stage before mutating
+        ivf.add(more)
+        ivf.remove([1])
+
+        fresh = ScoreNormalizedVideoIndex(d, noise)
+        fresh.add([b for b in base if b.video_id != 1] + more)
+
+        key = lambda pm: (pm.query_id, pm.ref_id)  # noqa: E731
+        got = {key(pm): pm.matches for pm in ivf.search(q, global_k=60)}
+        exp = {key(pm): pm.matches for pm in fresh.search(q, global_k=60)}
+        assert set(got) == set(exp)
+        for kk in exp:
+            assert [(m.query_timestamps, m.score) for m in got[kk]] == [
+                (m.query_timestamps, m.score) for m in exp[kk]
+            ]
+
+    def test_sn_mesh_plus_ivf_rejected(self):
+        from vsc2022_tpu.parallel.mesh import corpus_mesh
+        from vsc2022_tpu.retrieval.index import ScoreNormalizedVideoIndex
+
+        rng = np.random.RandomState(14)
+        noise = [_vf(100, rng.randn(30, 8).astype(np.float32))]
+        with pytest.raises(ValueError, match="single-chip"):
+            ScoreNormalizedVideoIndex(
+                8, noise, codec_str="IVF4", mesh=corpus_mesh(8)
+            )
+
+
+@pytest.mark.slow
+class TestIVFServe:
+    def test_serve_ivf_flag_matches_plain_server(self, tmp_path):
+        """`serve --ivf N` must answer bit-identically to a plain
+        server over the same corpus (the IVF layout is invisible in
+        results — only the scan schedule changes)."""
+        import os
+
+        from vsc2022_tpu.metrics import Dataset
+        from vsc2022_tpu.retrieval.client import ServeClient
+        from vsc2022_tpu.storage import store_features
+
+        rng = np.random.RandomState(15)
+        d = 16
+        refs = [
+            _vf(i, rng.randint(-4, 5, (30, d)).astype(np.float32))
+            for i in range(8)
+        ]
+        noise = [
+            _vf(100, rng.randint(-4, 5, (40, d)).astype(np.float32))
+        ]
+        q = [_vf(0, refs[3].feature[:12].copy())]
+        rp = str(tmp_path / "refs.npz")
+        np_ = str(tmp_path / "noise.npz")
+        qp = str(tmp_path / "q.npz")
+        store_features(rp, refs, Dataset.REFS)
+        store_features(np_, noise, Dataset.REFS)
+        store_features(qp, q, Dataset.QUERIES)
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, VSC2022_TPU_FORCE_CPU="1")
+        outs = {}
+        for name, extra in [("flat", []), ("ivf", ["--ivf", "4"])]:
+            csv = str(tmp_path / f"{name}.csv")
+            with ServeClient.spawn(
+                rp, score_norm_features=np_, env=env, cwd=repo,
+                extra_args=["--no_warmup"] + extra,
+            ) as c:
+                c.search(qp, candidates_csv=csv)
+            outs[name] = open(csv).read()
+        assert outs["ivf"] == outs["flat"]

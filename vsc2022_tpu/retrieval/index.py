@@ -41,6 +41,7 @@ class VideoIndex:
         precision: str = "highest",
         mesh=None,
         dtype: str = "float32",
+        ivf_nprobe=None,
     ):
         """``codec_str`` mirrors the reference's FAISS factory argument
         (reference: vsc/index.py:78): "Flat" is the exact search over
@@ -60,7 +61,8 @@ class VideoIndex:
         bounds let the candidate phase scan a block subset. Unlike
         FAISS IVF, search stays EXACT — the count-verify pass plus the
         bound certificate restore the brute-force result including
-        tie-breaks; nprobe tunes speed, never correctness."""
+        tie-breaks; ``ivf_nprobe`` (FAISS sets nprobe at runtime, not
+        in the factory string) tunes speed, never correctness."""
         self._ivf_nlist = None
         m = re.fullmatch(r"IVF(\d+)(?:,(Flat|SQ8))?", codec_str)
         if m:
@@ -80,6 +82,7 @@ class VideoIndex:
                 "IVF codecs are single-chip for now: shard the corpus "
                 "(mesh) OR prune it (IVF), not both"
             )
+        self._ivf_nprobe = ivf_nprobe
         self.dim = dim
         self.metric = metric
         self.precision = precision
@@ -225,7 +228,8 @@ class VideoIndex:
                 from vsc2022_tpu.ops.ivf import IVFSimilaritySearcher
 
                 self._searcher = IVFSimilaritySearcher(
-                    corpus, nlist=self._ivf_nlist, metric=self.metric,
+                    corpus, nlist=self._ivf_nlist,
+                    nprobe=self._ivf_nprobe, metric=self.metric,
                     precision=self.precision, dtype=self.dtype,
                 )
             else:
@@ -386,6 +390,8 @@ class ScoreNormalizedVideoIndex(VideoIndex):
                 precision=self.precision,
                 mesh=self.mesh,
                 dtype=self.dtype,
+                ivf_nlist=self._ivf_nlist,
+                ivf_nprobe=self._ivf_nprobe,
             )
         return self._searcher
 

@@ -207,6 +207,18 @@ _dtype_group.add_argument(
     "tables stay bfloat16 — localization reads raw similarities.",
 )
 parser.add_argument(
+    "--ivf", type=int, default=None, metavar="NLIST",
+    help="Lay the search corpus out in NLIST k-means cells (the IVF "
+    "pruned tier, ops/ivf.py; 0 = the block-derived default): focused "
+    "requests scan only the probed block subset, still EXACT incl. "
+    "tie-breaks. Single-chip only (exclusive with --sharded).",
+)
+parser.add_argument(
+    "--ivf_nprobe", type=int, default=None,
+    help="Blocks probed per query row under --ivf (default ~1/8 of "
+    "the corpus blocks). Tunes speed, never correctness.",
+)
+parser.add_argument(
     "--no_warmup", action="store_true",
     help="Skip the staging/compile warm-up search before 'ready'",
 )
@@ -334,13 +346,26 @@ def build_index(args):
 
         mesh = corpus_mesh()
     dtype = staging_dtype(args)
+    codec = "Flat"
+    nprobe = getattr(args, "ivf_nprobe", None)
+    if getattr(args, "ivf", None) is not None:
+        # 0 = "IVF with the block-derived default nlist"; the searcher
+        # computes it from the corpus size (~2 streaming blocks/cell).
+        n = args.ivf if args.ivf > 0 else max(
+            2, sum(v.feature.shape[0] for v in refs) // 16384
+        )
+        codec = f"IVF{n}"
     if args.score_norm_features:
         noise = load_features(args.score_norm_features, Dataset.REFS)
         index = ScoreNormalizedVideoIndex(
-            dim, noise, beta=args.beta, mesh=mesh, dtype=dtype
+            dim, noise, beta=args.beta, mesh=mesh, dtype=dtype,
+            codec_str=codec, ivf_nprobe=nprobe,
         )
     else:
-        index = VideoIndex(dim, mesh=mesh, dtype=dtype)
+        index = VideoIndex(
+            dim, mesh=mesh, dtype=dtype, codec_str=codec,
+            ivf_nprobe=nprobe,
+        )
     index.add(refs)
     return index, refs, dim
 

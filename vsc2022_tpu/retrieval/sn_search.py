@@ -41,13 +41,28 @@ class ScoreNormalizedSearcher:
         precision: str = "highest",
         mesh=None,
         dtype: str = "float32",
+        ivf_nlist: Optional[int] = None,
+        ivf_nprobe: Optional[int] = None,
     ):
+        """``ivf_nlist`` routes the REFERENCE corpus through the IVF
+        pruned tier (ops/ivf.py; single-chip, mesh-exclusive): the
+        bias-augmented corpus is laid out cluster-contiguously and
+        focused query batches scan a block subset — still exact. The
+        pipeline then runs as two dispatches (bias, then the pruned
+        candidate phase) instead of the one-dispatch fusion; the noise
+        corpus stays a plain searcher (its k=1 row-max never prunes)."""
         self.beta = beta
+        self._sharded = mesh is not None
         r_sn = np.concatenate(
             [refs, np.ones((refs.shape[0], 1), refs.dtype)], axis=1
         ).astype(np.float32)
         noise_f32 = np.ascontiguousarray(noise, dtype=np.float32)
         if mesh is not None:
+            if ivf_nlist is not None:
+                raise ValueError(
+                    "IVF codecs are single-chip for now: shard the "
+                    "corpus (mesh) OR prune it (IVF), not both"
+                )
             from vsc2022_tpu.parallel.sharded_search import (
                 ShardedSimilaritySearcher,
             )
@@ -59,9 +74,17 @@ class ScoreNormalizedSearcher:
                 noise_f32, mesh, precision=precision, dtype=dtype
             )
         else:
-            self.searcher = SimilaritySearcher(
-                r_sn, precision=precision, dtype=dtype
-            )
+            if ivf_nlist is not None:
+                from vsc2022_tpu.ops.ivf import IVFSimilaritySearcher
+
+                self.searcher = IVFSimilaritySearcher(
+                    r_sn, nlist=ivf_nlist, nprobe=ivf_nprobe,
+                    precision=precision, dtype=dtype,
+                )
+            else:
+                self.searcher = SimilaritySearcher(
+                    r_sn, precision=precision, dtype=dtype
+                )
             self.noise_searcher = SimilaritySearcher(
                 noise_f32, precision=precision, dtype=dtype
             )
@@ -120,11 +143,16 @@ class ScoreNormalizedSearcher:
             and s.n_refs > 0
             and self.noise_searcher.n_refs > 0
         )
-        if fusable and type(s) is not SimilaritySearcher:
+        if fusable and self._sharded:
             out = self._sharded_fused_topk(queries, nq, k, kappa)
             if out is not None:
                 return out
         if fusable and type(s) is SimilaritySearcher:
+            # EXACT type: the IVF subclass must NOT take the fused
+            # one-dispatch path (its probe needs the bias-augmented
+            # queries, which the fusion only materializes inside the
+            # dispatch) — it falls through to the two-step path below,
+            # where s.global_topk runs the pruned candidate phase.
             # Whole pipeline — noise-NN bias, bias append, candidate
             # top-κ, τ, verify counts — in ONE device dispatch and ONE
             # packed D2H pull (row blocks stream inside the dispatch).
