@@ -40,8 +40,13 @@ timeout recorded NOTHING):
   `incomplete` list — a slow relay costs arms, not the round.
 - BUDGET: one child attempt inside a fixed budget (no blind retry);
   the child skips remaining workloads (and demotes the historical
-  b128/b256 inference arms) when the budget runs low. Worst-case wall
-  ~= preflight 90 s + child 660 s + serving 210 s ~= 16 min.
+  b128/b256 inference arms) when the budget runs low. The serving
+  child gets TWO attempts (like the preflight): the relay occasionally
+  stalls a fresh process's backend init at ~0% CPU — observed live,
+  the same serving child ran 128 s in one process and hung >400 s in
+  the next — and the playbook is kill + lease backoff + one retry.
+  Worst-case wall ~= preflight 225 s + child 660 s + serving 645 s
+  ~= 25 min; typical warm wall is ~11 min.
 
 Prints ONE JSON line; primary metric stays query_videos_per_sec with
 vs_baseline = TPU qps / numpy-CPU qps.
@@ -81,7 +86,7 @@ PREFLIGHT_BACKOFF = int(
     os.environ.get("VSC2022_TPU_BENCH_PREFLIGHT_BACKOFF", "45")
 )
 CHILD_BUDGET = int(os.environ.get("VSC2022_TPU_BENCH_BUDGET", "600"))
-SERVE_BUDGET = int(os.environ.get("VSC2022_TPU_BENCH_SERVE_BUDGET", "210"))
+SERVE_BUDGET = int(os.environ.get("VSC2022_TPU_BENCH_SERVE_BUDGET", "300"))
 KILL_GRACE = int(os.environ.get("VSC2022_TPU_BENCH_GRACE", "60"))
 
 WORKLOADS = ("retrieval", "inference", "localization", "dns_localization")
@@ -1033,6 +1038,14 @@ def main():
         _preflight()
         return
     if "--_serve_child" in sys.argv:
+        # Test hook: simulate the relay-stall mode (a fresh process's
+        # backend init hanging at ~0% CPU) on the FIRST attempt only —
+        # the marker file makes the retry attempt succeed.
+        if os.environ.get("VSC2022_TPU_BENCH_STALL") == "serving_once":
+            marker = os.environ.get("VSC2022_TPU_BENCH_STALL_MARKER", "")
+            if marker and not os.path.exists(marker):
+                open(marker, "w").close()
+                time.sleep(100_000)
         serve_results = {}
         bench_serving(serve_results)
         print(json.dumps(serve_results))
@@ -1115,22 +1128,39 @@ def main():
     # but it must COST VISIBLY: a timed-out/failed serving child lands
     # in the JSON's incomplete list, not just on stderr.
     if os.environ.get("VSC2022_TPU_BENCH_NO_SERVE") != "1":
+        # TWO attempts, like the preflight: the relay occasionally
+        # stalls a FRESH process's backend init indefinitely at ~0%
+        # CPU (observed live: the same serving child ran 128 s one
+        # process and hung >400 s the next) — the documented playbook
+        # is kill and retry once, after the lease backoff.
         serve_ok = False
-        try:
-            serve = _run_child(
-                [sys.executable, me, "--_serve_child"], timeout=SERVE_BUDGET
-            )
-            serve_lines = [
-                ln for ln in serve.stdout.strip().splitlines()
-                if ln.startswith("{")
-            ]
-            if serve.returncode == 0 and serve_lines:
-                results.update(json.loads(serve_lines[-1]))
-                serve_ok = True
-            else:
+        attempts = int(
+            os.environ.get("VSC2022_TPU_BENCH_SERVE_ATTEMPTS", "2")
+        )
+        for attempt in range(1, attempts + 1):
+            if attempt > 1:
+                print(
+                    "serving child stalled; retrying once after lease "
+                    "backoff", file=sys.stderr,
+                )
+                time.sleep(PREFLIGHT_BACKOFF)
+            try:
+                serve = _run_child(
+                    [sys.executable, me, "--_serve_child"],
+                    timeout=SERVE_BUDGET,
+                )
+                serve_lines = [
+                    ln for ln in serve.stdout.strip().splitlines()
+                    if ln.startswith("{")
+                ]
+                if serve.returncode == 0 and serve_lines:
+                    results.update(json.loads(serve_lines[-1]))
+                    serve_ok = True
+                    break
                 print(serve.stderr[-1000:], file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
-            print(f"serving bench skipped: {exc}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                print(f"serving attempt {attempt} failed: {exc}",
+                      file=sys.stderr)
         if not serve_ok:
             results["incomplete"] = results.get("incomplete", []) + [
                 "serving"

@@ -123,11 +123,34 @@ class TestPartialFlush:
             VSC2022_TPU_BENCH_BUDGET=10,
             VSC2022_TPU_BENCH_GRACE=50,
             VSC2022_TPU_BENCH_SERVE_BUDGET=1,
+            VSC2022_TPU_BENCH_SERVE_ATTEMPTS=1,
         )
         parsed = parse_line(result)
         assert parsed["retrieval_qps"] > 0  # measurement arms survived
         assert "serving" in parsed["incomplete"]
         assert "serving_warm_compute_s" not in parsed
+
+    def test_serving_stall_retries_once_and_lands(self, tmp_path):
+        # The relay occasionally stalls a FRESH process's backend init
+        # at ~0% CPU (observed live round 5: the same serving child ran
+        # 128 s in one process and hung >400 s in the next). The
+        # harness follows the documented playbook — kill, lease
+        # backoff, ONE retry — so a single stall costs a retry, not
+        # the serving arms.
+        marker = str(tmp_path / "first_attempt_stalled")
+        result, _ = run_bench(
+            timeout=300,
+            VSC2022_TPU_BENCH_STALL="serving_once",
+            VSC2022_TPU_BENCH_STALL_MARKER=marker,
+            VSC2022_TPU_BENCH_BUDGET=60,
+            VSC2022_TPU_BENCH_SERVE_BUDGET=60,
+            VSC2022_TPU_BENCH_PREFLIGHT_BACKOFF=1,
+        )
+        parsed = parse_line(result)
+        assert os.path.exists(marker)  # attempt 1 really did stall
+        assert "serving" not in parsed.get("incomplete", [])
+        assert parsed["serving_warm_compute_s"] > 0
+        assert "retrying once" in result.stderr
 
     def test_stall_before_any_metric_is_an_outage(self):
         # A stall before the first workload leaves an empty scratch:
